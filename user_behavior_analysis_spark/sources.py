@@ -1,0 +1,107 @@
+"""Sources: parquet testdata, headerless CSV event logs, Kafka, rate.
+
+Maps the reference's source surface (SURVEY.md §2.1, S1-S4) onto Spark
+readers. The reference reads headerless comma CSVs with epoch-second
+timestamps and silently drops dirty rows (reference
+``hot-item-analysis/.../HotItems.scala:57-68``); here the CSV reader
+declares an explicit schema (never inferSchema), converts epoch seconds
+with ``timestamp_seconds``, and drops rows whose required columns failed
+to cast — same policy, but executed JVM-side by the CSV datasource
+instead of a per-row try/catch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver parquet table. Columnar scan → pushdown + pruning free.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk, which Spark reads as a
+    nanos LongType under ``spark.sql.legacy.parquet.nanosAsLong``; it is
+    converted here with truncating integer division to microseconds —
+    the same ns→µs truncation DuckDB applies, so oracle values agree.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_event_csv(spark: SparkSession, path: str, schema: T.StructType,
+                   ts_col: str = "ts") -> DataFrame:
+    """Headerless CSV of one reference event type → typed DataFrame.
+
+    ``schema`` is one of ``schemas.*`` with a TimestampType ``ts_col``;
+    on disk that column is epoch seconds (reference parses with
+    ``.toLong * 1000`` — HotItems.scala:61). Unparseable numerics become
+    NULL under PERMISSIVE mode and the row is dropped, matching the
+    reference's log-and-null-out policy (P1/P2 in SURVEY.md §2.2).
+    """
+    csv_fields = [
+        T.StructField(f.name, T.LongType() if f.name == ts_col else f.dataType)
+        for f in schema.fields
+    ]
+    raw = spark.read.csv(path, schema=T.StructType(csv_fields), mode="PERMISSIVE")
+    df = raw.withColumn(ts_col, F.timestamp_seconds(F.col(ts_col)))
+    required = [f.name for f in schema.fields]
+    return df.na.drop(subset=required)
+
+
+def read_kafka_stream(spark: SparkSession, topic: str,
+                      bootstrap: str = "localhost:9092",
+                      starting_offsets: str = "earliest") -> DataFrame:
+    """S1: Kafka source (reference HotItems.scala:46-54).
+
+    Returns the raw ``value`` as string, one line per record — feed it to
+    ``parse_csv_lines`` with an event schema. Requires the Kafka
+    connector jars on the classpath (not in the test image).
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(F.col("value").cast("string").alias("line"))
+    )
+
+
+def parse_csv_lines(lines: DataFrame, schema: T.StructType,
+                    ts_col: str = "ts") -> DataFrame:
+    """Parse a ``line: string`` column of headerless CSV into ``schema``.
+
+    ``from_csv`` runs JVM-side; dirty rows null out and are dropped, the
+    streaming analog of read_event_csv's policy.
+    """
+    csv_fields = [
+        T.StructField(f.name, T.LongType() if f.name == ts_col else f.dataType)
+        for f in schema.fields
+    ]
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in csv_fields)
+    parsed = lines.select(F.from_csv("line", ddl).alias("r")).select("r.*")
+    parsed = parsed.withColumn(ts_col, F.timestamp_seconds(F.col(ts_col)))
+    return parsed.na.drop(subset=[f.name for f in schema.fields])
+
+
+def simulated_marketing_stream(spark: SparkSession,
+                               rows_per_second: int = 100) -> DataFrame:
+    """S4: the reference's in-process random marketing generator
+    (market-analysis/.../source/SimulatedEventSource.scala:19-52) as a
+    ``rate`` source + column synthesis: ~`rows_per_second` events/s,
+    uniform behavior/channel, monotone wall-clock timestamps.
+    """
+    behaviors = F.array(*[F.lit(x) for x in
+                          ("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL")])
+    channels = F.array(*[F.lit(x) for x in
+                         ("wechat", "weibo", "appstore", "huaweistore")])
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load())
+    return rate.select(
+        F.sha1(F.concat(F.lit("u"), F.col("value"))).alias("user_id"),
+        behaviors[(F.xxhash64("value", F.lit(1)) % 4 + 4) % 4].alias("behavior"),
+        channels[(F.xxhash64("value", F.lit(2)) % 4 + 4) % 4].alias("channel"),
+        F.col("timestamp").alias("ts"),
+    )
