@@ -1,0 +1,107 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Tokenization, n-gram shingling, quality scoring, language-ID heuristic,
+and document fingerprinting — all as native column expressions so they
+run inside whole-stage codegen over arbitrarily wide scans. Designed for
+the ``documents`` table but schema-agnostic.
+
+Cross-engine determinism notes:
+* tokenization = lower → trim → split on ``\\s+`` (same regex both
+  engines);
+* hashes via md5 (identical hex in Spark and DuckDB); 15-hex-digit
+  prefixes → BIGINT stay under 2^60 so signed 64-bit is safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: small multilingual stopword marker sets for the language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of lowercased text (empty string → [''])."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_ngrams(tokens_col: str, n: int) -> Column:
+    """Array of space-joined word n-grams over a materialized tokens
+    column (Spark array subscripts are 0-based; DuckDB twin uses
+    1-based ``t[i]`` in a list comprehension). Short docs → empty array.
+    """
+    inner = ", ' ', ".join(f"{tokens_col}[i + {j}]" for j in range(n))
+    return F.when(
+        F.size(F.col(tokens_col)) >= n,
+        F.expr(f"transform(sequence(0, size({tokens_col}) - {n}), "
+               f"i -> concat({inner}))"),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def md5_prefix_hash(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit hash via md5 hex prefix — identical in DuckDB
+    as ``CAST(('0x' || substr(md5(...),1,15)) AS BIGINT)``."""
+    src = F.concat(F.lit(f"{seed}|"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    text = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0,
+                  F.length(stripped).cast("double") / F.length(text)
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str,
+                   stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    t = tokens(text)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_sw = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(t) > 0,
+                  n_sw.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowered text."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-token counts (the n-gram-frequency heuristic
+    reduced to marker unigrams — deterministic and SQL-twin-able)."""
+    t = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def detect_lang(text: Column | str, default: str = "und") -> Column:
+    """argmax over lang_scores with deterministic tiebreak (lang order
+    as declared); all-zero → ``default``."""
+    scores = lang_scores(text)
+    best_lang, best_score = None, None
+    for lang, score in scores.items():
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), score
+        else:
+            is_better = score > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit(default))

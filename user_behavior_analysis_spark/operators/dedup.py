@@ -1,0 +1,156 @@
+"""Deduplication operators for training-data pipelines.
+
+Engine extensions beyond the reference's surface (per the build brief):
+exact dedup, MinHash+LSH near-dup candidates, SimHash fingerprints, and
+n-gram Jaccard verification. All are pure DataFrame compositions —
+shingle explode → hash (md5-prefix, cross-engine deterministic) → group
+— so they scale by partitioning on doc/shingle keys and never hold a
+per-executor dictionary.
+
+Scale notes (100 TB posture):
+* exact dedup is one hash-shuffle on the fingerprint;
+* MinHash: explode(shingles) is the big intermediate — it's a map-side
+  explode immediately collapsed by a partial min-aggregate per
+  (doc, seed) before the shuffle, so the exchange carries
+  docs × num_hashes rows only;
+* LSH banding joins on (band_idx, band_hash) — hot buckets (boilerplate
+  docs) are the classic skew source; AQE skew-join handles moderate
+  skew, and a bucket-size cap (``max_bucket``) drops degenerate buckets
+  the way production LSH pipelines do;
+* n-gram Jaccard join is reserved for *verifying* candidate pairs, not
+  all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, md5_prefix_hash, tokens, word_ngrams
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: surviving (min) id + count."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+          .groupBy("fp")
+          .agg(F.min(id_col).alias("keep_id"),
+               F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
+                  ngram: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+          .withColumn("toks", tokens("t"))
+          .withColumn("g", F.explode(word_ngrams("toks", ngram)))
+          .select("doc_id", "g")
+          .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 12, ngram: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: for each seed i, min over shingles of
+    the md5-prefix hash — columns mh0..mh{n-1}."""
+    sh = _doc_shingles(df, text_col, id_col, ngram)
+    aggs = [F.min(md5_prefix_hash(F.col("g"), seed=i)).alias(f"mh{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 12, bands: int = 4,
+                      ngram: int = 3, max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    bands × rows_per_band = num_hashes; a band's bucket key is the md5 of
+    its minhash concat. Returns distinct (doc_a < doc_b) pairs.
+    """
+    rows_per = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per + r}").cast("string")
+                 for r in range(rows_per)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("_", *parts)).alias("bh")))
+    buckets = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+           .select("doc_id", F.col("bb.band").alias("band"),
+                   F.col("bb.bh").alias("bh"))
+    )
+    # cap degenerate buckets (boilerplate shingle sets) before the self-join
+    sized = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("band", "bh")))
+    small = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = small.alias("a")
+    b = small.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .select(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+         .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        ngram: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over the inverted-index join: pairs sharing
+    ≥1 shingle, scored |∩| / |A∪B|, kept at ≥ threshold.
+
+    The division is BIGINT/BIGINT → double of identical operands on both
+    engines, so values are bit-reproducible.
+    """
+    sh = _doc_shingles(df, text_col, id_col, ngram)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .groupBy(F.col("a.doc_id").alias("doc_a"),
+                  F.col("b.doc_id").alias("doc_b"))
+         .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter_n").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter_n")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            bits: int = 16) -> DataFrame:
+    """Per-doc SimHash fingerprint over token md5-prefix hashes.
+
+    Each token votes ±1 on each of ``bits`` bit positions; sign of the
+    sum sets the output bit. 16 bits keeps the SQL twin tractable while
+    demonstrating the real partition-parallel shape (explode → per-bit
+    conditional sums → single aggregate per doc).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+          .withColumn("tok", F.explode(tokens("t")))
+          .select("doc_id", md5_prefix_hash(F.col("tok")).alias("h"))
+    )
+    votes = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sh = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(1 << i)
+        sh = term if sh is None else (sh + term)
+    return agg.select("doc_id", sh.cast("long").alias("simhash"))

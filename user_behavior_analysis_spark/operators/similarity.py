@@ -1,0 +1,79 @@
+"""Similarity search over embedding columns.
+
+Two paths, mirroring production ANN pipelines:
+
+* ``cosine_topk_bruteforce`` — exact top-k by cosine; the baseline and
+  the verifier for approximate variants. The corpus side is broadcast
+  when small; otherwise the join is a partitioned cross product — O(Q×N)
+  but embarrassingly parallel with no shuffle of the corpus.
+* ``cosine_topk_blocked`` — IVF-style: a blocking key (coarse quantizer
+  cell; here any precomputed label/cluster column) restricts each query
+  to its cell — the O(Q×N/cells) scale path.
+
+All vector math is JVM-side (functions/vectors.py): ``aggregate`` folds
+sequentially per row, so scores are deterministic and reproducible
+against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import as_double, cosine
+
+
+def _scored(queries: DataFrame, corpus: DataFrame, join_cond) -> DataFrame:
+    q = queries.select(F.col("q_id"), as_double("q_vec").alias("qv"),
+                       *[c for c in queries.columns if c not in ("q_id", "q_vec")])
+    return (
+        q.join(F.broadcast(corpus), join_cond)
+         .withColumn("cos", cosine(F.col("qv"), as_double(F.col("c_vec"))))
+    )
+
+
+def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
+                           k: int) -> DataFrame:
+    """queries: (q_id, q_vec); corpus: (c_id, c_vec). Top-k neighbors per
+    query, self-match excluded, ties broken on c_id."""
+    scored = _scored(queries, corpus, F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("q_id", "c_id", "cos", "rank")
+    )
+
+
+def cosine_topk_blocked(queries: DataFrame, corpus: DataFrame,
+                        k: int) -> DataFrame:
+    """IVF-style ANN: only corpus vectors in the query's block are
+    scored. queries: (q_id, q_vec, block); corpus: (c_id, c_vec, block).
+    """
+    cond = (F.col("q_id") != F.col("c_id")) & \
+           (queries["block"] == corpus["block"])
+    scored = _scored(queries, corpus, cond)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("q_id", "c_id", "cos", "rank")
+    )
+
+
+def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
+                            block_col: str, threshold: float) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks (coarse cells)
+    — the embedding analog of MinHash-LSH candidate generation."""
+    a = vectors.select(F.col(id_col).alias("id_a"),
+                       as_double(vec_col).alias("va"),
+                       F.col(block_col).alias("blk"))
+    b = vectors.select(F.col(id_col).alias("id_b"),
+                       as_double(vec_col).alias("vb"),
+                       F.col(block_col).alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b"))
+               & (F.col("id_a") < F.col("id_b")))
+         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+         .where(F.col("cos") >= threshold)
+         .select("id_a", "id_b", "cos")
+    )

@@ -90,3 +90,454 @@ def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = top_n_per_group(agg, ["window_start"],
                           [F.desc("cnt"), F.asc("item_id")], n=5)
     return top.select("window_start", "window_end", "item_id", "cnt", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Event-type mapping used throughout (FIXTURES.md §6 driver-table mapping):
+#   'view' ≙ pv behavior      | 'error' ≙ login fail   | 'signup' ≙ success /
+#   'purchase' ≙ pay          | 'click' ≙ receipt/ad click        order create
+# ---------------------------------------------------------------------------
+
+# --- A5: PageView — hourly PV count ----------------------------------------
+# Reference: network-flow-analysis/.../PageView.scala:56-60.
+
+_PAGE_VIEW_ORACLE = f"""
+SELECT {tumbling_oracle_start('ts', 3600)} AS window_start,
+       {tumbling_oracle_start('ts', 3600)} + 3600 AS window_end,
+       COUNT(*) AS pv
+FROM events WHERE lower(event_type) = 'view'
+GROUP BY 1, 2
+"""
+
+
+@query("page_view_hourly", _PAGE_VIEW_ORACLE)
+def page_view_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = _events(spark, sf_dir).where(F.lower("event_type") == "view")
+    agg = windowed_agg(pv, "ts", "1 hour",
+                       aggs=[F.count(F.lit(1)).alias("pv")])
+    return agg.select("window_start", "window_end", "pv")
+
+
+# --- A6: UniqueVisitor — hourly exact UV -----------------------------------
+# Reference: network-flow-analysis/.../UniqueVisitor.scala:62-83 (in-memory
+# Set replaced by distributed partial-dedup countDistinct).
+
+_UV_ORACLE = f"""
+SELECT {tumbling_oracle_start('ts', 3600)} AS window_start,
+       {tumbling_oracle_start('ts', 3600)} + 3600 AS window_end,
+       COUNT(DISTINCT user_id) AS uv
+FROM events WHERE lower(event_type) = 'view'
+GROUP BY 1, 2
+"""
+
+
+@query("unique_visitors_hourly", _UV_ORACLE)
+def unique_visitors_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.distinct import windowed_distinct
+    pv = _events(spark, sf_dir).where(F.lower("event_type") == "view")
+    return windowed_distinct(pv, "ts", "1 hour", "user_id", out_col="uv") \
+        .select("window_start", "window_end", "uv")
+
+
+# --- A7: UvWithBloomFilter — hourly approximate UV (HLL++ for Bloom) -------
+# Reference: network-flow-analysis/.../UvWithBloomFilter.scala:103-163.
+# No SQL oracle (approx algorithms differ engine-to-engine); the unit test
+# asserts the estimate is within rsd bounds of the exact count.
+
+
+@query("unique_visitors_approx")
+def unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.distinct import windowed_approx_distinct
+    pv = _events(spark, sf_dir).where(F.lower("event_type") == "view")
+    return windowed_approx_distinct(pv, "ts", "1 hour", "user_id",
+                                    rsd=0.02, out_col="uv_approx") \
+        .select("window_start", "window_end", "uv_approx")
+
+
+# --- A9: AppMarketing — total marketing events, 1h sliding every 10 min ----
+# Reference: market-analysis/.../AppMarketing.scala:31-40 ('error' plays the
+# filtered-out UNINSTALL behavior).
+
+_MARKETING_TOTAL_ORACLE = f"""
+WITH src AS (SELECT ts FROM events WHERE event_type <> 'error'),
+exploded AS (SELECT * FROM {sliding_oracle_from('src', 'ts', 3600, 600)})
+SELECT window_start, window_end, COUNT(*) AS cnt
+FROM exploded GROUP BY 1, 2
+"""
+
+
+@query("marketing_total", _MARKETING_TOTAL_ORACLE)
+def marketing_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events(spark, sf_dir).where(F.col("event_type") != "error")
+    agg = windowed_agg(src, "ts", "1 hour", "10 minutes",
+                       aggs=[F.count(F.lit(1)).alias("cnt")])
+    return agg.select("window_start", "window_end", "cnt")
+
+
+# --- A10: AppMarketingByChannel — composite-key sliding window -------------
+# Reference: market-analysis/.../AppMarketingByChannel.scala:31-59; the
+# (channel, behavior) tuple key becomes plain multi-column grouping.
+# event_type plays channel; user_id%4 plays the second key dimension.
+
+_MARKETING_CHANNEL_ORACLE = f"""
+WITH src AS (SELECT ts, event_type AS channel, user_id % 4 AS user_bucket
+             FROM events WHERE event_type <> 'error'),
+exploded AS (SELECT * FROM {sliding_oracle_from('src', 'ts', 3600, 600)})
+SELECT window_start, window_end, channel, user_bucket, COUNT(*) AS cnt
+FROM exploded GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("marketing_by_channel", _MARKETING_CHANNEL_ORACLE)
+def marketing_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (_events(spark, sf_dir)
+           .where(F.col("event_type") != "error")
+           .select("ts", F.col("event_type").alias("channel"),
+                   F.pmod("user_id", F.lit(4)).alias("user_bucket")))
+    agg = windowed_agg(src, "ts", "1 hour", "10 minutes",
+                       keys=["channel", "user_bucket"],
+                       aggs=[F.count(F.lit(1)).alias("cnt")])
+    return agg.select("window_start", "window_end", "channel",
+                      "user_bucket", "cnt")
+
+
+# --- A11: AdStatisticsByGeo — per-province sliding click counts ------------
+# Reference: market-analysis/.../AdStatisticsByGeo.scala:57-60. The driver
+# events table has no province; derive it via the dim tables the way a real
+# warehouse would: user → customer → nation. Both dims broadcast (small).
+
+_AD_GEO_ORACLE = f"""
+WITH src AS (
+  SELECT e.ts, n.n_name AS province
+  FROM events e
+  JOIN customer c ON e.user_id = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE e.event_type = 'click'
+), exploded AS (SELECT * FROM {sliding_oracle_from('src', 'ts', 3600, 600)})
+SELECT window_start, window_end, province, COUNT(*) AS cnt
+FROM exploded GROUP BY 1, 2, 3
+"""
+
+
+@query("ad_stats_by_geo", _AD_GEO_ORACLE)
+def ad_stats_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    src = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+          .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+          .select("ts", F.col("n_name").alias("province"))
+    )
+    agg = windowed_agg(src, "ts", "1 hour", "10 minutes", keys=["province"],
+                       aggs=[F.count(F.lit(1)).alias("cnt")])
+    return agg.select("window_start", "window_end", "province", "cnt")
+
+
+# --- T1: blacklist side output ---------------------------------------------
+# Reference: market-analysis/.../AdStatisticsByGeo.scala:68-113. ad id ≙
+# props.k % 5; threshold 2/day at testdata densities (reference used 15).
+
+_BLACKLIST_THRESHOLD = 2
+
+_BLACKLIST_ORACLE = f"""
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start,
+       user_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS ad_id,
+       COUNT(*) AS click_cnt,
+       'Click over {_BLACKLIST_THRESHOLD} times today.' AS msg
+FROM events WHERE event_type = 'click'
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {_BLACKLIST_THRESHOLD}
+"""
+
+
+@query("ad_blacklist", _BLACKLIST_ORACLE)
+def ad_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.blacklist import blacklist_warnings
+    clicks = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withColumn("ad_id", F.get_json_object("props", "$.k")
+                    .cast("int") % 5)
+    )
+    out = blacklist_warnings(clicks, ["user_id", "ad_id"], "ts",
+                             _BLACKLIST_THRESHOLD)
+    return out.select("day_start", "user_id", "ad_id", "click_cnt", "msg")
+
+
+# --- T2: blacklist pass-through main stream --------------------------------
+# Reference: AdStatisticsByGeo.scala:97-102 — first `threshold` clicks per
+# (user, ad, day) continue downstream; the rest are suppressed.
+
+_PASSTHROUGH_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS ad_id,
+         ts,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY day_start, user_id, ad_id
+      ORDER BY ts, event_id) AS rn
+  FROM clicks
+)
+SELECT event_id, user_id, ad_id, day_start,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+FROM ranked WHERE rn <= {_BLACKLIST_THRESHOLD}
+"""
+
+
+@query("ad_blacklist_passthrough", _PASSTHROUGH_ORACLE)
+def ad_blacklist_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.blacklist import blacklist_passthrough
+    clicks = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withColumn("ad_id", F.get_json_object("props", "$.k")
+                    .cast("int") % 5)
+    )
+    out = blacklist_passthrough(clicks, ["user_id", "ad_id"], "ts",
+                                _BLACKLIST_THRESHOLD, order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "ad_id", "day_start",
+                      F.col("ts").cast("long").alias("ts_sec"))
+
+
+# --- J5: LoginFailWithCep — two strictly consecutive fails within bound ----
+# Reference: login-fail-detect/.../LoginFailWithCep.scala:50-57. 'error'
+# plays fail, 'signup' plays success; bound widened to 30 min for testdata
+# densities (reference: 2 s).
+
+_LOGIN_FAIL_WITHIN_S = 1800
+
+_LOGIN_FAIL_ORACLE = f"""
+WITH logins AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('error', 'signup')
+), lagged AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM logins
+)
+SELECT user_id,
+       CAST(floor(epoch(prev_ts)) AS BIGINT) AS first_fail,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_fail,
+       'login fail 2 times in {_LOGIN_FAIL_WITHIN_S}s' AS warning_msg
+FROM lagged
+WHERE event_type = 'error' AND prev_type = 'error'
+  AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)
+      <= {_LOGIN_FAIL_WITHIN_S}
+"""
+
+
+@query("login_fail_cep", _LOGIN_FAIL_ORACLE)
+def login_fail_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cep import strict_pair
+    logins = _events(spark, sf_dir).where(
+        F.col("event_type").isin("error", "signup"))
+    out = strict_pair(logins, "user_id", "ts",
+                      F.col("event_type") == "error", _LOGIN_FAIL_WITHIN_S)
+    return out.withColumn(
+        "warning_msg",
+        F.lit(f"login fail 2 times in {_LOGIN_FAIL_WITHIN_S}s"))
+
+
+# --- J6 generalized: N consecutive fails within T --------------------------
+# Reference: the commented count-based variant LoginFail.scala:103-118,
+# generalized to run-length semantics (n=3 within 7 days at testdata
+# densities).
+
+
+_LOGIN_RUN_ORACLE = """
+WITH logins AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('error', 'signup')
+), runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM logins
+)
+SELECT user_id, COUNT(*) AS fail_cnt,
+       CAST(min(floor(epoch(ts))) AS BIGINT) AS first_fail,
+       CAST(max(floor(epoch(ts))) AS BIGINT) AS last_fail
+FROM runs WHERE event_type = 'error'
+GROUP BY user_id, run
+HAVING COUNT(*) >= 3
+   AND CAST(max(floor(epoch(ts))) AS BIGINT)
+     - CAST(min(floor(epoch(ts))) AS BIGINT) <= 604800
+"""
+
+
+@query("login_fail_streak", _LOGIN_RUN_ORACLE)
+def login_fail_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cep import consecutive_count_ge
+    logins = _events(spark, sf_dir).where(
+        F.col("event_type").isin("error", "signup"))
+    out = consecutive_count_ge(logins, "user_id", "ts",
+                               F.col("event_type") == "error",
+                               n=3, within_s=604800)
+    return out.select("user_id", "fail_cnt", "first_fail", "last_fail")
+
+
+# --- J3/J4: OrderTimeout — create followed by pay within bound -------------
+# Reference: order-pay-detect/.../OrderTimeout.scala:50-64 (intended
+# semantics; the hand-rolled variant's timer bug at
+# OrderTimeoutWithoutCep.scala:79 is deliberately not reproduced).
+# 'signup' plays create, 'purchase' plays pay, user_id plays order id;
+# bound 15 min as in the reference.
+
+_ORDER_TIMEOUT_S = 900
+
+_ORDER_TIMEOUT_ORACLE = f"""
+WITH creates AS (
+  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS create_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), pays AS (
+  SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS pay_ts
+  FROM events e JOIN creates c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= c.create_ts
+  GROUP BY e.user_id
+)
+SELECT c.user_id, c.create_ts,
+       COALESCE(p.pay_ts, -1) AS pay_ts,
+       CASE WHEN p.pay_ts IS NULL THEN 'timeout'
+            WHEN p.pay_ts - c.create_ts <= {_ORDER_TIMEOUT_S}
+                 THEN 'payed successfully'
+            ELSE 'payed but already timeout' END AS status
+FROM creates c LEFT JOIN pays p ON c.user_id = p.user_id
+"""
+
+
+@query("order_timeout", _ORDER_TIMEOUT_ORACLE)
+def order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cep import followed_by_with_timeout
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("signup", "purchase"))
+    return followed_by_with_timeout(
+        ev, "user_id", "ts",
+        begin_flag=F.col("event_type") == "signup",
+        follow_flag=F.col("event_type") == "purchase",
+        within_s=_ORDER_TIMEOUT_S)
+
+
+# --- J1: TxMatchByJoin — event-time interval join --------------------------
+# Reference: order-pay-detect/.../TxMatchByJoin.scala:68-71 (±5 s on txId).
+# 'purchase' plays pay, 'click' plays receipt, user_id plays txId; bound
+# widened to ±1 h for testdata densities.
+
+_TX_BOUND_S = 3600
+
+_TX_MATCH_ORACLE = f"""
+SELECT p.event_id AS pay_event_id, r.event_id AS receipt_event_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS pay_ts,
+       CAST(floor(epoch(r.ts)) AS BIGINT) AS receipt_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON p.user_id = r.user_id
+ AND r.ts >= p.ts - INTERVAL {_TX_BOUND_S} SECOND
+ AND r.ts <= p.ts + INTERVAL {_TX_BOUND_S} SECOND
+"""
+
+
+@query("tx_match_interval_join", _TX_MATCH_ORACLE)
+def tx_match_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import interval_join
+    ev = _events(spark, sf_dir)
+    pays = (ev.where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("pay_event_id"),
+                    "user_id", F.col("ts").alias("pay_t")))
+    receipts = (ev.where(F.col("event_type") == "click")
+                .select(F.col("event_id").alias("receipt_event_id"),
+                        "user_id", F.col("ts").alias("receipt_t")))
+    joined = interval_join(pays, receipts, on=["user_id"],
+                           left_ts="pay_t", right_ts="receipt_t",
+                           lower_s=-_TX_BOUND_S, upper_s=_TX_BOUND_S)
+    return joined.select(
+        "pay_event_id", "receipt_event_id", pays.user_id,
+        F.col("pay_t").cast("long").alias("pay_ts"),
+        F.col("receipt_t").cast("long").alias("receipt_ts"))
+
+
+# --- J2: TxMatchDetect — full-outer reconciliation with side outputs -------
+# Reference: order-pay-detect/.../TxMatchDetect.scala:88-138. The txId key
+# is modeled as (user, hour) — each side collapses to its earliest event
+# per key, then a full-outer join; the tag column replaces the two
+# OutputTag side channels.
+
+_TX_RECONCILE_ORACLE = """
+WITH pays AS (
+  SELECT user_id || '_' || CAST(floor(epoch(ts) / 3600) AS BIGINT) AS tx_key,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS pay_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), receipts AS (
+  SELECT user_id || '_' || CAST(floor(epoch(ts) / 3600) AS BIGINT) AS tx_key,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS receipt_ts
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT COALESCE(p.tx_key, r.tx_key) AS tx_key,
+       COALESCE(p.pay_ts, -1) AS pay_ts,
+       COALESCE(r.receipt_ts, -1) AS receipt_ts,
+       CASE WHEN p.tx_key IS NOT NULL AND r.tx_key IS NOT NULL THEN 'matched'
+            WHEN p.tx_key IS NOT NULL THEN 'unmatched_pay'
+            ELSE 'unmatched_receipt' END AS tag
+FROM pays p FULL OUTER JOIN receipts r ON p.tx_key = r.tx_key
+"""
+
+
+@query("tx_reconciliation", _TX_RECONCILE_ORACLE)
+def tx_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import reconcile_full_outer
+    ev = _events(spark, sf_dir)
+    tx_key = F.concat_ws("_", F.col("user_id"),
+                         F.floor(F.col("ts").cast("double") / 3600)
+                         .cast("long"))
+    pays = (ev.where(F.col("event_type") == "purchase")
+            .select(tx_key.alias("tx_key"), F.col("ts").cast("long").alias("p"))
+            .groupBy("tx_key").agg(F.min("p").alias("pay_ts")))
+    receipts = (ev.where(F.col("event_type") == "click")
+                .select(tx_key.alias("tx_key"),
+                        F.col("ts").cast("long").alias("r"))
+                .groupBy("tx_key").agg(F.min("r").alias("receipt_ts")))
+    out = reconcile_full_outer(pays, receipts, "tx_key",
+                               matched="matched",
+                               left_only="unmatched_pay",
+                               right_only="unmatched_receipt")
+    return out.select(
+        "tx_key",
+        F.coalesce("pay_ts", F.lit(-1)).alias("pay_ts"),
+        F.coalesce("receipt_ts", F.lit(-1)).alias("receipt_ts"),
+        "tag")
+
+
+# --- extension: gap-based sessionization -----------------------------------
+
+_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts_s,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts_s) AS session_start, max(ts_s) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@query("user_sessions", _SESSIONS_ORACLE)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import sessionize
+    return sessionize(_events(spark, sf_dir), "user_id", "ts", gap_s=1800)
