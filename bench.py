@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced through the noop sink (full JVM-side materialization
+— no driver collect, no Python transfer), which is the honest analog of
+writing results to a table at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headliners: the reference-parity flagship plus one per operator family.
+BENCH_QUERIES = [
+    "hot_items_topn",
+    "page_view_hourly",
+    "unique_visitors_hourly",
+    "marketing_by_channel",
+    "ad_stats_by_geo",
+    "ad_blacklist_passthrough",
+    "login_fail_cep",
+    "order_timeout",
+    "tx_match_interval_join",
+    "tx_reconciliation",
+    "user_sessions",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprints",
+    "ann_bruteforce_topk",
+    "document_profile",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.session import get_spark
+
+    spark = get_spark("uba-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + codegen warmup on the smallest SF so per-query numbers
+    # measure the plan, not first-call overhead.
+    QUERIES["hot_items_topn"](spark, "/root/testdata/sf0.001").write \
+        .format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Operator-level tests beyond the oracle gate: approximation bounds,
+permutation invariance of the CEP/state operators (SURVEY.md §5.4), and
+the multimodal stub plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from user_behavior_analysis_spark.queries import QUERIES
+from user_behavior_analysis_spark.sources import load_table
+
+
+def test_uv_approx_within_rsd(spark, sf_dir):
+    approx = QUERIES["unique_visitors_approx"](spark, sf_dir).toPandas()
+    exact = QUERIES["unique_visitors_hourly"](spark, sf_dir).toPandas()
+    m = approx.merge(exact, on=["window_start", "window_end"])
+    assert len(m) == len(exact)
+    rel_err = ((m["uv_approx"] - m["uv"]).abs() / m["uv"].clip(lower=1))
+    # rsd=0.02 → allow 5 sigma
+    assert rel_err.max() <= 0.10, f"max rel err {rel_err.max()}"
+
+
+def test_cep_permutation_invariance(spark, sf_dir):
+    """Shuffled input order must not change strict-pair results — the
+    operator orders by event time internally, as the reference's
+    watermark + keyed ordering guarantees."""
+    from user_behavior_analysis_spark.operators.cep import strict_pair
+    logins = (load_table(spark, sf_dir, "events")
+              .where(F.col("event_type").isin("error", "signup")))
+    base = strict_pair(logins, "user_id", "ts",
+                       F.col("event_type") == "error", 1800).toPandas()
+    shuffled = logins.orderBy(F.xxhash64("event_id"))
+    perm = strict_pair(shuffled, "user_id", "ts",
+                       F.col("event_type") == "error", 1800).toPandas()
+    cols = sorted(base.columns)
+    pd.testing.assert_frame_equal(
+        base[cols].sort_values(cols, ignore_index=True),
+        perm[cols].sort_values(cols, ignore_index=True))
+
+
+def test_order_timeout_permutation_invariance(spark, sf_dir):
+    from user_behavior_analysis_spark.operators.cep import (
+        followed_by_with_timeout)
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("signup", "purchase")))
+    kw = dict(begin_flag=F.col("event_type") == "signup",
+              follow_flag=F.col("event_type") == "purchase", within_s=900)
+    base = followed_by_with_timeout(ev, "user_id", "ts", **kw).toPandas()
+    perm = followed_by_with_timeout(
+        ev.orderBy(F.xxhash64("event_id")), "user_id", "ts", **kw).toPandas()
+    cols = sorted(base.columns)
+    pd.testing.assert_frame_equal(
+        base[cols].sort_values(cols, ignore_index=True),
+        perm[cols].sort_values(cols, ignore_index=True))
+
+
+def test_minhash_lsh_recall_against_exact(spark, sf_dir):
+    """LSH candidates must contain every high-jaccard pair (recall at the
+    planted near-dup level; 12 hashes / 4 bands → P(miss | j=0.98) ≈ 0)."""
+    cand = QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas()
+    truth = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
+    cand_set = set(zip(cand["doc_a"], cand["doc_b"]))
+    missed = [p for p in zip(truth["doc_a"], truth["doc_b"])
+              if p not in cand_set]
+    assert not missed, f"LSH missed planted near-dups: {missed}"
+
+
+def test_multimodal_unavailable_decoder_raises(spark, sf_dir):
+    from py4j.protocol import Py4JJavaError
+    from user_behavior_analysis_spark.operators.multimodal import (
+        extract_media_meta)
+    docs = load_table(spark, sf_dir, "documents").limit(5).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = extract_media_meta(docs, "doc_id", "payload",
+                             media_type="image/jpeg")
+    with pytest.raises(Exception) as exc:
+        out.collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError)
+
+
+def test_media_meta_batch_shape(spark, sf_dir):
+    meta = QUERIES["media_metadata"](spark, sf_dir).toPandas()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(meta) == docs_n
+    assert (meta["n_bytes"] > 0).all()
+    assert meta["sha"].str.len().eq(64).all()
+    assert meta["width"].between(16, 1039).all()

@@ -1,0 +1,154 @@
+"""Batch/stream parity (SURVEY.md §5.3): each streaming job replayed over
+time-split parquet micro-batches must agree with its batch twin on all
+watermark-closed windows; stateful operators must agree with the batch
+CEP/blacklist queries."""
+
+import pathlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from user_behavior_analysis_spark.sources import load_table
+from user_behavior_analysis_spark.streaming import jobs, stateful
+
+N_SPLITS = 5
+WATERMARK = "5 seconds"
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_dir, tmp_path_factory):
+    """events table sorted by ts, split into N time-ordered parquet files
+    — one micro-batch each via maxFilesPerTrigger=1, so the watermark
+    advances batch-over-batch like a live stream."""
+    out = tmp_path_factory.mktemp("events_stream")
+    pdf = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
+    step = (len(pdf) + N_SPLITS - 1) // N_SPLITS
+    for i in range(N_SPLITS):
+        part = pdf.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(out / f"part-{i:03d}.parquet", index=False)
+    return str(out)
+
+
+def run_stream(spark, df, mode: str, name: str) -> pd.DataFrame:
+    q = (df.writeStream.outputMode(mode).format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}").toPandas()
+
+
+def stream_events(spark, split_dir):
+    schema = spark.read.parquet(split_dir).schema
+    df = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(split_dir))
+    # fixture parquet stores ts as TIMESTAMP(NANOS) → long under
+    # nanosAsLong; same ns→µs conversion as sources.load_table
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols, ignore_index=True)
+
+
+def test_windowed_count_parity(spark, sf_dir, split_events_dir):
+    ev = stream_events(spark, split_events_dir).where(
+        F.col("event_type") == "view")
+    out = run_stream(
+        spark,
+        jobs.windowed_count_stream(ev, "ts", "1 hour", None, [],
+                                   watermark=WATERMARK),
+        "append", "pv_stream")
+    batch = (load_table(spark, sf_dir, "events")
+             .where(F.col("event_type") == "view")
+             .groupBy(F.window("ts", "1 hour"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.col("window.start").cast("bigint").alias("window_start"),
+                     F.col("window.end").cast("bigint").alias("window_end"),
+                     "cnt")
+             .toPandas())
+    assert len(out) > 0, "no windows closed — watermark never advanced"
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result exactly
+    merged = out.merge(batch, on=["window_start", "window_end"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(out)
+    assert (merged["cnt_s"] == merged["cnt_b"]).all()
+
+
+def test_uv_exact_parity(spark, sf_dir, split_events_dir):
+    ev = stream_events(spark, split_events_dir).where(
+        F.col("event_type") == "view")
+    out = run_stream(
+        spark, jobs.uv_exact_stream(ev, "ts", "1 hour", "user_id",
+                                    watermark=WATERMARK),
+        "append", "uv_stream")
+    batch = (load_table(spark, sf_dir, "events")
+             .where(F.col("event_type") == "view")
+             .groupBy(F.window("ts", "1 hour"))
+             .agg(F.countDistinct("user_id").alias("uv"))
+             .select(F.col("window.start").cast("bigint").alias("window_start"),
+                     "uv").toPandas())
+    assert len(out) > 0
+    merged = out.merge(batch, on="window_start", suffixes=("_s", "_b"))
+    assert len(merged) == len(out)
+    assert (merged["uv_s"] == merged["uv_b"]).all()
+
+
+def test_session_window_stream_closes(spark, split_events_dir):
+    ev = stream_events(spark, split_events_dir)
+    out = run_stream(
+        spark, jobs.session_window_stream(ev, "ts", "user_id", "30 minutes",
+                                          watermark=WATERMARK),
+        "append", "sessions_stream")
+    assert len(out) > 0
+    assert (out["session_end"] >= out["session_start"]).all()
+
+
+def test_login_fail_stateful_parity(spark, sf_dir, split_events_dir):
+    from user_behavior_analysis_spark.queries import QUERIES
+    ev = stream_events(spark, split_events_dir).where(
+        F.col("event_type").isin("error", "signup"))
+    out = run_stream(
+        spark, stateful.login_fail_stream(ev, "error", 1800),
+        "append", "login_stream")
+    batch = (QUERIES["login_fail_cep"](spark, sf_dir)
+             .drop("warning_msg").toPandas())
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(batch))
+
+
+def test_order_timeout_stateful_success_path(spark, sf_dir, split_events_dir):
+    from user_behavior_analysis_spark.queries import QUERIES
+    ev = stream_events(spark, split_events_dir).where(
+        F.col("event_type").isin("signup", "purchase"))
+    out = run_stream(
+        spark, stateful.order_timeout_stream(ev, "signup", "purchase", 900),
+        "append", "order_stream")
+    batch = QUERIES["order_timeout"](spark, sf_dir).toPandas()
+    # processing-time timeouts don't fire under availableNow: compare the
+    # resolved (paid) orders only; 'timeout' rows are the batch-only channel
+    batch_paid = batch[batch["status"] != "timeout"]
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(batch_paid))
+
+
+def test_blacklist_stateful_parity(spark, sf_dir, split_events_dir):
+    from user_behavior_analysis_spark.queries import QUERIES
+    clicks = (stream_events(spark, split_events_dir)
+              .where(F.col("event_type") == "click")
+              .withColumn("ad_id",
+                          F.get_json_object("props", "$.k").cast("int") % 5)
+              .select("user_id", "ad_id", "ts"))
+    out = run_stream(spark, stateful.blacklist_stream(clicks, 2),
+                     "append", "blacklist_stream")
+    warns = out[out["tag"] == "warn"]
+    batch_warns = QUERIES["ad_blacklist"](spark, sf_dir).toPandas()
+    assert len(warns) == len(batch_warns)
+    key = ["user_id", "ad_id", "day_start"]
+    pd.testing.assert_frame_equal(
+        _sorted(warns[key]), _sorted(batch_warns[key]))
+    mains = out[out["tag"] == "main"]
+    batch_main = QUERIES["ad_blacklist_passthrough"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        _sorted(mains[["user_id", "ad_id", "day_start", "ts_sec"]]),
+        _sorted(batch_main[["user_id", "ad_id", "day_start", "ts_sec"]]))

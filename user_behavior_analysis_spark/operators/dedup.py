@@ -23,7 +23,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import fingerprint, md5_prefix_hash, tokens, word_ngrams
 
@@ -82,9 +82,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     # cap degenerate buckets (boilerplate shingle sets) before the self-join
     sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(
-            __import__("pyspark.sql.window", fromlist=["Window"])
-            .Window.partitionBy("band", "bh")))
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bh")))
     small = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a = small.alias("a")
     b = small.alias("b")

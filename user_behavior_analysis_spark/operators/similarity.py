@@ -23,11 +23,13 @@ from ..functions.vectors import as_double, cosine
 
 
 def _scored(queries: DataFrame, corpus: DataFrame, join_cond) -> DataFrame:
+    # Broadcast the QUERY side: the corpus is the big table and must
+    # stream partition-parallel past the (small) query set.
     q = queries.select(F.col("q_id"), as_double("q_vec").alias("qv"),
                        *[c for c in queries.columns if c not in ("q_id", "q_vec")])
     return (
-        q.join(F.broadcast(corpus), join_cond)
-         .withColumn("cos", cosine(F.col("qv"), as_double(F.col("c_vec"))))
+        corpus.join(F.broadcast(q), join_cond)
+              .withColumn("cos", cosine(F.col("qv"), as_double(F.col("c_vec"))))
     )
 
 

@@ -541,3 +541,474 @@ FROM sess GROUP BY user_id, sid
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sessionize import sessionize
     return sessionize(_events(spark, sf_dir), "user_id", "ts", gap_s=1800)
+
+
+# ===========================================================================
+# Training-data pipeline operators (documents / embeddings tables) —
+# engine extensions beyond the reference surface, per the build brief.
+# ===========================================================================
+
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM idx
+)"""
+
+# --- exact dedup ------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY 1
+"""
+
+
+@query("dedup_exact", _DEDUP_EXACT_ORACLE)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_exact
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id")
+
+
+# --- MinHash + LSH near-dup candidates -------------------------------------
+
+_NUM_HASHES, _BANDS = 12, 4
+_RPB = _NUM_HASHES // _BANDS
+
+_mh_exprs = ",\n       ".join(
+    f"min(CAST(('0x' || substr(md5('{i}|' || g), 1, 15)) AS BIGINT)) AS mh{i}"
+    for i in range(_NUM_HASHES))
+_band_selects = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(" +
+    " || '_' || ".join(f"mh{b * _RPB + r}" for r in range(_RPB)) +
+    ") AS bh FROM sig"
+    for b in range(_BANDS))
+
+_MINHASH_ORACLE = f"""
+WITH {_TOKS_CTE},
+sig AS (
+  SELECT doc_id,
+       {_mh_exprs}
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  {_band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id",
+                             num_hashes=_NUM_HASHES, bands=_BANDS)
+
+
+# --- exact n-gram Jaccard verification -------------------------------------
+
+_JACCARD_THRESHOLD = 0.8
+
+_JACCARD_ORACLE = f"""
+WITH {_TOKS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
+      >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id",
+                               threshold=_JACCARD_THRESHOLD)
+
+
+# --- SimHash fingerprints ---------------------------------------------------
+
+_SIMHASH_BITS = 16
+_vote_exprs = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_SIMHASH_BITS))
+_bit_sum = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END) * {1 << i}"
+    for i in range(_SIMHASH_BITS))
+
+_SIMHASH_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tk
+), v AS (
+  SELECT doc_id,
+       {_vote_exprs}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_bit_sum} AS BIGINT) AS simhash FROM v
+"""
+
+
+@query("simhash_fingerprints", _SIMHASH_ORACLE)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", bits=_SIMHASH_BITS)
+
+
+# --- ANN: brute-force cosine top-k -----------------------------------------
+# Dot products fold left-to-right in doubles on both engines (Spark
+# `aggregate`, DuckDB list comprehension + list_sum), so scores are
+# bit-identical; cos_r rounding is belt-and-braces.
+
+_DOT = ("list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        "FOR i IN range(1, len({a}) + 1)])")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"{_DOT.format(a=a, b=b)} / "
+            f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
+
+
+_ANN_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT q_id, c_id, {_cos_sql('qe', 'ce')} AS cos
+  FROM q CROSS JOIN c WHERE q_id <> c_id
+), ranked AS (
+  SELECT q_id, c_id, cos, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY cos DESC, c_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cos, 3) AS cos_r, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_bruteforce_topk", _ANN_BRUTE_ORACLE)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk_bruteforce
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    out = cosine_topk_bruteforce(q, c, k=5)
+    return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
+                      "rank")
+
+
+# --- ANN: IVF-style blocked top-k (label = coarse quantizer cell) ----------
+
+_ANN_BLOCKED_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label FROM embeddings
+           WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding AS ce, label FROM embeddings),
+scored AS (
+  SELECT q_id, c_id, {_cos_sql('qe', 'ce')} AS cos
+  FROM q JOIN c ON q.label = c.label AND q_id <> c_id
+), ranked AS (
+  SELECT q_id, c_id, cos, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY cos DESC, c_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cos, 3) AS cos_r, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@query("ann_blocked_topk", _ANN_BLOCKED_ORACLE)
+def ann_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk_blocked
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        F.col("label").alias("block"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"),
+                   F.col("label").alias("block"))
+    out = cosine_topk_blocked(q, c, k=3)
+    return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
+                      "rank")
+
+
+# --- embedding-cosine near-dup pairs (blocked) -----------------------------
+
+_NEARDUP_COS = 0.35
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_sql('a.e', 'b.e')} AS cos
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 3) AS cos_r
+FROM pairs WHERE cos >= {_NEARDUP_COS}
+"""
+
+
+@query("embedding_neardup", _EMB_NEARDUP_ORACLE)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_neardup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, "vec_id", "embedding", "label",
+                                  threshold=_NEARDUP_COS)
+    return out.select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))
+
+
+# --- text analysis: per-document profile -----------------------------------
+
+_PROFILE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), scores AS (
+  SELECT doc_id, text, toks,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh,
+    len(list_filter(toks, x -> list_contains(
+        ['the','a','an','of','and','to','in','is','it','for'], x))) AS s_stop
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CASE WHEN length(text) > 0 THEN
+    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      / length(text) ELSE 0.0 END AS punct_ratio,
+  CASE WHEN len(toks) > 0 THEN
+    CAST(s_stop AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS lang_guess,
+  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+FROM scores
+"""
+
+
+@query("document_profile", _PROFILE_ORACLE)
+def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import (detect_lang, fingerprint, punct_ratio,
+                                 stopword_ratio, token_count)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        detect_lang("text").alias("lang_guess"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+# --- multimodal: binary payload → typed metadata (mapInPandas) -------------
+# Payload synthesized as utf-8 bytes of text (media libs absent; decode is
+# the DECODERS['fake'] deterministic stub — see operators/multimodal.py).
+
+_MEDIA_ORACLE = """
+SELECT doc_id, 'fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha,
+       CAST(16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 1024
+            AS INTEGER) AS width,
+       CAST(16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 1024
+            AS INTEGER) AS height
+FROM documents
+"""
+
+
+@query("media_metadata", _MEDIA_ORACLE)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_media_meta
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_media_meta(docs, "doc_id", "payload", media_type="fake")
+
+
+# ===========================================================================
+# OLAP analytics (TPC-H-shaped) — engine generality + bench headliners.
+# Money aggregates run decimal-exact then cast to double at the end, so
+# values are bit-reproducible against the oracle regardless of Spark's
+# partial-aggregation order.
+# ===========================================================================
+
+_D12 = "decimal(12,2)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(_D12)
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+       AS DECIMAL(18,4))
+       * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+       AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", _PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate; the shipdate filter
+    pushes to the parquet scan and the 8 aggregates share one exchange."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    one = F.lit(1).cast(_D12)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (one + _dec("l_tax"))
+    sum_qty = F.sum(_dec("l_quantity")).cast("double")
+    sum_price = F.sum(_dec("l_extendedprice")).cast("double")
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            sum_qty.alias("sum_qty"),
+            sum_price.alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (sum_qty / cnt).alias("avg_qty"),
+            (sum_price / cnt).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+_SHIPPING_ORACLE = """
+WITH agg AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+         AS DOUBLE) AS revenue,
+    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date_sec,
+    o_orderpriority
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+    AND l_shipdate > TIMESTAMP '1996-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, revenue, order_date_sec, o_orderpriority,
+       CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS INTEGER) AS rn
+FROM agg QUALIFY rn <= 10
+"""
+
+
+@query("shipping_priority", _SHIPPING_ORACLE)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-N.
+    customer is broadcast; orders/lineitem join shuffles on orderkey."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    one = F.lit(1).cast(_D12)
+    revenue = F.sum(
+        _dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey",
+                 # o_orderdate is TIMESTAMP_NTZ (parquet ms): NTZ → LTZ
+                 # (session tz pinned UTC by tune()) → epoch seconds
+                 F.col("o_orderdate").cast("timestamp").cast("long")
+                 .alias("order_date_sec"),
+                 "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+    )
+    top = top_n_per_group(agg.withColumn("_g", F.lit(1)), ["_g"],
+                          [F.desc("revenue"), F.asc("l_orderkey")], n=10,
+                          rank_col="rn")
+    return top.select("l_orderkey", "revenue", "order_date_sec",
+                      "o_orderpriority", "rn")
+
+
+_SUPPLIER_VOLUME_ORACLE = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+       AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@query("local_supplier_volume", _SUPPLIER_VOLUME_ORACLE)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — all dims broadcast, facts shuffle
+    once on orderkey."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    one = F.lit(1).cast(_D12)
+    revenue = F.sum(
+        _dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+    return (
+        orders
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name").agg(revenue.alias("revenue"))
+    )

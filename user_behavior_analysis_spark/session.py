@@ -15,6 +15,7 @@ gracefully to that case.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,13 +36,41 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an externally-built session."""
+    """Apply runtime-settable confs to an externally-built session and
+    ship this package to the executors (pandas-UDF closures reference
+    module-level functions, which pickle by reference — workers must be
+    able to import the package)."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # conf locked down on some deployments - keep going
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of user_behavior_analysis_spark (once per SC)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_uba_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"uba_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zpath)
+        sc._uba_pkg_shipped = True
+    except Exception:
+        pass
 
 
 def get_spark(app_name: str = "user-behavior-analysis-spark",

@@ -1,0 +1,119 @@
+"""Streaming forms of the window analyses (SURVEY.md §2.3-2.5).
+
+Each reference job's DataStream pipeline maps to: ``readStream`` →
+``withWatermark`` (W1-W4: the bounded-out-of-orderness watermarks) →
+``groupBy(window(...), keys)`` → sink. The SAME aggregation expressions
+as the batch queries are reused, so batch/stream parity is structural,
+not re-implemented.
+
+Semantics deltas vs the reference, documented per SURVEY.md §2.4:
+* A8's per-element FIRE_AND_PURGE trigger has no micro-batch equivalent;
+  ``update`` output mode (one emission per key per micro-batch) is the
+  honest mapping.
+* W5 allowedLateness (commented out in the reference) maps onto the
+  watermark delay itself.
+
+Top-N over a streaming aggregate (K1) is not allowed mid-stream; the
+reference's timer-at-window-end trick corresponds to ranking inside
+``foreachBatch``, provided here as ``topn_foreach_batch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.topn import top_n_per_group
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based streaming source over a testdata table — the stand-in
+    for the reference's Kafka/CSV replay sources (S1-S3). Schema comes
+    from a batch peek (streaming readers need explicit schemas)."""
+    from ..sources import load_table
+    schema = load_table(spark, sf_dir, name).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(f"{sf_dir}/{name}.parquet")
+    return df
+
+
+def windowed_count_stream(events: DataFrame, ts_col: str, duration: str,
+                          slide: str | None, keys: Sequence[str],
+                          watermark: str = "5 seconds") -> DataFrame:
+    """A1/A5/A9-A11 streaming: watermarked sliding/tumbling count."""
+    win = (F.window(ts_col, duration, slide) if slide
+           else F.window(ts_col, duration))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("window_start", F.col("window.start").cast("bigint"))
+        .withColumn("window_end", F.col("window.end").cast("bigint"))
+        .drop("window")
+    )
+
+
+def uv_exact_stream(events: DataFrame, ts_col: str, duration: str,
+                    id_col: str, watermark: str = "5 seconds") -> DataFrame:
+    """A6 streaming: exact distinct via pre-window dropDuplicates —
+    watermark evicts dedupe state once the window closes."""
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .select(F.window(ts_col, duration).alias("window"), id_col)
+        .dropDuplicates(["window", id_col])
+    )
+    return (
+        deduped.groupBy("window").agg(F.count(F.lit(1)).alias("uv"))
+        .withColumn("window_start", F.col("window.start").cast("bigint"))
+        .withColumn("window_end", F.col("window.end").cast("bigint"))
+        .drop("window")
+    )
+
+
+def uv_approx_stream(events: DataFrame, ts_col: str, duration: str,
+                     id_col: str, rsd: float = 0.02,
+                     watermark: str = "5 seconds") -> DataFrame:
+    """A7 streaming: HLL++ in place of the reference's Redis Bloom —
+    O(1) state per window (UvWithBloomFilter.scala:103-121)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration))
+        .agg(F.approx_count_distinct(id_col, rsd).alias("uv_approx"))
+        .withColumn("window_start", F.col("window.start").cast("bigint"))
+        .withColumn("window_end", F.col("window.end").cast("bigint"))
+        .drop("window")
+    )
+
+
+def session_window_stream(events: DataFrame, ts_col: str, key: str,
+                          gap: str, watermark: str = "5 seconds") -> DataFrame:
+    """Streaming sessionization via the native session_window —
+    state merges adjacent windows and closes on watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col(key),
+                F.col("w.start").cast("bigint").alias("session_start"),
+                F.col("w.end").cast("bigint").alias("session_end"),
+                "n_events")
+    )
+
+
+def topn_foreach_batch(n: int, partition_keys: Sequence[str],
+                       order_col: str, tiebreak: str,
+                       sink: Callable[[DataFrame, int], None]):
+    """K1 streaming tail: rank the micro-batch's aggregate state and hand
+    top-N to ``sink`` — rank-over-agg is not allowed mid-stream, so this
+    runs per epoch exactly like the reference's timer-fired TopN
+    (HotItems.scala:132-175)."""
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        ranked = top_n_per_group(
+            batch_df, partition_keys,
+            [F.desc(order_col), F.asc(tiebreak)], n=n)
+        sink(ranked, epoch_id)
+    return fn

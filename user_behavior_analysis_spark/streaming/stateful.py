@@ -1,0 +1,187 @@
+"""Stateful streaming operators: the reference's KeyedProcessFunction /
+CEP / CoProcessFunction semantics on ``applyInPandasWithState``.
+
+One primitive — keyed state + timeout — backs all three reference
+patterns (SURVEY.md §2.9):
+
+* ``login_fail_stream``  — J5: strictly consecutive fails within bound
+  (LoginFailWithCep.scala:50-57). State: last event (ts, type) per key.
+* ``order_timeout_stream`` — J3/J4: create → pay within bound, timeout
+  channel via event-time-style timeout (OrderTimeout.scala:50-64).
+  State: pending create ts; emits success on pay, timeout when the
+  group times out with an unpaid create.
+* ``blacklist_stream`` — T1/T2: per-(user, ad) daily click threshold
+  with one-shot warning + pass-through tagging
+  (AdStatisticsByGeo.scala:68-113). State: (day, count, warned).
+
+``applyInPandasWithState`` is used (stable since 3.4);
+``transformWithStateInPandas`` (Spark 4) is the forward path — same
+state design, real event-time timers instead of group timeouts.
+
+Within a micro-batch, rows of a key arrive as pandas batches; each
+handler sorts by event time within the batch — cross-batch order is the
+stream's responsibility (watermark-bounded disorder, as the reference
+assumes via its watermark assigners, W1-W3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+LOGIN_WARNING_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("first_fail", T.LongType()),
+    T.StructField("last_fail", T.LongType()),
+])
+_LOGIN_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("last_was_fail", T.BooleanType()),
+])
+
+
+def login_fail_stream(events: DataFrame, fail_value: str,
+                      within_s: int) -> DataFrame:
+    """events: (user_id, ts timestamp, event_type). Emits a warning row
+    per strictly-consecutive fail pair within ``within_s``."""
+
+    def handle(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_ts, last_fail = state.get if state.exists else (None, False)
+        out: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                ts_s = int(ts.timestamp())
+                is_fail = et == fail_value
+                if (is_fail and last_fail and last_ts is not None
+                        and ts_s - last_ts <= within_s):
+                    out.append((user_id, last_ts, ts_s))
+                last_ts, last_fail = ts_s, is_fail
+        state.update((last_ts, last_fail))
+        yield pd.DataFrame(out, columns=["user_id", "first_fail", "last_fail"])
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(handle, LOGIN_WARNING_SCHEMA,
+                                _LOGIN_STATE_SCHEMA, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
+ORDER_RESULT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("create_ts", T.LongType()),
+    T.StructField("pay_ts", T.LongType()),
+    T.StructField("status", T.StringType()),
+])
+_ORDER_STATE_SCHEMA = T.StructType([
+    T.StructField("create_ts", T.LongType()),
+    T.StructField("done", T.BooleanType()),
+])
+
+
+def order_timeout_stream(events: DataFrame, create_value: str,
+                         pay_value: str, within_s: int) -> DataFrame:
+    """events: (user_id, ts, event_type). Tracks first create per key;
+    first pay at/after it resolves the order (in/out of time); a group
+    timeout after ``within_s`` of processing quiet emits 'timeout' for
+    unpaid creates — the micro-batch analog of the reference's
+    event-time timer at create+15min (OrderTimeout.scala:53)."""
+
+    def handle(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            create_ts, done = state.get
+            state.remove()
+            if not done and create_ts is not None:
+                yield pd.DataFrame(
+                    [(user_id, create_ts, -1, "timeout")],
+                    columns=["user_id", "create_ts", "pay_ts", "status"])
+            return
+        create_ts, done = state.get if state.exists else (None, False)
+        out: list[tuple[int, int, int, str]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                ts_s = int(ts.timestamp())
+                if et == create_value and create_ts is None:
+                    create_ts = ts_s
+                elif (et == pay_value and create_ts is not None and not done
+                      and ts_s >= create_ts):
+                    status = ("payed successfully"
+                              if ts_s - create_ts <= within_s
+                              else "payed but already timeout")
+                    out.append((user_id, create_ts, ts_s, status))
+                    done = True
+        state.update((create_ts, done))
+        if not done:
+            state.setTimeoutDuration(within_s * 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "create_ts", "pay_ts", "status"])
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(handle, ORDER_RESULT_SCHEMA,
+                                _ORDER_STATE_SCHEMA, "append",
+                                GroupStateTimeout.ProcessingTimeTimeout)
+    )
+
+
+BLACKLIST_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ad_id", T.IntegerType()),
+    T.StructField("day_start", T.LongType()),
+    T.StructField("ts_sec", T.LongType()),
+    T.StructField("tag", T.StringType()),
+])
+_BLACKLIST_STATE_SCHEMA = T.StructType([
+    T.StructField("day_start", T.LongType()),
+    T.StructField("cnt", T.LongType()),
+    T.StructField("warned", T.BooleanType()),
+])
+
+
+def blacklist_stream(clicks: DataFrame, threshold: int) -> DataFrame:
+    """clicks: (user_id, ad_id, ts). Per (user_id, ad_id): pass-through
+    rows tagged 'main' while the daily count < threshold; a one-shot
+    'warn' row when it reaches threshold; state resets when the event-
+    time day rolls over (the reference's midnight timer,
+    AdStatisticsByGeo.scala:86-112, expressed as day-key rotation)."""
+
+    def handle(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id, ad_id = key
+        day, cnt, warned = state.get if state.exists else (None, 0, False)
+        out: list[tuple[int, int, int, int, str]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"]:
+                ts_s = int(ts.timestamp())
+                d = ts_s // 86400 * 86400
+                if day is None or d != day:
+                    day, cnt, warned = d, 0, False
+                cnt += 1
+                if cnt <= threshold:
+                    out.append((user_id, ad_id, day, ts_s, "main"))
+                if cnt >= threshold and not warned:
+                    out.append((user_id, ad_id, day, ts_s, "warn"))
+                    warned = True
+        state.update((day, cnt, warned))
+        yield pd.DataFrame(
+            out, columns=["user_id", "ad_id", "day_start", "ts_sec", "tag"])
+
+    return (
+        clicks.groupBy("user_id", "ad_id")
+        .applyInPandasWithState(handle, BLACKLIST_OUT_SCHEMA,
+                                _BLACKLIST_STATE_SCHEMA, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
