@@ -33,8 +33,8 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def token_count(text: Column | str) -> Column:
-    return F.size(tokens(text))
+def token_count(text: Column | str, toks: Column | None = None) -> Column:
+    return F.size(toks if toks is not None else tokens(text))
 
 
 def word_ngrams(tokens_col: str, n: int) -> Column:
@@ -67,8 +67,9 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str,
-                   stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    t = tokens(text)
+                   stopwords: tuple[str, ...] = STOPWORDS_EN,
+                   toks: Column | None = None) -> Column:
+    t = toks if toks is not None else tokens(text)
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_sw = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
     return F.when(F.size(t) > 0,
@@ -81,10 +82,11 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
+def lang_scores(text: Column | str,
+                toks: Column | None = None) -> dict[str, Column]:
     """Per-language marker-token counts (the n-gram-frequency heuristic
     reduced to marker unigrams — deterministic and SQL-twin-able)."""
-    t = tokens(text)
+    t = toks if toks is not None else tokens(text)
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -92,10 +94,11 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
-def detect_lang(text: Column | str, default: str = "und") -> Column:
+def detect_lang(text: Column | str, default: str = "und",
+                toks: Column | None = None) -> Column:
     """argmax over lang_scores with deterministic tiebreak (lang order
     as declared); all-zero → ``default``."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks=toks)
     best_lang, best_score = None, None
     for lang, score in scores.items():
         if best_lang is None:

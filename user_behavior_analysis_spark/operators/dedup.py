@@ -104,6 +104,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     The division is BIGINT/BIGINT → double of identical operands on both
     engines, so values are bit-reproducible.
     """
+    # The shingle relation feeds three plan branches (sizes + both join
+    # sides). Deliberately NOT persisted: caching replaces the relation
+    # with an InMemoryRelation whose unknown stats block the broadcast
+    # Catalyst otherwise picks for the size-lookup joins (measured 3.5×
+    # slower with persist at sf0.1). Recompute + exchange reuse wins; at
+    # petabyte scale the shingles would be staged to a temp table.
     sh = _doc_shingles(df, text_col, id_col, ngram)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

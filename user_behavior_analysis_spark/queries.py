@@ -816,14 +816,18 @@ FROM scores
 @query("document_profile", _PROFILE_ORACLE)
 def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import (detect_lang, fingerprint, punct_ratio,
-                                 stopword_ratio, token_count)
-    docs = load_table(spark, sf_dir, "documents")
+                                 stopword_ratio, token_count, tokens)
+    # tokenize ONCE into a materialized column; every downstream metric
+    # reuses it instead of re-running the split regex per expression
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("toks", tokens("text"))
+    t = F.col("toks")
     return docs.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        token_count("text", toks=t).alias("n_tokens"),
         punct_ratio("text").alias("punct_ratio"),
-        stopword_ratio("text").alias("stopword_ratio"),
-        detect_lang("text").alias("lang_guess"),
+        stopword_ratio("text", toks=t).alias("stopword_ratio"),
+        detect_lang("text", toks=t).alias("lang_guess"),
         fingerprint("text").alias("fp"),
     )
 
@@ -951,9 +955,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(_D12)
     revenue = F.sum(
         _dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+    # Build side = orders⋈customer (doubly filtered, small); the lineitem
+    # FACT must stream — never broadcast the fact, it's the side that
+    # grows 1000× at scale while the filtered order set stays join-able.
+    ord_c = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     agg = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(ord_c), li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey",
                  # o_orderdate is TIMESTAMP_NTZ (parquet ms): NTZ → LTZ
                  # (session tz pinned UTC by tune()) → epoch seconds
@@ -1001,10 +1008,15 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(_D12)
     revenue = F.sum(
         _dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+    # customer broadcasts into orders (dim side); the li⋈orders fact-fact
+    # join is pinned to a shuffle-hash join — both facts exchange once on
+    # orderkey and neither becomes a broadcast build (AQE would otherwise
+    # broadcast the 600k-row lineitem at local scale, a plan that cannot
+    # exist at 100 TB).
+    ord_c = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        orders
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li
+        .join(ord_c.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp),
               (li.l_suppkey == supp.s_suppkey)
               & (cust.c_nationkey == supp.s_nationkey))
