@@ -34,12 +34,17 @@ BENCH_QUERIES = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
+    "revenue_forecast",
+    "order_priority_count",
+    "returned_item_losses",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "ann_bruteforce_topk",
     "document_profile",
+    "token_stats",
+    "rolling_fingerprints",
 ]
 
 

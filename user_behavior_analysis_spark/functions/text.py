@@ -82,6 +82,81 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+#: BPE-ish tokenizer regex (GPT-2 shape, lookahead-free so it runs
+#: identically under Java regex and RE2): contraction suffixes, space-
+#: prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Number of BPE-style pre-tokenizer matches — the cheap, JVM-side
+    stand-in for a real BPE vocab count (proportional for natural text).
+    """
+    return F.regexp_count(text if isinstance(text, Column) else F.col(text),
+                          F.lit(BPE_PATTERN))
+
+
+# Rolling-hash fingerprinting (winnowing, MOSS-style): polynomial rolling
+# hash over token k-grams, then the min hash of every w-gram window —
+# guarantees any shared token run of length >= k + w - 1 yields a shared
+# fingerprint. All arithmetic stays under 2^63 (token hashes < P ~ 1e9,
+# combine peak ~ 1.7e13), so BIGINT math is identical in Spark and DuckDB.
+WINNOW_P = 1_000_000_007
+WINNOW_B = 131
+
+
+def token_hash_expr(toks_col: str) -> str:
+    """SQL expr: per-token 60-bit md5-prefix hash reduced mod WINNOW_P."""
+    return (f"transform({toks_col}, t -> "
+            f"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+            f" % {WINNOW_P})")
+
+
+def kgram_hash_expr(th_col: str, k: int = 3) -> str:
+    """SQL expr: polynomial combine of ``k`` consecutive token hashes
+    (0-based Spark array subscripts). Empty array when fewer than k."""
+    poly = f"{th_col}[i]"
+    for j in range(1, k):
+        poly = f"({poly} * {WINNOW_B} + {th_col}[i + {j}])"
+    return (f"if(size({th_col}) >= {k}, "
+            f"transform(sequence(0, size({th_col}) - {k}), "
+            f"i -> {poly} % {WINNOW_P}), "
+            f"cast(array() as array<bigint>))")
+
+
+def winnow_expr(g_col: str, w: int = 4) -> str:
+    """SQL expr: distinct min-hash per sliding window of ``w`` k-gram
+    hashes (1-based ``slice``) — the winnowing fingerprint set."""
+    return (f"if(size({g_col}) >= {w}, "
+            f"array_distinct(transform(sequence(1, size({g_col}) - {w} + 1), "
+            f"i -> array_min(slice({g_col}, i, {w})))), "
+            f"cast(array() as array<bigint>))")
+
+
+def let_expr(binding: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``binding`` ONCE, expose it as lambda
+    variable ``var`` inside ``body`` — ``transform(array(b), v -> body)[0]``.
+
+    Why this exists: CollapseProject inlines withColumn chains, and an
+    inlined sub-expression that appears inside a per-element lambda (e.g.
+    ``slice(g, i, w)``) is re-evaluated for EVERY element — turning a
+    linear pipeline into O(n^3) per row (observed: a 0.8 s winnowing
+    stage became a multi-minute hang once a downstream explode triggered
+    the collapse). A lambda variable is a bound VALUE, so the optimizer
+    can inline the whole tree and evaluation still runs each stage once.
+    """
+    return f"transform(array({binding}), {var} -> {body})[0]"
+
+
+def winnow_fingerprints_expr(toks_col: str, k: int = 3, w: int = 4) -> str:
+    """The full rolling-hash winnowing pipeline as ONE inline-proof
+    expression: token hashes → k-gram polynomial hashes → windowed min —
+    each intermediate let-bound so it is computed exactly once per row."""
+    return let_expr(
+        token_hash_expr(toks_col), "th",
+        let_expr(kgram_hash_expr("th", k), "g", winnow_expr("g", w)))
+
+
 def lang_scores(text: Column | str,
                 toks: Column | None = None) -> dict[str, Column]:
     """Per-language marker-token counts (the n-gram-frequency heuristic

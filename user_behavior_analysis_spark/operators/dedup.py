@@ -40,19 +40,24 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
                   ngram: int) -> DataFrame:
+    """Non-distinct (doc_id, g) word-shingle relation — map-side only."""
     return (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
           .withColumn("toks", tokens("t"))
           .withColumn("g", F.explode(word_ngrams("toks", ngram)))
           .select("doc_id", "g")
-          .distinct()
     )
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 12, ngram: int = 3) -> DataFrame:
     """Per-doc MinHash signature: for each seed i, min over shingles of
-    the md5-prefix hash — columns mh0..mh{n-1}."""
+    the md5-prefix hash — columns mh0..mh{n-1}.
+
+    min() is duplicate-insensitive, so the shingles are deliberately NOT
+    deduped: the explode feeds a partial min per (doc, seed) map-side and
+    only docs × num_hashes accumulators cross the single exchange.
+    """
     sh = _doc_shingles(df, text_col, id_col, ngram)
     aggs = [F.min(md5_prefix_hash(F.col("g"), seed=i)).alias(f"mh{i}")
             for i in range(num_hashes)]
@@ -110,11 +115,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # Catalyst otherwise picks for the size-lookup joins (measured 3.5×
     # slower with persist at sf0.1). Recompute + exchange reuse wins; at
     # petabyte scale the shingles would be staged to a temp table.
-    sh = _doc_shingles(df, text_col, id_col, ngram)
+    #
+    # Shingles are reduced to 60-bit md5-prefix hashes BEFORE the distinct
+    # and the self-join: every downstream exchange then carries 8-byte
+    # keys instead of ~25-byte n-gram strings, and the join compares
+    # longs. Set semantics survive because the same hash is applied in
+    # the oracle (collisions, if any, collide identically).
+    sh = (_doc_shingles(df, text_col, id_col, ngram)
+          .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
+          .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g"))
+        a.join(b, (F.col("a.gh") == F.col("b.gh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
          .groupBy(F.col("a.doc_id").alias("doc_a"),
                   F.col("b.doc_id").alias("doc_b"))

@@ -554,9 +554,13 @@ toks AS (
   FROM documents
 ), idx AS (
   SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
-), sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
   FROM idx
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+  FROM grams
 )"""
 
 # --- exact dedup ------------------------------------------------------------
@@ -582,7 +586,7 @@ _RPB = _NUM_HASHES // _BANDS
 
 _mh_exprs = ",\n       ".join(
     f"min(CAST(('0x' || substr(md5('{i}|' || g), 1, 15)) AS BIGINT)) AS mh{i}"
-    for i in range(_NUM_HASHES))
+    for i in range(_NUM_HASHES))  # over non-distinct grams: min is dup-proof
 _band_selects = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(" +
     " || '_' || ".join(f"mh{b * _RPB + r}" for r in range(_RPB)) +
@@ -594,7 +598,7 @@ WITH {_TOKS_CTE},
 sig AS (
   SELECT doc_id,
        {_mh_exprs}
-  FROM sh GROUP BY doc_id
+  FROM grams GROUP BY doc_id
 ), buckets AS (
   {_band_selects}
 )
@@ -621,7 +625,7 @@ WITH {_TOKS_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
@@ -1024,3 +1028,219 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name").agg(revenue.alias("revenue"))
     )
+
+
+_REVENUE_FORECAST_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("revenue_forecast", _REVENUE_FORECAST_ORACLE)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + selective filter + global agg — the
+    pushdown showcase. All four predicates reach the parquet scan
+    (PushedFilters) and only 3 columns are read; no shuffle except the
+    single-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+         .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("order_priority_count", _ORDER_PRIORITY_ORACLE)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one line
+    shipped > 60 days after the order date, counted by priority.
+
+    left_semi keeps one copy of each qualifying order without
+    materializing the match multiplicity; the equi-key (orderkey) drives
+    the shuffle, the date inequality stays a cheap residual."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders"))
+
+
+_RETURNED_ITEMS_ORACLE = """
+WITH agg AS (
+  SELECT c_custkey, c_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+         AS DOUBLE) AS revenue,
+    c_acctbal, n_name
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name,
+       CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey)
+            AS INTEGER) AS rn
+FROM agg QUALIFY rn <= 20
+"""
+
+
+@query("returned_item_losses", _RETURNED_ITEMS_ORACLE)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+
+    Scale shape: both facts are filtered then shuffle-hash-joined on
+    orderkey; revenue is aggregated down to per-customer rows BEFORE the
+    customer dimension join, so the second exchange carries at most
+    |customers| rows; nation broadcasts."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    one = F.lit(1).cast(_D12)
+    revenue = F.sum(
+        _dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+    per_cust = (
+        li.join(orders.hint("shuffle_hash"),
+                li.l_orderkey == orders.o_orderkey)
+          .groupBy("o_custkey").agg(revenue.alias("revenue"))
+    )
+    joined = (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+    )
+    top = top_n_per_group(joined.withColumn("_g", F.lit(1)), ["_g"],
+                          [F.desc("revenue"), F.asc("c_custkey")], n=20,
+                          rank_col="rn")
+    return top.select("c_custkey", "c_name", "revenue", "c_acctbal",
+                      "n_name", "rn")
+
+
+# ===========================================================================
+# Text-pipeline extensions: token statistics and rolling-hash winnowing
+# fingerprints (MOSS-style) over the documents table.
+# ===========================================================================
+
+_TOKEN_STATS_ORACLE = r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER)
+    AS ws_tokens,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+    AS INTEGER) AS bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+@query("token_stats", _TOKEN_STATS_ORACLE)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex
+    pre-tokens (the lookahead-free GPT-2-shape pattern) — the per-doc
+    cost estimator every training-data pipeline needs. Pure codegen
+    expressions; one parquet scan, no shuffle."""
+    from .functions.text import bpe_token_count, token_count
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").cast("int").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+_ROLLING_FP_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), th AS (
+  SELECT doc_id,
+    list_transform(t, tok ->
+      CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007) AS h
+  FROM toks
+), kg AS (
+  SELECT doc_id,
+    CASE WHEN len(h) >= {_WINNOW_K} THEN
+      list_transform(generate_series(1, len(h) - {_WINNOW_K} + 1), i ->
+        ((h[i] * 131 + h[i+1]) * 131 + h[i+2]) % 1000000007)
+    ELSE [] END AS g
+  FROM th
+), wins AS (
+  SELECT doc_id,
+    CASE WHEN len(g) >= {_WINNOW_W} THEN
+      list_distinct(list_transform(
+        generate_series(1, len(g) - {_WINNOW_W} + 1), i ->
+        list_min(g[i:i + {_WINNOW_W} - 1])))
+    ELSE [] END AS fps
+  FROM kg
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wins
+"""
+
+
+@query("rolling_fingerprints", _ROLLING_FP_ORACLE)
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling hash): polynomial hash of
+    token 3-grams, min-hash per window of 4, distinct per doc. Any shared
+    run of >= k+w-1 tokens between two docs yields a shared fingerprint —
+    the standard plagiarism/near-dup sketch.
+
+    All hashing is mod-1e9+7 BIGINT arithmetic in one scan; every
+    intermediate is let-bound (see functions.text.let_expr) so the
+    pipeline stays linear per document no matter how Catalyst inlines
+    the projection; the only shuffle is whatever the consumer adds
+    (here: none)."""
+    from .functions.text import tokens, winnow_fingerprints_expr
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .withColumn("fps",
+                    F.expr(winnow_fingerprints_expr("toks", _WINNOW_K,
+                                                    _WINNOW_W)))
+    )
+    return docs.select("doc_id", F.explode("fps").alias("fp"))
