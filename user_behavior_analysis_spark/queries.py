@@ -1244,3 +1244,119 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     _WINNOW_W)))
     )
     return docs.select("doc_id", F.explode("fps").alias("fp"))
+
+
+_PROMO_REVENUE_ORACLE = """
+SELECT
+  CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        ELSE CAST(0 AS DECIMAL(24,4)) END)
+    / SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+    AS DOUBLE) AS promo_pct,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@query("promo_revenue", _PROMO_REVENUE_ORACLE)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact x part-dimension join with conditional agg.
+
+    part is the dimension (bounded cardinality vs the ever-growing fact)
+    and is broadcast; the month filter prunes the lineitem scan first, so
+    the join input is one month of the fact, not all of it."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast(_D12)
+    disc = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc) \
+             .otherwise(F.lit(0).cast("decimal(24,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .agg((F.lit(100.0) * F.sum(promo) / F.sum(disc))
+               .cast("double").alias("promo_pct"),
+               F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_NATION_ROLLUP_ORACLE = """
+SELECT
+  COALESCE(n_name, 'ALL') AS nation,
+  COALESCE(CAST(year(o_orderdate) AS INTEGER), -1) AS order_year,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, year(o_orderdate))
+"""
+
+
+@query("nation_rollup", _NATION_ROLLUP_ORACLE)
+def nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, order-year): subtotal + grand-total rows in
+    one pass — the grouping-sets surface the reference never had.
+    Spark expands the rollup into grouping sets inside a single
+    partial+final aggregate pair (one exchange, not one per level)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    joined = (
+        orders.join(cust.hint("shuffle_hash"),
+                    orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey)
+              .select("n_name",
+                      F.year("o_orderdate").cast("int").alias("yr"),
+                      "o_totalprice")
+    )
+    return (
+        joined.rollup("n_name", "yr")
+              .agg(F.sum(_dec("o_totalprice")).cast("double")
+                    .alias("total_price"),
+                   F.count(F.lit(1)).alias("n_orders"))
+              .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                      F.coalesce("yr", F.lit(-1)).alias("order_year"),
+                      "total_price", "n_orders")
+    )
+
+
+_REPEAT_BUYERS_ORACLE = """
+SELECT c_custkey FROM (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+"""
+
+
+@query("repeat_buyers", _REPEAT_BUYERS_ORACLE)
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: customers active in BOTH 1995 and 1996 via
+    INTERSECT (compiles to a distinct + semi-join-shaped plan; both
+    branches read the same orders scan, exchanged once on custkey)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate")
+
+    def active(y0: str, y1: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        ).select(F.col("o_custkey").alias("c_custkey")).distinct()
+
+    return active("1995-01-01", "1996-01-01") \
+        .intersect(active("1996-01-01", "1997-01-01"))
