@@ -86,3 +86,22 @@ def test_media_meta_batch_shape(spark, sf_dir):
     assert (meta["n_bytes"] > 0).all()
     assert meta["sha"].str.len().eq(64).all()
     assert meta["width"].between(16, 1039).all()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics — same result set as the
+    unsalted inner and left joins, with the hot key spread across
+    buckets."""
+    from user_behavior_analysis_spark.operators.joins import salted_join
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey").withColumnRenamed("c_custkey", "o_custkey")
+    for how in ("inner", "left"):
+        plain = orders.join(cust, "o_custkey", how).toPandas()
+        salted = salted_join(orders, cust, "o_custkey",
+                             buckets=8, how=how).toPandas()
+        cols = sorted(plain.columns)
+        pd.testing.assert_frame_equal(
+            plain[cols].sort_values(cols, ignore_index=True),
+            salted[cols].sort_values(cols, ignore_index=True))

@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions (the 100 TB posture, checked cheaply).
+
+These tests never execute the queries — they assert on explain output
+("simple" mode: operator arguments inline), locking in the properties
+that matter at scale: filters reaching the parquet scan, column pruning,
+dimension broadcasts, and facts never becoming broadcast builds.
+"""
+
+import re
+
+from user_behavior_analysis_spark.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir, mode: str = "simple") -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+def test_revenue_forecast_pushdown_and_pruning(spark, sf_dir):
+    # formatted mode: simple truncates PushedFilters at 100 chars
+    plan = plan_of(spark, "revenue_forecast", sf_dir, mode="formatted")
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan).group(1)
+    # all the predicates must reach the parquet reader
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read = re.search(r"ReadSchema: struct<(.*?)>", plan).group(1)
+    cols = {c.split(":")[0] for c in read.split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity",
+                    "l_extendedprice"}, f"over-read: {cols}"
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, "pricing_summary", sf_dir)
+    # partial + final HashAggregate pair around one exchange — the
+    # map-side combine the reference hand-built (SURVEY.md §2.4 A2)
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_shipping_priority_fact_streams_against_broadcast_build(spark, sf_dir):
+    plan = plan_of(spark, "shipping_priority", sf_dir)
+    # the lineitem fact must be the STREAMED side: its orderkey joins a
+    # BuildRight broadcast of the filtered orders⋈customer relation
+    assert re.search(
+        r"BroadcastHashJoin \[l_orderkey#\d+L?\], \[o_orderkey#\d+L?\], "
+        r"Inner, BuildRight", plan), plan
+
+
+def test_local_supplier_volume_fact_join_is_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "local_supplier_volume", sf_dir)
+    # the orderkey fact-fact join is pinned to shuffle-hash: both sides
+    # exchange on orderkey, neither becomes a broadcast build
+    assert re.search(
+        r"ShuffledHashJoin \[l_orderkey#\d+L?\], \[o_orderkey#\d+L?\]",
+        plan), plan
+
+
+def test_hot_items_rank_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, "hot_items_topn", sf_dir)
+    # top-N must prune before the final sort: WindowGroupLimit keeps 5
+    # rows per window partition ahead of the rank shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_token_stats_is_scan_only(spark, sf_dir):
+    plan = plan_of(spark, "token_stats", sf_dir)
+    assert "Exchange" not in plan, "token_stats must not shuffle"
+
+
+def test_order_priority_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, "order_priority_count", sf_dir)
+    assert "LeftSemi" in plan

@@ -106,6 +106,34 @@ def test_session_window_stream_closes(spark, split_events_dir):
     assert (out["session_end"] >= out["session_start"]).all()
 
 
+def test_interval_join_stream_parity(spark, sf_dir, split_events_dir):
+    """J1 streaming vs batch: the stream-stream interval join over
+    micro-batch replay must reproduce the batch tx_match result exactly
+    (inner join — every match is emitted once both sides have passed).
+    """
+    from user_behavior_analysis_spark.queries import QUERIES
+    ev = stream_events(spark, split_events_dir)
+    pays = (ev.where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("pay_event_id"),
+                    "user_id", F.col("ts").alias("pay_t")))
+    receipts = (ev.where(F.col("event_type") == "click")
+                .select(F.col("event_id").alias("receipt_event_id"),
+                        F.col("user_id").alias("r_user_id"),
+                        F.col("ts").alias("receipt_t")))
+    joined = jobs.interval_join_stream(
+        pays, receipts, key=("user_id", "r_user_id"),
+        left_ts="pay_t", right_ts="receipt_t",
+        lower_s=-3600, upper_s=3600, watermark=WATERMARK)
+    out = run_stream(
+        spark,
+        joined.select("pay_event_id", "receipt_event_id", "user_id",
+                      F.col("pay_t").cast("long").alias("pay_ts"),
+                      F.col("receipt_t").cast("long").alias("receipt_ts")),
+        "append", "txmatch_stream")
+    batch = QUERIES["tx_match_interval_join"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(batch))
+
+
 def test_login_fail_stateful_parity(spark, sf_dir, split_events_dir):
     from user_behavior_analysis_spark.queries import QUERIES
     ev = stream_events(spark, split_events_dir).where(
@@ -152,3 +180,47 @@ def test_blacklist_stateful_parity(spark, sf_dir, split_events_dir):
     pd.testing.assert_frame_equal(
         _sorted(mains[["user_id", "ad_id", "day_start", "ts_sec"]]),
         _sorted(batch_main[["user_id", "ad_id", "day_start", "ts_sec"]]))
+
+
+def test_simulated_marketing_stream_smoke(spark):
+    """S4 rate-source generator: produces typed rows at roughly the
+    configured rate with values in the reference's domains
+    (SimulatedEventSource.scala:34-46)."""
+    import time as _time
+    from user_behavior_analysis_spark.sources import simulated_marketing_stream
+    src = simulated_marketing_stream(spark, rows_per_second=200)
+    q = (src.writeStream.format("memory").queryName("mk_stream")
+         .outputMode("append").start())
+    try:
+        _time.sleep(5)
+    finally:
+        q.stop()
+    pdf = spark.sql("SELECT * FROM mk_stream").toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"user_id", "behavior", "channel", "ts"}
+    assert set(pdf["behavior"]) <= {"CLICK", "DOWNLOAD", "INSTALL",
+                                    "UNINSTALL"}
+    assert set(pdf["channel"]) <= {"wechat", "weibo", "appstore",
+                                   "huaweistore"}
+
+
+def test_uv_bloom_stream_matches_reference_semantics(spark, sf_dir,
+                                                     split_events_dir):
+    """A7 Bloom parity: per-window Bloom UV must track the exact UV from
+    below — never overcount, and undercount only by the tiny collision
+    probability at this fill factor (n≈500, m=2^16, k=3 → <<1%)."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    ev = stream_events(spark, split_events_dir).where(
+        F.col("event_type") == "view")
+    out = run_stream(
+        spark,
+        stateful.uv_bloom_stream(ev, "ts", "user_id", 3600,
+                                 cap_bits=1 << 16),
+        "update", "uv_bloom_stream")
+    # update mode: last emission per window is the final count
+    final = (out.groupby("window_start", as_index=False).last())
+    exact = QUERIES["unique_visitors_hourly"](spark, sf_dir).toPandas()
+    m = final.merge(exact, on="window_start")
+    assert len(m) == len(exact)
+    assert (m["uv_bloom"] <= m["uv"]).all()
+    assert (m["uv_bloom"] >= 0.98 * m["uv"]).all()

@@ -40,6 +40,29 @@ def interval_join(left: DataFrame, right: DataFrame, on: list[str],
     return left.join(right, cond & lo & hi, how)
 
 
+def salted_join(facts: DataFrame, dim: DataFrame, on: str,
+                buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join for hot keys: the fact side gets a per-row
+    salt in [0, buckets) derived from the whole row (deterministic for
+    identical rows, but spreading a hot key's rows across buckets); the
+    dim side is replicated once per salt. The shuffle then distributes a
+    hot key over ``buckets`` reducers instead of one.
+
+    Use when a handful of keys dominate (power-law item ids, null-ish
+    sentinel keys) and AQE skew-join splitting isn't enough — e.g. the
+    dim side is modest but too big to broadcast. Join result is
+    identical to ``facts.join(dim, on, how)`` for how ∈ {inner, left}.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]),
+                  F.lit(buckets)).cast("int")
+    fs = facts.withColumn("_salt", salt)
+    ds = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    return fs.join(ds, [on, "_salt"], how).drop("_salt")
+
+
 def reconcile_full_outer(left: DataFrame, right: DataFrame, key: str,
                          tag_col: str = "tag",
                          matched: str = "matched",

@@ -104,6 +104,30 @@ def session_window_stream(events: DataFrame, ts_col: str, key: str,
     )
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         key: str | tuple[str, str],
+                         left_ts: str, right_ts: str,
+                         lower_s: int, upper_s: int,
+                         watermark: str = "5 seconds") -> DataFrame:
+    """J1 streaming: stream-stream inner interval join
+    (TxMatchByJoin.scala:68-71). Watermarks on BOTH sides plus the time
+    bound in the join condition let Spark evict join state once
+    ``right_ts`` can no longer fall inside a live left row's interval —
+    the same pruning the reference gets from its interval-join state
+    cleanup. ``key`` is one column name present on both sides, or a
+    (left_name, right_name) pair; all other columns must be disjoint.
+    """
+    lk, rk = (key, key) if isinstance(key, str) else key
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[lk] == rw[rk])
+        & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower_s} SECOND"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_s} SECOND"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def topn_foreach_batch(n: int, partition_keys: Sequence[str],
                        order_col: str, tiebreak: str,
                        sink: Callable[[DataFrame, int], None]):

@@ -185,3 +185,75 @@ def blacklist_stream(clicks: DataFrame, threshold: int) -> DataFrame:
                                 _BLACKLIST_STATE_SCHEMA, "append",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+UV_BLOOM_OUT_SCHEMA = T.StructType([
+    T.StructField("window_start", T.LongType()),
+    T.StructField("uv_bloom", T.LongType()),
+])
+_UV_BLOOM_STATE_SCHEMA = T.StructType([
+    T.StructField("bitmap", T.BinaryType()),
+    T.StructField("cnt", T.LongType()),
+])
+
+
+def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
+                    window_s: int, cap_bits: int = 1 << 23,
+                    seeds: tuple[int, ...] = (61, 71, 83)) -> DataFrame:
+    """A7/A8 exact-parity path: the reference's hand-rolled Bloom-filter
+    UV (UvWithBloomFilter.scala:103-163) as a keyed stateful operator.
+
+    Key = window start; state = the window's Bloom bitmap (the Redis
+    bitmap of S6 moved into the Spark state store) + running count. Each
+    element probes ``len(seeds)`` polynomial hashes (same h = h*seed +
+    char construction, masked to cap_bits-1, seeds 61/71/83 as at
+    UvWithBloomFilter.scala:146-148); any unset bit → count and set.
+    Emits the running count per key per micro-batch in update mode —
+    the honest mapping of the per-element FIRE_AND_PURGE trigger
+    (SURVEY.md §2.4 A8).
+
+    Like the reference, the count is stream-order dependent on hash
+    collisions and undercounts once the bitmap saturates — use
+    ``approx_count_distinct`` (HLL++) when you want a bounded-error
+    estimate instead of reference parity.
+    """
+    mask = cap_bits - 1
+    n_bytes = cap_bits // 8
+
+    def _bloom_hash(s: str, seed: int) -> int:
+        h = 0
+        for ch in s:
+            h = h * seed + ord(ch)
+        return h & mask
+
+    def handle(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (wstart,) = key
+        if state.exists:
+            bm_bytes, cnt = state.get
+            bm = bytearray(bm_bytes)
+        else:
+            bm, cnt = bytearray(n_bytes), 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for uid in pdf[id_col].astype(str):
+                idxs = [_bloom_hash(uid, s) for s in seeds]
+                if any(not (bm[i >> 3] >> (i & 7)) & 1 for i in idxs):
+                    cnt += 1
+                    for i in idxs:
+                        bm[i >> 3] |= 1 << (i & 7)
+        state.update((bytes(bm), cnt))
+        yield pd.DataFrame([(wstart, cnt)],
+                           columns=["window_start", "uv_bloom"])
+
+    from pyspark.sql import functions as F
+    keyed = events.select(
+        F.window(ts_col, f"{window_s} seconds").start.cast("long")
+         .alias("window_start"),
+        F.col(ts_col), F.col(id_col))
+    return (
+        keyed.groupBy("window_start")
+        .applyInPandasWithState(handle, UV_BLOOM_OUT_SCHEMA,
+                                _UV_BLOOM_STATE_SCHEMA, "update",
+                                GroupStateTimeout.NoTimeout)
+    )
