@@ -105,3 +105,33 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         pd.testing.assert_frame_equal(
             plain[cols].sort_values(cols, ignore_index=True),
             salted[cols].sort_values(cols, ignore_index=True))
+
+
+def test_split_by_tag_covers_all_rows(spark, sf_dir):
+    from user_behavior_analysis_spark.sinks import split_by_tag
+    df = QUERIES["tx_reconciliation"](spark, sf_dir)
+    parts = split_by_tag(df, "tag")
+    assert set(parts) == {"matched", "unmatched_pay", "unmatched_receipt"}
+    total = sum(p.count() for p in parts.values())
+    assert total == df.count()
+
+
+def test_write_parquet_roundtrip(spark, sf_dir, tmp_path):
+    from user_behavior_analysis_spark.sinks import write_parquet
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    out = str(tmp_path / "pricing")
+    write_parquet(df, out, mode="overwrite")
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with 8 cells / 4 probes must recover most of the true top-5
+    (recall is high because half the index is probed per query)."""
+    ivf = QUERIES["ann_ivf_topk"](spark, sf_dir).toPandas()
+    brute = QUERIES["ann_bruteforce_topk"](spark, sf_dir).toPandas()
+    truth = set(zip(brute["q_id"], brute["c_id"]))
+    got = set(zip(ivf["q_id"], ivf["c_id"]))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below bound"

@@ -224,3 +224,32 @@ def test_uv_bloom_stream_matches_reference_semantics(spark, sf_dir,
     assert len(m) == len(exact)
     assert (m["uv_bloom"] <= m["uv"]).all()
     assert (m["uv_bloom"] >= 0.98 * m["uv"]).all()
+
+
+def test_topn_foreach_batch_matches_batch_rank(spark, sf_dir,
+                                               split_events_dir):
+    """K1 streaming tail: append-mode windowed counts ranked per epoch in
+    foreachBatch must equal the batch top-N on every closed window."""
+    from user_behavior_analysis_spark.streaming.jobs import (
+        topn_foreach_batch, windowed_count_stream)
+    ev = (stream_events(spark, split_events_dir)
+          .where(F.col("event_type") == "view")
+          .withColumn("item_id",
+                      F.get_json_object("props", "$.k").cast("int")))
+    agg = windowed_count_stream(ev, "ts", "1 hour", "5 minutes",
+                                ["item_id"], watermark=WATERMARK)
+    got: list = []
+    fn = topn_foreach_batch(5, ["window_start"], "cnt", "item_id",
+                            lambda df, epoch: got.append(df.toPandas()))
+    q = agg.writeStream.outputMode("append").foreachBatch(fn) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    out = pd.concat([g for g in got if len(g)], ignore_index=True)
+    from user_behavior_analysis_spark.queries import QUERIES
+    batch = QUERIES["hot_items_topn"](spark, sf_dir).toPandas()
+    batch = batch.rename(columns={"rn": "rank"})
+    # every streamed window's top-5 must equal the batch top-5 there
+    merged = out.merge(batch, on=["window_start", "item_id"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(out), "streamed rank rows missing from batch"
+    assert (merged["cnt_s"] == merged["cnt_b"]).all()

@@ -49,19 +49,34 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+#: modulus for the double-hashing family: largest prime < 2^59, so
+#: h1 + i*h2 stays under 2^63 for any useful i without overflow.
+MINHASH_P = (1 << 59) - 55
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 12, ngram: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: for each seed i, min over shingles of
-    the md5-prefix hash — columns mh0..mh{n-1}.
+    """Per-doc MinHash signature via Kirsch-Mitzenmacher double hashing:
+    ONE md5 per shingle yields (h1, h2) from disjoint 15-hex-digit
+    halves, and hash i is (h1 + i*h2) mod P — the standard trick that
+    gives k independent-enough hash functions for the price of one.
+    Columns mh0..mh{n-1}.
 
     min() is duplicate-insensitive, so the shingles are deliberately NOT
     deduped: the explode feeds a partial min per (doc, seed) map-side and
     only docs × num_hashes accumulators cross the single exchange.
     """
     sh = _doc_shingles(df, text_col, id_col, ngram)
-    aggs = [F.min(md5_prefix_hash(F.col("g"), seed=i)).alias(f"mh{i}")
+    md5 = F.md5(F.col("g"))
+    h1 = (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+          % MINHASH_P).alias("h1")
+    h2 = (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long")
+          % MINHASH_P).alias("h2")
+    hashed = sh.select("doc_id", h1, h2)
+    aggs = [F.min((F.col("h1") + F.lit(i) * F.col("h2")) % MINHASH_P)
+             .alias(f"mh{i}")
             for i in range(num_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -62,6 +62,74 @@ def cosine_topk_blocked(queries: DataFrame, corpus: DataFrame,
     )
 
 
+def ivf_index(corpus: DataFrame, vec_col: str, n_cells: int = 16,
+              seed: int = 42):
+    """Train an IVF coarse quantizer (KMeans centroids) and assign every
+    corpus vector to its cell. Returns (assigned_df, centroids) where
+    ``assigned_df`` = corpus + ``cell`` int column and ``centroids`` is
+    the k×dim list of centers (small enough to broadcast by value).
+
+    Scale shape: training fits on a sample; assignment is a map-side
+    transform — the corpus never shuffles to build the index.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fv = corpus.withColumn("_fv", array_to_vector(as_double(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv",
+                predictionCol="cell")
+    model = km.fit(fv)
+    assigned = model.transform(fv).drop("_fv")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             n_cells: int = 16, n_probe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF ANN with a trained quantizer: each query probes its
+    ``n_probe`` nearest cells and scores only those cells' vectors —
+    O(Q × N × n_probe / n_cells) versus brute force's O(Q × N).
+
+    queries: (q_id, q_vec); corpus: (c_id, c_vec). Output matches
+    ``cosine_topk_bruteforce`` (q_id, c_id, cos, rank) but is
+    approximate: neighbors outside probed cells are missed.
+    """
+    assigned, centroids = ivf_index(corpus, "c_vec", n_cells, seed)
+
+    # per-query probe list: rank centroids by cosine, keep n_probe.
+    # centroids are a literal array-of-arrays — broadcast by value into
+    # the plan; no join needed to find probe cells.
+    cent_col = F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
+        for i, c in enumerate(centroids)
+    ])
+    q = queries.select("q_id", as_double("q_vec").alias("qv"))
+    probed = (
+        q.withColumn("cent", F.explode(cent_col))
+         .withColumn("ccos", cosine(F.col("qv"), F.col("cent.cv")))
+         .withColumn("crank", F.row_number().over(
+             Window.partitionBy("q_id")
+                   .orderBy(F.desc("ccos"), F.asc("cent.cell"))))
+         .where(F.col("crank") <= n_probe)
+         .select("q_id", "qv", F.col("cent.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed),
+                      (assigned["cell"] == probed["cell"])
+                      & (probed["q_id"] != assigned["c_id"]))
+                .withColumn("cos", cosine(probed["qv"],
+                                          as_double(assigned["c_vec"])))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("q_id", "c_id", "cos", "rank")
+    )
+
+
 def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                             block_col: str, threshold: float) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (coarse cells)

@@ -584,8 +584,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NUM_HASHES, _BANDS = 12, 4
 _RPB = _NUM_HASHES // _BANDS
 
+_MINHASH_P = (1 << 59) - 55  # operators.dedup.MINHASH_P
 _mh_exprs = ",\n       ".join(
-    f"min(CAST(('0x' || substr(md5('{i}|' || g), 1, 15)) AS BIGINT)) AS mh{i}"
+    f"min((h1 + {i} * h2) % {_MINHASH_P}) AS mh{i}"
     for i in range(_NUM_HASHES))  # over non-distinct grams: min is dup-proof
 _band_selects = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(" +
@@ -595,10 +596,15 @@ _band_selects = "\n  UNION ALL ".join(
 
 _MINHASH_ORACLE = f"""
 WITH {_TOKS_CTE},
-sig AS (
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h1,
+         CAST(('0x' || substr(md5(g), 16, 15)) AS BIGINT) % {_MINHASH_P} AS h2
+  FROM grams
+), sig AS (
   SELECT doc_id,
        {_mh_exprs}
-  FROM grams GROUP BY doc_id
+  FROM h GROUP BY doc_id
 ), buckets AS (
   {_band_selects}
 )
@@ -1360,3 +1366,74 @@ def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return active("1995-01-01", "1996-01-01") \
         .intersect(active("1996-01-01", "1997-01-01"))
+
+
+_QUALITY_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        / length(text)
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0 THEN
+      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        t -> list_contains(['the','a','an','of','and','to','in','is','it','for'], t)))
+        AS DOUBLE) / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+    ELSE 0.0 END AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id,
+  (n_tokens >= 5 AND n_tokens <= 100000
+   AND punct_ratio <= 0.20 AND stopword_ratio >= 0.01) AS keep,
+  concat_ws(',',
+    CASE WHEN n_tokens < 5 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN punct_ratio > 0.20 THEN 'too_much_punct' END,
+    CASE WHEN stopword_ratio < 0.01 THEN 'too_few_stopwords' END) AS reasons
+FROM m
+"""
+
+
+@query("quality_filter", _QUALITY_ORACLE)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate: token-count bounds, punctuation
+    ratio cap, stopword-ratio floor — keep/drop decision plus the list of
+    tripped rules, all in one codegen scan (no shuffle). The thresholds
+    are the standard public heuristics, tuned loose; swap per corpus."""
+    from .functions.text import punct_ratio, stopword_ratio, token_count, tokens
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("toks", tokens("text"))
+    t = F.col("toks")
+    m = docs.select(
+        "doc_id",
+        token_count("text", toks=t).alias("n_tokens"),
+        punct_ratio("text").alias("pr"),
+        stopword_ratio("text", toks=t).alias("sr"),
+    )
+    keep = ((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000)
+            & (F.col("pr") <= 0.20) & (F.col("sr") >= 0.01))
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < 5, F.lit("too_short")),
+        F.when(F.col("n_tokens") > 100000, F.lit("too_long")),
+        F.when(F.col("pr") > 0.20, F.lit("too_much_punct")),
+        F.when(F.col("sr") < 0.01, F.lit("too_few_stopwords")))
+    return m.select("doc_id", keep.alias("keep"), reasons.alias("reasons"))
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (KMeans centroids,
+    multi-probe) — the scale path when no precomputed block exists.
+    Rows-only check (KMeans is not SQL-reproducible); recall against
+    brute force is asserted in tests/test_operators.py."""
+    from .operators.similarity import ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    out = ivf_topk(q, c, k=5, n_cells=8, n_probe=4)
+    return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
+                      "rank")

@@ -1,0 +1,86 @@
+"""Sinks and multi-output splitting (SURVEY.md §2.1 S5/S6, §2.7 T2).
+
+The reference's sinks are ``print()`` (S5) and a Redis bitmap/hash
+writer (S6, ``UvWithBloomFilter.scala:136-156``). Here: console/memory
+for dev parity, parquet/kafka for real pipelines, and ``split_by_tag``
+— the DataFrame equivalent of Flink side outputs (one tagged plan,
+N filtered readers; Catalyst shares the upstream subplan when the
+consumer materializes them in one action via ``foreachBatch``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def split_by_tag(df: DataFrame, tag_col: str = "tag",
+                 tags: tuple[str, ...] = ()) -> dict[str, DataFrame]:
+    """Side-output split: one tagged DataFrame → {tag: filtered view}.
+    Tags default to the distinct values present (batch only — pass
+    explicit ``tags`` for streaming plans, where collecting is illegal).
+    """
+    if not tags:
+        tags = tuple(r[0] for r in
+                     df.select(tag_col).distinct().collect())
+    return {t: df.where(F.col(tag_col) == t).drop(tag_col) for t in tags}
+
+
+def write_console(df: DataFrame, label: str = "", num_rows: int = 20,
+                  mode: str = "append") -> StreamingQuery | None:
+    """S5 print sink: ``show()`` for batch, console stream otherwise.
+    ``label`` mirrors the reference's print prefixes (HotItems.scala:87).
+    """
+    if df.isStreaming:
+        return (df.writeStream.format("console").outputMode(mode)
+                .option("numRows", num_rows)
+                .queryName(label or "console").start())
+    if label:
+        print(f"=== {label} ===")
+    df.show(num_rows, truncate=False)
+    return None
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = (),
+                  checkpoint: str | None = None,
+                  mode: str = "append") -> StreamingQuery | None:
+    """Parquet sink, batch or streaming. ``partition_by`` sets the
+    physical layout — at scale partition by a low-cardinality pruning
+    key (day, source), never a high-cardinality id."""
+    if df.isStreaming:
+        w = df.writeStream.format("parquet").option("path", path)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        return w.outputMode(mode).start()
+    w2 = df.write.mode("overwrite" if mode == "overwrite" else "append")
+    if partition_by:
+        w2 = w2.partitionBy(*partition_by)
+    w2.parquet(path)
+    return None
+
+
+def write_kafka(df: DataFrame, topic: str,
+                bootstrap: str = "localhost:9092",
+                checkpoint: str | None = None,
+                value_builder: Callable[[DataFrame], DataFrame] | None = None,
+                ) -> StreamingQuery | None:
+    """S7 analog: publish rows to Kafka. ``value_builder`` maps the frame
+    to a single ``value`` string column (default: JSON of all columns).
+    Requires the Kafka connector jars (not in the test image)."""
+    out = (value_builder(df) if value_builder
+           else df.select(F.to_json(F.struct(*df.columns)).alias("value")))
+    if out.isStreaming:
+        w = (out.writeStream.format("kafka")
+             .option("kafka.bootstrap.servers", bootstrap)
+             .option("topic", topic))
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        return w.start()
+    (out.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic).save())
+    return None
