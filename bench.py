@@ -42,9 +42,11 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "document_profile",
     "token_stats",
     "rolling_fingerprints",
+    "quality_filter",
 ]
 
 

@@ -135,3 +135,26 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     got = set(zip(ivf["q_id"], ivf["c_id"]))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.7, f"IVF recall {recall:.2f} below bound"
+
+
+def test_read_event_csv_drops_dirty_rows(spark, tmp_path):
+    """P1/P2 parse policy (HotItems.scala:57-68): unparseable rows null
+    out JVM-side and are dropped; clean rows get epoch-seconds → ts."""
+    from pyspark.sql import types as T
+    from user_behavior_analysis_spark.sources import read_event_csv
+    p = tmp_path / "login.csv"
+    p.write_text(
+        "1,192.168.0.1,fail,1558430815\n"
+        "2,192.168.0.2,success,1558430826\n"
+        "garbage,not-an-ip,fail,NOT_A_TS\n"      # dirty ts + id
+        "3,192.168.0.3,fail,1558430837\n")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ip", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    df = read_event_csv(spark, str(p), schema)
+    rows = df.orderBy("user_id").collect()
+    assert [r.user_id for r in rows] == [1, 2, 3]
+    assert rows[0].ts.year == 2019  # 1558430815 → 2019-05-21 UTC
