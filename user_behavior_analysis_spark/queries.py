@@ -1437,3 +1437,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(q, c, k=5, n_cells=8, n_probe=4)
     return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
                       "rank")
+
+
+_ORDER_STATS_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+    quantile_cont(o_totalprice, 0.25) AS p25,
+    quantile_cont(o_totalprice, 0.50) AS p50,
+    quantile_cont(o_totalprice, 0.90) AS p90,
+    -- decimal sums exit to double VIA VARCHAR: engines' decimal->double
+    -- casts disagree by 1 ulp on wide decimals, but decimal digits are
+    -- exact and string->double parsing is correctly rounded everywhere
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
+         AS DOUBLE) AS s1,
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))
+                  * CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
+         AS DOUBLE) AS s2,
+    COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, p25, p50, p90,
+  s1 / n AS avg_price,
+  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd,
+  n AS n_orders
+FROM s
+"""
+
+
+@query("order_value_stats", _ORDER_STATS_ORACLE)
+def order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional statistics per priority: exact continuous
+    percentiles (both engines interpolate identically on the sorted
+    group) plus mean and sample stddev derived from decimal-exact
+    sums — the closed form is partition-order-proof, unlike a merged
+    Welford accumulator."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice")
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    n = F.count(F.lit(1))
+    # decimal → string → double: see oracle comment (cross-engine 1-ulp
+    # divergence in wide decimal→double casts; strtod is exact)
+    s1 = F.sum(dec).cast("string").cast("double")
+    s2 = F.sum(dec * dec).cast("string").cast("double")
+    pct = F.expr("percentile(o_totalprice, array(0.25, 0.50, 0.90))")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(pct.alias("p"), s1.alias("s1"), s2.alias("s2"), n.alias("n"))
+        .select(
+            "o_orderpriority",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p90"),
+            (F.col("s1") / F.col("n")).alias("avg_price"),
+            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                   / (F.col("n") - 1)).alias("sd"),
+            F.col("n").alias("n_orders"),
+        )
+    )
