@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "revenue_forecast",
     "order_priority_count",
     "returned_item_losses",
+    "promo_revenue",
+    "nation_rollup",
+    "repeat_buyers",
+    "order_value_stats",
+    "marketing_total",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

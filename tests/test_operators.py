@@ -158,3 +158,40 @@ def test_read_event_csv_drops_dirty_rows(spark, tmp_path):
     rows = df.orderBy("user_id").collect()
     assert [r.user_id for r in rows] == [1, 2, 3]
     assert rows[0].ts.year == 2019  # 1558430815 → 2019-05-21 UTC
+
+
+def test_winnowing_matches_python_reference(spark):
+    """The let-bound SQL winnowing pipeline must agree with an
+    independent pure-Python implementation on random token streams."""
+    import hashlib
+    import random
+
+    P, B, K, W = 1_000_000_007, 131, 3, 4
+
+    def py_winnow(text: str) -> set[int]:
+        toks = text.strip().lower().split()
+        th = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P
+              for t in toks]
+        if len(th) < K:
+            return set()
+        g = [((th[i] * B + th[i + 1]) * B + th[i + 2]) % P
+             for i in range(len(th) - K + 1)]
+        if len(g) < W:
+            return set()
+        return {min(g[i:i + W]) for i in range(len(g) - W + 1)}
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2", "z3", "the"]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 30))))
+            for i in range(40)]
+
+    from pyspark.sql import functions as F
+    from user_behavior_analysis_spark.functions.text import (
+        tokens, winnow_fingerprints_expr)
+    df = (spark.createDataFrame(docs, ["doc_id", "text"])
+          .withColumn("toks", tokens("text"))
+          .withColumn("fps", F.expr(winnow_fingerprints_expr("toks", K, W)))
+          .select("doc_id", "fps"))
+    got = {r.doc_id: set(r.fps) for r in df.collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == py_winnow(text), f"doc {doc_id}: {text!r}"
