@@ -195,3 +195,23 @@ def test_winnowing_matches_python_reference(spark):
     got = {r.doc_id: set(r.fps) for r in df.collect()}
     for doc_id, text in docs:
         assert got[doc_id] == py_winnow(text), f"doc {doc_id}: {text!r}"
+
+
+def test_operators_handle_empty_input(spark):
+    """Operators must return empty results (correct schemas), not crash,
+    on empty inputs — micro-batches are routinely empty in streaming."""
+    from pyspark.sql import types as T
+    from user_behavior_analysis_spark.operators.cep import strict_pair
+    from user_behavior_analysis_spark.operators.sessionize import sessionize
+    from user_behavior_analysis_spark.operators.windows import windowed_agg
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert windowed_agg(empty, "ts", "1 hour",
+                        aggs=[F.count(F.lit(1)).alias("c")]).count() == 0
+    assert sessionize(empty, "user_id", "ts", gap_s=60).count() == 0
+    assert strict_pair(empty, "user_id", "ts",
+                       F.col("event_type") == "x", 10).count() == 0

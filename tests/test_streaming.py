@@ -253,3 +253,29 @@ def test_topn_foreach_batch_matches_batch_rank(spark, sf_dir,
                        suffixes=("_s", "_b"))
     assert len(merged) == len(out), "streamed rank rows missing from batch"
     assert (merged["cnt_s"] == merged["cnt_b"]).all()
+
+
+def test_parse_csv_lines_stream(spark, tmp_path):
+    """S1's parse stage (from_csv over a line column) on a text-file
+    stream: typed rows out, dirty lines dropped JVM-side."""
+    from pyspark.sql import types as T
+    from user_behavior_analysis_spark.sources import parse_csv_lines
+    d = tmp_path / "lines"
+    d.mkdir()
+    (d / "a.txt").write_text(
+        "1,10,pv,1558430815\n"
+        "2,20,buy,1558430826\n"
+        "bad,line,,\n"
+        "3,30,pv,1558430837\n")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("item_id", T.LongType()),
+        T.StructField("behavior", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    lines = (spark.readStream.format("text").load(str(d))
+             .withColumnRenamed("value", "line"))
+    parsed = parse_csv_lines(lines, schema)
+    out = run_stream(spark, parsed, "append", "csv_lines_stream")
+    assert sorted(out["user_id"]) == [1, 2, 3]
+    assert out["ts"].dt.year.eq(2019).all()
