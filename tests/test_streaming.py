@@ -279,3 +279,79 @@ def test_parse_csv_lines_stream(spark, tmp_path):
     out = run_stream(spark, parsed, "append", "csv_lines_stream")
     assert sorted(out["user_id"]) == [1, 2, 3]
     assert out["ts"].dt.year.eq(2019).all()
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, split_events_dir,
+                                          tmp_path):
+    """Kill a windowed aggregation after its first micro-batches, restart
+    from the checkpoint, and the parquet sink must hold exactly the batch
+    result for closed windows — no loss, no duplicates (state + source
+    offsets recovered)."""
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = spark.read.parquet(split_events_dir).schema
+
+    def make_query():
+        ev = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(split_events_dir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+              .where(F.col("event_type") == "view"))
+        agg = jobs.windowed_count_stream(ev, "ts", "1 hour", None, [],
+                                         watermark=WATERMARK)
+        return (agg.writeStream.outputMode("append").format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt))
+
+    # phase 1: process only part of the input, then stop mid-stream
+    q1 = make_query().trigger(processingTime="1 second").start()
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline and len(q1.recentProgress) < 2:
+        _time.sleep(0.5)
+    q1.stop()
+    # phase 2: restart from the checkpoint, drain the rest
+    q2 = make_query().trigger(availableNow=True).start()
+    q2.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    batch = (load_table(spark, sf_dir, "events")
+             .where(F.col("event_type") == "view")
+             .groupBy(F.window("ts", "1 hour"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.col("window.start").cast("bigint")
+                     .alias("window_start"),
+                     F.col("window.end").cast("bigint").alias("window_end"),
+                     "cnt").toPandas())
+    assert len(got) > 0
+    assert not got.duplicated(["window_start", "window_end"]).any(), \
+        "duplicate windows after recovery"
+    merged = got.merge(batch, on=["window_start", "window_end"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "windows emitted that batch never saw"
+    assert (merged["cnt_s"] == merged["cnt_b"]).all(), \
+        "window counts corrupted across restart"
+
+
+def test_ad_stats_pipeline_two_stateful_stages(spark, sf_dir,
+                                               split_events_dir):
+    """§3.2 composed topology: blacklist stateful filter chained into a
+    windowed count in ONE streaming plan. Closed windows must match the
+    batch pass-through grouped by the same windows."""
+    clicks = (stream_events(spark, split_events_dir)
+              .where(F.col("event_type") == "click")
+              .withColumn("ad_id",
+                          F.get_json_object("props", "$.k").cast("int") % 5)
+              .select("user_id", "ad_id", "ts"))
+    out = run_stream(
+        spark, jobs.ad_stats_pipeline_stream(clicks, 2,
+                                             watermark=WATERMARK),
+        "append", "ad_pipeline_stream")
+    assert len(out) > 0, "no windows closed"
+    from user_behavior_analysis_spark.queries import QUERIES
+    batch = QUERIES["ad_blacklist_passthrough"](spark, sf_dir).toPandas()
+    batch["window_start"] = batch["ts_sec"] // 3600 * 3600
+    expected = (batch.groupby("window_start").size()
+                .rename("cnt").reset_index())
+    merged = out.merge(expected, on="window_start", suffixes=("_s", "_b"))
+    assert len(merged) == len(out)
+    assert (merged["cnt_s"] == merged["cnt_b"]).all()

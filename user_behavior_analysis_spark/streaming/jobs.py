@@ -128,6 +128,35 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     return lw.join(rw, cond, "inner")
 
 
+def ad_stats_pipeline_stream(clicks: DataFrame, threshold: int,
+                             window_duration: str = "1 hour",
+                             watermark: str = "5 seconds") -> DataFrame:
+    """The composed AdStatisticsByGeo topology (reference entry point,
+    SURVEY.md §3.2): stateful per-(user, ad) blacklist filter → main-
+    stream pass-through → event-time windowed count — two stateful
+    operators chained in one streaming plan (supported natively in
+    Spark 4's multi-stateful-operator mode; watermark re-attached on the
+    stateful output's event time).
+
+    clicks: (user_id, ad_id, ts timestamp). Returns closed-window counts
+    of non-blacklisted clicks.
+    """
+    from .stateful import blacklist_stream
+    tagged = blacklist_stream(clicks, threshold)
+    main = (
+        tagged.where(F.col("tag") == "main")
+        .withColumn("ts", F.timestamp_seconds("ts_sec"))
+        .withWatermark("ts", watermark)
+    )
+    agg = main.groupBy(F.window("ts", window_duration)).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return (
+        agg.withColumn("window_start", F.col("window.start").cast("bigint"))
+           .withColumn("window_end", F.col("window.end").cast("bigint"))
+           .drop("window")
+    )
+
+
 def topn_foreach_batch(n: int, partition_keys: Sequence[str],
                        order_col: str, tiebreak: str,
                        sink: Callable[[DataFrame, int], None]):
