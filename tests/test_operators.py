@@ -215,3 +215,16 @@ def test_operators_handle_empty_input(spark):
     assert sessionize(empty, "user_id", "ts", gap_s=60).count() == 0
     assert strict_pair(empty, "user_id", "ts",
                        F.col("event_type") == "x", 10).count() == 0
+
+
+def test_frame_sample_plan_shape(spark, sf_dir):
+    """Video frame-sampling plumbing: per-object frame fan-out with the
+    stubbed decode — indices step by every_n and stay under n_frames."""
+    from user_behavior_analysis_spark.operators.multimodal import (
+        frame_sample_plan)
+    docs = load_table(spark, sf_dir, "documents").limit(20).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = frame_sample_plan(docs, "doc_id", "payload", every_n=10).toPandas()
+    assert len(out) > 0
+    assert (out["frame_idx"] % 10 == 0).all()
+    assert out.groupby("doc_id")["frame_idx"].is_monotonic_increasing.all()

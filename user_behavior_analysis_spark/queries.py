@@ -1494,3 +1494,61 @@ def order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+_CHURNED_ORACLE = """
+SELECT c_custkey FROM (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+"""
+
+
+@query("churned_buyers", _CHURNED_ORACLE)
+def churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: customers active in 1995 but gone in 1996 — the
+    complement of repeat_buyers. Compiles to a left-anti-shaped plan over
+    the same shared orders scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate")
+
+    def active(y0: str, y1: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        ).select(F.col("o_custkey").alias("c_custkey")).distinct()
+
+    # subtract = EXCEPT DISTINCT, same as the SQL EXCEPT
+    return active("1995-01-01", "1996-01-01") \
+        .subtract(active("1996-01-01", "1997-01-01"))
+
+
+_LATE_ADOPTER_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > 5000
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate < TIMESTAMP '1996-01-01')
+"""
+
+
+@query("late_adopter_customers", _LATE_ADOPTER_ORACLE)
+def late_adopter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join: high-balance customers with no
+    orders before 1996. The anti join shuffles both sides on custkey;
+    the acctbal filter prunes the customer scan first."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 5000
+    ).select("c_custkey", "c_name", "c_acctbal")
+    early = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return cust.join(early, cust.c_custkey == early.o_custkey,
+                     "left_anti")
