@@ -58,11 +58,13 @@ def md5_prefix_hash(col: Column, seed: int | None = None) -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+    """Fraction of characters that are not alphanumeric/space —
+    regexp_count of single non-alnum chars (no intermediate string
+    allocation, unlike a replace-then-measure)."""
     text = F.col(text) if isinstance(text, str) else text
-    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
     return F.when(F.length(text) > 0,
-                  F.length(stripped).cast("double") / F.length(text)
+                  n_punct.cast("double") / F.length(text)
                   ).otherwise(F.lit(0.0))
 
 

@@ -808,7 +808,7 @@ WITH t AS (
 SELECT doc_id,
   CAST(len(toks) AS INTEGER) AS n_tokens,
   CASE WHEN length(text) > 0 THEN
-    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
       / length(text) ELSE 0.0 END AS punct_ratio,
   CASE WHEN len(toks) > 0 THEN
     CAST(s_stop AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
@@ -1373,7 +1373,7 @@ WITH m AS (
   SELECT doc_id,
     len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
     CASE WHEN length(text) > 0 THEN
-      CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
         / length(text)
     ELSE 0.0 END AS punct_ratio,
     CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0 THEN
