@@ -355,3 +355,32 @@ def test_ad_stats_pipeline_two_stateful_stages(spark, sf_dir,
     merged = out.merge(expected, on="window_start", suffixes=("_s", "_b"))
     assert len(merged) == len(out)
     assert (merged["cnt_s"] == merged["cnt_b"]).all()
+
+
+def test_ad_geo_stream_static_join_parity(spark, sf_dir, split_events_dir):
+    """Stream-static join: streaming clicks against the static
+    customer→nation dimension path, then sliding-window counts — closed
+    windows must match the batch ad_stats_by_geo exactly."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    clicks = stream_events(spark, split_events_dir).where(
+        F.col("event_type") == "click")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    src = (clicks.join(F.broadcast(cust),
+                       clicks.user_id == cust.c_custkey)
+                 .join(F.broadcast(nation),
+                       cust.c_nationkey == nation.n_nationkey)
+                 .select("ts", F.col("n_name").alias("province")))
+    out = run_stream(
+        spark,
+        jobs.windowed_count_stream(src, "ts", "1 hour", "10 minutes",
+                                   ["province"], watermark=WATERMARK),
+        "append", "ad_geo_stream")
+    assert len(out) > 0
+    batch = QUERIES["ad_stats_by_geo"](spark, sf_dir).toPandas()
+    merged = out.merge(batch, on=["window_start", "window_end", "province"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(out), "streamed window missing from batch"
+    assert (merged["cnt_s"] == merged["cnt_b"]).all()
