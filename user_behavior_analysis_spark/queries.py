@@ -1552,3 +1552,93 @@ def late_adopter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey")
     return cust.join(early, cust.c_custkey == early.o_custkey,
                      "left_anti")
+
+
+_FUNNEL_ORACLE = f"""
+WITH views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), buys AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), converted AS (
+  SELECT DISTINCT v.user_id,
+         {tumbling_oracle_start('v.ts', 3600)} AS window_start
+  FROM views v JOIN buys b
+    ON v.user_id = b.user_id
+   AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+), viewers AS (
+  SELECT {tumbling_oracle_start('ts', 3600)} AS window_start,
+         COUNT(DISTINCT user_id) AS n_viewers
+  FROM views GROUP BY 1
+)
+SELECT vw.window_start,
+       vw.n_viewers,
+       COALESCE(cv.n_converted, 0) AS n_converted,
+       COALESCE(cv.n_converted, 0) * 1.0 / vw.n_viewers AS conversion
+FROM viewers vw
+LEFT JOIN (SELECT window_start, COUNT(*) AS n_converted
+           FROM converted GROUP BY 1) cv
+  ON vw.window_start = cv.window_start
+"""
+
+
+@query("view_purchase_funnel", _FUNNEL_ORACLE)
+def view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per view-hour, distinct viewers vs viewers who
+    purchased within 1 h of a view (the classic user-behavior metric the
+    reference's suite circles around). Shape: interval self-join on
+    user_id with the time bound residual, distinct-user dedup BEFORE the
+    per-window count, then a left join back onto viewer totals."""
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user_id"),
+                    F.col("ts").alias("b_ts")))
+    win_start = (F.floor(F.col("ts").cast("double") / 3600)
+                 .cast("long") * 3600).alias("window_start")
+    converted = (
+        views.join(buys,
+                   (views.user_id == buys.b_user_id)
+                   & (buys.b_ts >= views.ts)
+                   & (buys.b_ts <= views.ts + F.expr("INTERVAL 1 HOUR")))
+        .select("user_id", win_start).distinct()
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+    viewers = (views.select("user_id", win_start)
+               .groupBy("window_start")
+               .agg(F.countDistinct("user_id").alias("n_viewers")))
+    return (
+        viewers.join(converted, "window_start", "left")
+        .select("window_start", "n_viewers",
+                F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+                (F.coalesce("n_converted", F.lit(0)) * F.lit(1.0)
+                 / F.col("n_viewers")).alias("conversion"))
+    )
+
+
+_RETURNS_CUBE_ORACLE = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@query("returns_cube", _RETURNS_CUBE_ORACLE)
+def returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    partial+final aggregate pair — completes the grouping-sets surface
+    next to nation_rollup's ROLLUP."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+          .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+               F.count(F.lit(1)).alias("n_items"))
+          .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                  F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                  "sum_qty", "n_items")
+    )
