@@ -108,12 +108,17 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
 
 def test_split_by_tag_covers_all_rows(spark, sf_dir):
+    import pytest
     from user_behavior_analysis_spark.sinks import split_by_tag
     df = QUERIES["tx_reconciliation"](spark, sf_dir)
-    parts = split_by_tag(df, "tag")
+    parts = split_by_tag(
+        df, "tag", tags=("matched", "unmatched_pay", "unmatched_receipt"))
     assert set(parts) == {"matched", "unmatched_pay", "unmatched_receipt"}
     total = sum(p.count() for p in parts.values())
     assert total == df.count()
+    # tags are mandatory — no hidden distinct().collect() discovery
+    with pytest.raises(ValueError, match="explicit tags"):
+        split_by_tag(df, "tag")
 
 
 def test_write_parquet_roundtrip(spark, sf_dir, tmp_path):

@@ -38,13 +38,17 @@ def test_pricing_summary_partial_aggregation(spark, sf_dir):
     assert "hashpartitioning(l_returnflag" in plan
 
 
-def test_shipping_priority_fact_streams_against_broadcast_build(spark, sf_dir):
+def test_shipping_priority_fact_join_is_shuffle(spark, sf_dir):
     plan = plan_of(spark, "shipping_priority", sf_dir)
-    # the lineitem fact must be the STREAMED side: its orderkey joins a
-    # BuildRight broadcast of the filtered orders⋈customer relation
+    # orders⋈customer is fact-derived (~10% of orders): it must NOT be a
+    # broadcast build — the orderkey fact-fact join is pinned shuffle-hash
+    # so both facts exchange once and the plan survives a 100× scale-up
     assert re.search(
-        r"BroadcastHashJoin \[l_orderkey#\d+L?\], \[o_orderkey#\d+L?\], "
-        r"Inner, BuildRight", plan), plan
+        r"ShuffledHashJoin \[l_orderkey#\d+L?\], \[o_orderkey#\d+L?\]",
+        plan), plan
+    # the only BroadcastHashJoin allowed is the true dim (customer)
+    assert not re.search(
+        r"BroadcastHashJoin \[l_orderkey#\d+L?\]", plan), plan
 
 
 def test_local_supplier_volume_fact_join_is_shuffle(spark, sf_dir):

@@ -96,18 +96,28 @@ def followed_by_with_timeout(df: DataFrame, key: str, ts_col: str,
     {'payed successfully', 'payed but already timeout', 'timeout'} —
     the reference's OrderResult messages (OrderTimeout.scala:80,91;
     OrderTimeoutWithoutCep.scala:90-95).
+
+    Scale shape: two-pass conditional aggregation — pass 1 takes the
+    per-key min begin time (O(1) agg state); pass 2 joins the pay events
+    against that one-row-per-key relation and takes the conditional min
+    pay ≥ create (again O(1) agg state). No per-key array is ever
+    materialized, so a power-law hot key with millions of follow events
+    streams through the aggregation buffer instead of collecting into it.
     """
     ts_l = F.col(ts_col).cast("long")
-    per_key = (
-        df.groupBy(key).agg(
-            F.min(F.when(begin_flag, ts_l)).alias("create_ts"),
-            F.collect_list(F.when(follow_flag, ts_l)).alias("_pays"),
-        )
-        .where(F.col("create_ts").isNotNull())
+    begins = (
+        df.where(begin_flag)
+          .groupBy(key).agg(F.min(ts_l).alias("create_ts"))
     )
-    first_pay = F.array_min(F.filter("_pays", lambda p: p >= F.col("create_ts")))
+    pays = df.where(follow_flag).select(F.col(key), ts_l.alias("_pay_ts"))
+    per_key = (
+        begins.join(pays, on=key, how="left")
+        .groupBy(key, "create_ts")
+        .agg(F.min(F.when(F.col("_pay_ts") >= F.col("create_ts"),
+                          F.col("_pay_ts"))).alias("_first_pay"))
+    )
     return (
-        per_key.withColumn("pay_ts", F.coalesce(first_pay, F.lit(-1)))
+        per_key.withColumn("pay_ts", F.coalesce(F.col("_first_pay"), F.lit(-1)))
         .withColumn(
             "status",
             F.when(F.col("pay_ts") < 0, F.lit("timeout"))

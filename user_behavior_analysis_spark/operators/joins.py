@@ -71,9 +71,19 @@ def reconcile_full_outer(left: DataFrame, right: DataFrame, key: str,
     """J2: full-outer reconciliation with a tag column replacing the
     reference's two OutputTag side channels. Downstream splits with
     ``where(tag = ...)`` — one plan, three logical outputs."""
+    from functools import reduce
+
     joined = left.join(right, on=key, how="full_outer")
-    some_left = F.coalesce(*[left[c].isNotNull() for c in left.columns if c != key])
-    some_right = F.coalesce(*[right[c].isNotNull() for c in right.columns if c != key])
+    # Presence = ANY payload column non-null (OR-reduce). NOT coalesce:
+    # isNotNull() is never NULL, so coalesce would only ever test the
+    # first column and mis-tag a matched row whose first payload column
+    # is legitimately NULL.
+    some_left = reduce(
+        lambda a, b: a | b,
+        [left[c].isNotNull() for c in left.columns if c != key])
+    some_right = reduce(
+        lambda a, b: a | b,
+        [right[c].isNotNull() for c in right.columns if c != key])
     tag = (
         F.when(some_left & some_right, F.lit(matched))
          .when(some_left, F.lit(left_only))

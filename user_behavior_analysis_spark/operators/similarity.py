@@ -63,22 +63,29 @@ def cosine_topk_blocked(queries: DataFrame, corpus: DataFrame,
 
 
 def ivf_index(corpus: DataFrame, vec_col: str, n_cells: int = 16,
-              seed: int = 42):
+              seed: int = 42, max_train_rows: int = 100_000):
     """Train an IVF coarse quantizer (KMeans centroids) and assign every
     corpus vector to its cell. Returns (assigned_df, centroids) where
     ``assigned_df`` = corpus + ``cell`` int column and ``centroids`` is
     the k×dim list of centers (small enough to broadcast by value).
 
-    Scale shape: training fits on a sample; assignment is a map-side
-    transform — the corpus never shuffles to build the index.
+    Scale shape: training fits on a bounded SAMPLE (≤ ``max_train_rows``,
+    deterministic seed) — at 100 TB the iterative KMeans must never see
+    the full corpus, only assignment does, and assignment is a map-side
+    transform: the corpus never shuffles to build the index. The one
+    ``count()`` used to size the sample fraction is a column-pruned
+    metadata-cheap scan and runs once at index-build time.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     fv = corpus.withColumn("_fv", array_to_vector(as_double(vec_col)))
+    n = corpus.count()
+    train = fv if n <= max_train_rows else fv.sample(
+        fraction=max_train_rows / n, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="_fv",
                 predictionCol="cell")
-    model = km.fit(fv)
+    model = km.fit(train)
     assigned = model.transform(fv).drop("_fv")
     centroids = [c.tolist() for c in model.clusterCenters()]
     return assigned, centroids

@@ -519,15 +519,19 @@ def tx_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONS_ORACLE = """
 WITH marked AS (
-  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 OR CAST(floor(epoch(ts)) AS BIGINT)
                  - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ), sess AS (
+  -- cumsum ordered by the FULL-precision ts (same ordering as the lag
+  -- window above and as the Spark-side Window.orderBy(ts)) — ordering
+  -- by second-truncated ts_s here could split same-second ties
+  -- differently across engines
   SELECT user_id, ts_s,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
@@ -965,12 +969,14 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(_D12)
     revenue = F.sum(
         _dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
-    # Build side = orders⋈customer (doubly filtered, small); the lineitem
-    # FACT must stream — never broadcast the fact, it's the side that
-    # grows 1000× at scale while the filtered order set stays join-able.
+    # customer (selective dim) broadcasts into orders; but orders⋈customer
+    # is still FACT-derived (~10% of the orders fact) — at 100 TB it is
+    # gigabytes, so it must NOT broadcast. Pin shuffle-hash on orderkey:
+    # both sides exchange once, neither becomes a broadcast build
+    # (same shape as local_supplier_volume / returned_item_losses).
     ord_c = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     agg = (
-        li.join(F.broadcast(ord_c), li.l_orderkey == orders.o_orderkey)
+        li.join(ord_c.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey",
                  # o_orderdate is TIMESTAMP_NTZ (parquet ms): NTZ → LTZ
                  # (session tz pinned UTC by tune()) → epoch seconds

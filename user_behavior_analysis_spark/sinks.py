@@ -19,12 +19,20 @@ from pyspark.sql.streaming import StreamingQuery
 def split_by_tag(df: DataFrame, tag_col: str = "tag",
                  tags: tuple[str, ...] = ()) -> dict[str, DataFrame]:
     """Side-output split: one tagged DataFrame → {tag: filtered view}.
-    Tags default to the distinct values present (batch only — pass
-    explicit ``tags`` for streaming plans, where collecting is illegal).
+
+    ``tags`` is REQUIRED: side-output tags are a static property of the
+    producing operator (the reference declares its OutputTags at compile
+    time, ``TxMatchDetect.scala:60-63``), so discovering them with a
+    distinct+collect job would both hide a driver-side action in a sink
+    helper and be illegal on streaming plans. Callers pass the tag set
+    their operator emits.
     """
     if not tags:
-        tags = tuple(r[0] for r in
-                     df.select(tag_col).distinct().collect())
+        raise ValueError(
+            "split_by_tag requires explicit tags — the tag vocabulary is "
+            "a static property of the producing operator; discovering it "
+            "via distinct().collect() is a hidden driver action and "
+            "impossible on streaming plans")
     return {t: df.where(F.col(tag_col) == t).drop(tag_col) for t in tags}
 
 

@@ -122,8 +122,15 @@ def order_timeout_stream(events: DataFrame, create_value: str,
                               else "payed but already timeout")
                     out.append((user_id, create_ts, ts_s, status))
                     done = True
-        state.update((create_ts, done))
-        if not done:
+        if done:
+            # Resolved orders drop their state entry entirely — on a
+            # long-running stream with open-ended order keys, keeping a
+            # done=True tombstone per key is unbounded state growth (the
+            # reference clears its ValueState + timer on resolution,
+            # OrderTimeout.scala:61-64).
+            state.remove()
+        else:
+            state.update((create_ts, done))
             state.setTimeoutDuration(within_s * 1000)
         yield pd.DataFrame(
             out, columns=["user_id", "create_ts", "pay_ts", "status"])
@@ -207,7 +214,12 @@ def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
     bitmap of S6 moved into the Spark state store) + running count. Each
     element probes ``len(seeds)`` polynomial hashes (same h = h*seed +
     char construction, masked to cap_bits-1, seeds 61/71/83 as at
-    UvWithBloomFilter.scala:146-148); any unset bit → count and set.
+    UvWithBloomFilter.scala:146-148). Exactly like the reference
+    (UvWithBloomFilter.scala:149-157): an id counts as new only when ALL
+    probed bits are unset, and bits are set only for new ids — a
+    partially-colliding new id is silently skipped and its unset bits
+    stay unset. (A standard Bloom filter would instead add on any unset
+    bit; the reference's stricter condition is reproduced for parity.)
     Emits the running count per key per micro-batch in update mode —
     the honest mapping of the per-element FIRE_AND_PURGE trigger
     (SURVEY.md §2.4 A8).
@@ -238,7 +250,7 @@ def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
             pdf = pdf.sort_values(ts_col)
             for uid in pdf[id_col].astype(str):
                 idxs = [_bloom_hash(uid, s) for s in seeds]
-                if any(not (bm[i >> 3] >> (i & 7)) & 1 for i in idxs):
+                if all((bm[i >> 3] >> (i & 7)) & 1 == 0 for i in idxs):
                     cnt += 1
                     for i in idxs:
                         bm[i >> 3] |= 1 << (i & 7)
