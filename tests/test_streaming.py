@@ -357,6 +357,80 @@ def test_ad_stats_pipeline_two_stateful_stages(spark, sf_dir,
     assert (merged["cnt_s"] == merged["cnt_b"]).all()
 
 
+def test_dedup_exact_stream_parity(spark, sf_dir, tmp_path):
+    """Streaming dedup twin: replaying the documents table (doc_id order,
+    synthetic event time) through dropDuplicatesWithinWatermark must keep
+    exactly one row per fingerprint — and, because arrival order is
+    doc_id order, the KEPT doc_id per fingerprint must equal the batch
+    dedup_exact keep_id (min doc_id)."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").toPandas())
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    step = (len(docs) + N_SPLITS - 1) // N_SPLITS
+    for i in range(N_SPLITS):
+        part = docs.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(d / f"part-{i:03d}.parquet", index=False)
+    schema = spark.read.parquet(str(d)).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d))
+           .withColumn("ts", F.timestamp_seconds(
+               F.lit(1_600_000_000) + F.col("doc_id"))))
+    out = run_stream(
+        spark, jobs.dedup_exact_stream(src, "ts", "text",
+                                       watermark="30 days"),
+        "append", "dedup_stream")
+    batch = QUERIES["dedup_exact"](spark, sf_dir).toPandas()
+    assert len(out) == len(batch), "one survivor per fingerprint"
+    assert not out["fp"].duplicated().any()
+    merged = out.merge(batch, on="fp")
+    assert len(merged) == len(out)
+    assert (merged["doc_id"] == merged["keep_id"]).all(), \
+        "first arrival (min doc_id) must be the survivor"
+
+
+def test_late_rows_observed_and_dropped(spark, sf_dir, tmp_path):
+    """W5 stand-in: an hour-late replay file must be counted by the
+    numRowsDroppedByWatermark metric while observe_input still sees every
+    arriving row — dropped/total observability without allowedLateness."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type") == "view")
+          .select("event_id", "ts", "user_id").orderBy("ts").toPandas())
+    d = tmp_path / "late_events"
+    d.mkdir()
+    half = len(ev) // 2
+    # batch 0: first half; batch 1: the far future tail (advances the
+    # watermark hours ahead); batch 2: a replay of early rows — now late
+    import os
+    ev.iloc[:half].to_parquet(d / "part-000.parquet", index=False)
+    ev.iloc[half:].to_parquet(d / "part-001.parquet", index=False)
+    late = ev.iloc[: max(len(ev) // 10, 1)]
+    late.to_parquet(d / "part-002.parquet", index=False)
+    for i, f in enumerate(sorted(d.iterdir())):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    schema = spark.read.parquet(str(d)).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d))
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    counted = jobs.windowed_count_stream(
+        jobs.observe_input(src), "ts", "1 hour", None, [],
+        watermark=WATERMARK)
+    q = (counted.writeStream.outputMode("append").format("memory")
+         .queryName("late_obs").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    dropped = jobs.watermark_drop_count(q)
+    observed = jobs.observed_input_rows(q)
+    assert observed == len(ev) + len(late), \
+        f"observe_input missed rows: {observed}"
+    # the metric counts rows REACHING the state store — i.e. post
+    # map-side partial aggregation, one per late (window) group
+    late_windows = late["ts"].dt.floor("h").nunique()
+    assert dropped >= late_windows > 0, \
+        f"late replay not dropped by watermark: {dropped} < {late_windows}"
+
+
 def test_ad_geo_stream_static_join_parity(spark, sf_dir, split_events_dir):
     """Stream-static join: streaming clicks against the static
     customer→nation dimension path, then sliding-window counts — closed

@@ -31,7 +31,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_event_csv(spark: SparkSession, path: str, schema: T.StructType,
-                   ts_col: str = "ts") -> DataFrame:
+                   ts_col: str = "ts",
+                   required: tuple[str, ...] | None = None) -> DataFrame:
     """Headerless CSV of one reference event type → typed DataFrame.
 
     ``schema`` is one of ``schemas.*`` with a TimestampType ``ts_col``;
@@ -39,6 +40,11 @@ def read_event_csv(spark: SparkSession, path: str, schema: T.StructType,
     ``.toLong * 1000`` — HotItems.scala:61). Unparseable numerics become
     NULL under PERMISSIVE mode and the row is dropped, matching the
     reference's log-and-null-out policy (P1/P2 in SURVEY.md §2.2).
+
+    ``required`` restricts which columns trigger the drop (default: all).
+    The reference's OrderLog legitimately carries an empty txId on
+    create rows (OrderLog.csv:2) — there ``required`` must exclude
+    ``tx_id`` or every create event vanishes.
     """
     csv_fields = [
         T.StructField(f.name, T.LongType() if f.name == ts_col else f.dataType)
@@ -46,8 +52,9 @@ def read_event_csv(spark: SparkSession, path: str, schema: T.StructType,
     ]
     raw = spark.read.csv(path, schema=T.StructType(csv_fields), mode="PERMISSIVE")
     df = raw.withColumn(ts_col, F.timestamp_seconds(F.col(ts_col)))
-    required = [f.name for f in schema.fields]
-    return df.na.drop(subset=required)
+    subset = list(required) if required is not None \
+        else [f.name for f in schema.fields]
+    return df.na.drop(subset=subset)
 
 
 def read_kafka_stream(spark: SparkSession, topic: str,
@@ -70,11 +77,13 @@ def read_kafka_stream(spark: SparkSession, topic: str,
 
 
 def parse_csv_lines(lines: DataFrame, schema: T.StructType,
-                    ts_col: str = "ts") -> DataFrame:
+                    ts_col: str = "ts",
+                    required: tuple[str, ...] | None = None) -> DataFrame:
     """Parse a ``line: string`` column of headerless CSV into ``schema``.
 
     ``from_csv`` runs JVM-side; dirty rows null out and are dropped, the
-    streaming analog of read_event_csv's policy.
+    streaming analog of read_event_csv's policy. ``required`` as in
+    ``read_event_csv`` (OrderLog's create rows carry an empty tx_id).
     """
     csv_fields = [
         T.StructField(f.name, T.LongType() if f.name == ts_col else f.dataType)
@@ -83,7 +92,9 @@ def parse_csv_lines(lines: DataFrame, schema: T.StructType,
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in csv_fields)
     parsed = lines.select(F.from_csv("line", ddl).alias("r")).select("r.*")
     parsed = parsed.withColumn(ts_col, F.timestamp_seconds(F.col(ts_col)))
-    return parsed.na.drop(subset=[f.name for f in schema.fields])
+    subset = list(required) if required is not None \
+        else [f.name for f in schema.fields]
+    return parsed.na.drop(subset=subset)
 
 
 def simulated_marketing_stream(spark: SparkSession,

@@ -157,6 +157,73 @@ def ad_stats_pipeline_stream(clicks: DataFrame, threshold: int,
     )
 
 
+def dedup_exact_stream(df: DataFrame, ts_col: str, text_col: str,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``operators.dedup.dedup_exact``: keep the FIRST
+    arrival per normalized-text fingerprint, drop later duplicates.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per fingerprint
+    and evicts it once the watermark passes the row's event time +
+    delay — bounded state, unlike a plain streaming dropDuplicates whose
+    state grows forever. The guarantee is correspondingly windowed:
+    duplicates separated by more than the watermark delay can re-emit,
+    which is the honest contract for an infinite stream (batch dedup
+    over the accumulated output remains the exactness backstop).
+    """
+    from ..functions.text import fingerprint
+
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+          .withWatermark(ts_col, watermark)
+          .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+def observe_input(df: DataFrame, name: str = "input") -> DataFrame:
+    """Attach an ``observe()`` metric point counting rows (and their
+    event-time span) flowing past this node — read back per micro-batch
+    from ``StreamingQueryProgress.observedMetrics[name]``."""
+    return df.observe(name, F.count(F.lit(1)).alias("rows"))
+
+
+def _progress_dicts(query) -> list[dict]:
+    """recentProgress as PLAIN nested dicts. Spark 4's
+    StreamingQueryProgress subclasses dict but nests Row objects (e.g.
+    observedMetrics values), so go through the json form when present."""
+    import json
+
+    return [json.loads(p.json) if hasattr(p, "json") else p
+            for p in query.recentProgress]
+
+
+def watermark_drop_count(query) -> int:
+    """Total rows dropped as too-late by stateful operators across a
+    query's retained progress events — the W5 allowedLateness stand-in
+    (SURVEY.md §2.3): the reference's side-output of late rows becomes a
+    first-class metric (``stateOperators[].numRowsDroppedByWatermark``).
+    Pair with ``observe_input`` to get dropped/total visibility.
+
+    Counting caveat: the metric counts rows REACHING the state store —
+    after map-side partial aggregation — so for a windowed count it is
+    "late window-groups per micro-batch", a lower bound on raw late
+    input rows (observe the pre-agg node if exact row counts matter)."""
+    total = 0
+    for p in _progress_dicts(query):
+        for op in p.get("stateOperators", []):
+            total += op.get("numRowsDroppedByWatermark", 0)
+    return total
+
+
+def observed_input_rows(query, name: str = "input") -> int:
+    """Sum of the ``observe_input`` counter across progress events."""
+    total = 0
+    for p in _progress_dicts(query):
+        m = p.get("observedMetrics", {}).get(name)
+        if m:
+            total += m.get("rows", 0)
+    return total
+
+
 def topn_foreach_batch(n: int, partition_keys: Sequence[str],
                        order_col: str, tiebreak: str,
                        sink: Callable[[DataFrame, int], None]):

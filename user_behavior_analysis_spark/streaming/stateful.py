@@ -122,16 +122,16 @@ def order_timeout_stream(events: DataFrame, create_value: str,
                               else "payed but already timeout")
                     out.append((user_id, create_ts, ts_s, status))
                     done = True
-        if done:
-            # Resolved orders drop their state entry entirely — on a
-            # long-running stream with open-ended order keys, keeping a
-            # done=True tombstone per key is unbounded state growth (the
-            # reference clears its ValueState + timer on resolution,
-            # OrderTimeout.scala:61-64).
-            state.remove()
-        else:
-            state.update((create_ts, done))
-            state.setTimeoutDuration(within_s * 1000)
+        state.update((create_ts, done))
+        # Always arm the group timeout: unresolved orders emit the
+        # 'timeout' row when it fires; RESOLVED orders get their state
+        # silently evicted by the same timer — keeping a done tombstone
+        # forever would grow state unboundedly on open-ended order keys,
+        # while immediate removal would let a late duplicate create
+        # re-open the episode inside the detection window. Mirrors the
+        # reference, whose event-time timer clears state either way
+        # (OrderTimeout.scala's timer + clear on resolve).
+        state.setTimeoutDuration(within_s * 1000)
         yield pd.DataFrame(
             out, columns=["user_id", "create_ts", "pay_ts", "status"])
 
