@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "marketing_total",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "simhash_neardup",
+    "big_spender_orders",
+    "day1_retention",
+    "event_transitions",
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "ann_bruteforce_topk",

@@ -75,3 +75,26 @@ def test_token_stats_is_scan_only(spark, sf_dir):
 def test_order_priority_is_semi_join(spark, sf_dir):
     plan = plan_of(spark, "order_priority_count", sf_dir)
     assert "LeftSemi" in plan
+
+def test_big_spender_fact_joins_are_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "big_spender_orders", sf_dir)
+    # the HAVING-filtered per-order rollup is fact-derived: tiny at test
+    # scale, fact-sized at 100× — both downstream joins must be pinned
+    # shuffle-hash builds, never BroadcastExchange
+    assert re.search(
+        r"ShuffledHashJoin \[l_orderkey#\d+L?\], \[o_orderkey#\d+L?\]",
+        plan), plan
+    assert re.search(
+        r"ShuffledHashJoin \[o_custkey#\d+L?\], \[c_custkey#\d+L?\]",
+        plan), plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_simhash_neardup_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "simhash_neardup", sf_dir)
+    # band-bucket equality must drive the self-join (hash exchange on
+    # band+bucket), with the Hamming check as a residual — never a
+    # cartesian/BNLJ all-pairs stage
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan

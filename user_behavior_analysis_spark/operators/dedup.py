@@ -105,13 +105,158 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bh")))
     small = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a = small.alias("a")
-    b = small.alias("b")
+    # The banded relation is FACT-sized (docs × bands): pin the self-join
+    # to shuffle-hash so Catalyst's size estimate — small only at test
+    # scale — can never pick a broadcast build that OOMs at 100×.
+    b = small.hint("shuffle_hash").alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
          .select(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
+         .distinct()
+    )
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Min-label connected components over an undirected edge list —
+    the cluster-resolution step between LSH candidate pairs and an
+    actual keep/drop decision. Returns one (node, rep) row per node
+    appearing in ``pairs``; ``rep`` is the smallest node id in the
+    component.
+
+    Algorithm: iterative neighbor-min propagation plus a pointer-jumping
+    (path-halving) step per round, so label convergence is
+    O(log diameter) rounds rather than O(diameter) — the same plan the
+    large-star/small-star map-reduce CC algorithms use, expressed as two
+    DataFrame joins per round. Each round's result is checkpointed to
+    truncate the lineage (iterative self-joins otherwise grow the plan
+    exponentially); local checkpoints here, a reliable checkpoint dir on
+    a real cluster. Per round: one shuffle for the neighbor-min groupBy
+    and one for the pointer-jump self-join — each carries exactly one
+    row per node/edge, never a materialized component.
+
+    Raises RuntimeError if labels haven't converged after ``max_iter``
+    rounds (duplicate clusters from LSH are shallow; hitting the cap
+    means the input is not a near-dup graph).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .union(pairs.select(F.col(dst).alias("u"),
+                                 F.col(src).alias("v")))
+    ).localCheckpoint(eager=True)
+    labels = (edges.select("u").distinct()
+                   .select(F.col("u").alias("node"),
+                           F.col("u").alias("rep"))
+              ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("node").alias("v"), "rep"), "v")
+                 .groupBy("u").agg(F.min("rep").alias("nrep"))
+                 .select(F.col("u").alias("node"), "nrep")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+                  .select("node",
+                          F.least(F.col("rep"),
+                                  F.coalesce("nrep", F.col("rep")))
+                          .alias("rep"))
+        )
+        # pointer jump: rep <- rep's current rep (path halving). Every
+        # rep is itself a node (it's a min over node ids), so the inner
+        # self-join is total.
+        jumped = (
+            new.alias("x")
+               .join(new.alias("y"), F.col("x.rep") == F.col("y.node"))
+               .select(F.col("x.node").alias("node"),
+                       F.col("y.rep").alias("rep"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n").join(labels.alias("o"), "node")
+                  .where(F.col("n.rep") != F.col("o.rep")).count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The dedup pipeline's last step: resolve candidate pairs into
+    duplicate clusters and a canonical keep/drop decision.
+
+    Output: one row per document — (doc_id, cluster_rep, keep) where
+    ``cluster_rep`` is the smallest doc_id in the document's near-dup
+    component (itself for singletons) and ``keep`` marks the one
+    surviving representative per cluster. ``where(~keep)`` IS the drop
+    set a training pipeline consumes.
+    """
+    comps = connected_components(pairs, max_iter=25)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+            .join(comps.select(F.col("node").alias("doc_id"), "rep"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("rep", F.col("doc_id")).alias("cluster_rep"))
+            .withColumn("keep", F.col("doc_id") == F.col("cluster_rep"))
+    )
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          bits: int = 16, max_hamming: int = 3,
+                          max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` SimHash bits, found by
+    block-permutation banding (Manku/Jain/Sarma, WWW'07): split the
+    fingerprint into ``max_hamming + 1`` contiguous bit-bands — any pair
+    at Hamming distance ≤ k must agree EXACTLY on at least one band
+    (pigeonhole), so band-equality buckets are a lossless candidate
+    generator. Candidates are then verified with the exact popcount of
+    the XOR, all JVM-side (`bit_count` is whole-stage-codegen'd).
+
+    Same scale posture as ``minhash_lsh_pairs``: the only exchanges are
+    the fingerprint aggregate, the band-bucket self-join, and the final
+    distinct — no all-pairs stage. ``max_bucket`` caps degenerate bands
+    (e.g. the all-zeros band common on short docs) before the self-join.
+    At production scale use bits=64 with 4×16-bit bands (2^16 buckets
+    per band); 16 bits is the oracle-tractable demo configuration.
+    """
+    bands = max_hamming + 1
+    assert bits % bands == 0, "bits must divide evenly into k+1 bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, text_col, id_col, bits=bits)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("simhash", b * width)
+                  .bitwiseAND(F.lit(mask)).alias("bb"))
+        for b in range(bands)
+    ]
+    buckets = (
+        sig.select("doc_id", "simhash",
+                   F.explode(F.array(*band_cols)).alias("x"))
+           .select("doc_id", "simhash", F.col("x.band").alias("band"),
+                   F.col("x.bb").alias("bb"))
+    )
+    sized = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bb")))
+    small = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    # fact-sized self-join: pinned shuffle-hash, same rule as the LSH
+    # band join — never a broadcast build that only fits at test scale
+    a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bb") == F.col("b.bb"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .where(ham <= max_hamming)
+         .select(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 ham.cast("int").alias("hamming"))
          .distinct()
     )
 

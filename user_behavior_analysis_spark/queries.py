@@ -598,8 +598,7 @@ _band_selects = "\n  UNION ALL ".join(
     ") AS bh FROM sig"
     for b in range(_BANDS))
 
-_MINHASH_ORACLE = f"""
-WITH {_TOKS_CTE},
+_LSH_CTES = f"""{_TOKS_CTE},
 h AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h1,
@@ -611,7 +610,10 @@ h AS (
   FROM h GROUP BY doc_id
 ), buckets AS (
   {_band_selects}
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_LSH_CTES}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -624,6 +626,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "text", "doc_id",
                              num_hashes=_NUM_HASHES, bands=_BANDS)
+
+
+# --- near-dup cluster resolution (pairs → components → keep/drop) ----------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_LSH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_rep FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+       d.doc_id = COALESCE(c.cluster_rep, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → connected components → per-doc (cluster_rep, keep): the
+    drop-set a training pipeline actually consumes. The oracle resolves
+    components with a recursive transitive-closure CTE; the engine uses
+    O(log d) pointer-jumping rounds (operators/dedup.py)."""
+    from .operators.dedup import dedup_clusters, minhash_lsh_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                              num_hashes=_NUM_HASHES, bands=_BANDS)
+    return dedup_clusters(docs, pairs)
 
 
 # --- exact n-gram Jaccard verification -------------------------------------
@@ -688,6 +729,52 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "text", "doc_id", bits=_SIMHASH_BITS)
+
+
+# --- SimHash near-dup pairs (band-blocking + Hamming verify) ----------------
+
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = _SIMHASH_MAX_HAMMING + 1
+_SIMHASH_BAND_W = _SIMHASH_BITS // _SIMHASH_BANDS
+
+_SIMHASH_NEARDUP_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tk
+), v AS (
+  SELECT doc_id,
+       {_vote_exprs}
+  FROM h GROUP BY doc_id
+), s AS (
+  SELECT doc_id, CAST({_bit_sum} AS BIGINT) AS simhash FROM v
+), bk AS (
+  SELECT doc_id, simhash, t.range AS band,
+         (simhash >> (CAST(t.range AS INTEGER) * {_SIMHASH_BAND_W}))
+           & {(1 << _SIMHASH_BAND_W) - 1} AS bb
+  FROM s CROSS JOIN range({_SIMHASH_BANDS}) t
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bk a JOIN bk b
+  ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+@query("simhash_neardup", _SIMHASH_NEARDUP_ORACLE)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within Hamming ≤ 3 of each other's SimHash, via
+    block-permutation banding (pigeonhole over k+1 bands) + exact
+    popcount verification — the SimHash twin of the LSH candidate step."""
+    from .operators.dedup import simhash_neardup_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "text", "doc_id",
+                                 bits=_SIMHASH_BITS,
+                                 max_hamming=_SIMHASH_MAX_HAMMING)
 
 
 # --- ANN: brute-force cosine top-k -----------------------------------------
@@ -1647,4 +1734,148 @@ def returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
                   F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
                   "sum_qty", "n_items")
+    )
+
+
+# --- TPC-H Q18 shape: large-volume orders -----------------------------------
+
+_BIG_SPENDER_QTY = 250
+
+_BIG_SPENDERS_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {_BIG_SPENDER_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date_sec,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+@query("big_spender_orders", _BIG_SPENDERS_ORACLE)
+def big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds the
+    threshold, decorated with the buying customer.
+
+    Scale posture: the per-order quantity rollup is the one fact-sized
+    shuffle (map-side partial sums first); the HAVING filter collapses it
+    to a sliver, but that sliver is still FACT-derived — both downstream
+    joins are pinned shuffle-hash on their keys rather than broadcast,
+    the same rule shipping_priority/returned_item_losses follow (a
+    build side that is only small at test scale must not be broadcast).
+    Quantities are integral-valued doubles < 2^53, so the sum is
+    order-independent and cross-engine exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("total_qty"))
+             .where(F.col("total_qty") > _BIG_SPENDER_QTY))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    return (
+        big.join(orders.hint("shuffle_hash"),
+                 big.l_orderkey == orders.o_orderkey)
+           .join(cust.hint("shuffle_hash"),
+                 orders.o_custkey == cust.c_custkey)
+           .select("c_name", "c_custkey", "o_orderkey",
+                   # o_orderdate is TIMESTAMP_NTZ (parquet ms): NTZ → LTZ
+                   # under the session's UTC tz, then epoch seconds
+                   F.col("o_orderdate").cast("timestamp").cast("long")
+                    .alias("order_date_sec"),
+                   "o_totalprice", "total_qty")
+    )
+
+
+# --- day-1 retention over the events table ----------------------------------
+
+_RETENTION_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS d
+  FROM events
+)
+SELECT a.d AS day_start,
+       COUNT(*) AS active_users,
+       CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS retained_users,
+       CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS retention
+FROM ud a
+LEFT JOIN ud b ON a.user_id = b.user_id AND b.d = a.d + 86400
+GROUP BY a.d
+"""
+
+
+@query("day1_retention", _RETENTION_ORACLE)
+def day1_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic next-day retention: of the users active on day d, how many
+    are also active on d+1.
+
+    Two shuffles total: the (user, day) distinct and the self-join on
+    user_id — both keyed on user_id-sized relations, never raw events.
+    The left join hits at most one row per (user, day) because ud is
+    distinct, so COUNT(*) counts active users exactly.
+    """
+    ev = _events(spark, sf_dir)
+    ud = (ev.select("user_id",
+                    (F.floor(F.col("ts").cast("long") / 86400) * 86400)
+                    .alias("d"))
+            .distinct())
+    nxt = ud.select(F.col("user_id").alias("u2"),
+                    F.col("d").alias("d2"))
+    return (
+        ud.join(nxt, (ud.user_id == nxt.u2)
+                & (nxt.d2 == F.col("d") + 86400), "left")
+          .groupBy(F.col("d").alias("day_start"))
+          .agg(F.count(F.lit(1)).alias("active_users"),
+               F.sum(F.when(F.col("u2").isNotNull(), 1).otherwise(0))
+                .cast("long").alias("retained_users"))
+          .select("day_start", "active_users", "retained_users",
+                  (F.col("retained_users").cast("double")
+                   / F.col("active_users")).alias("retention"))
+    )
+
+
+# --- event-type transition matrix -------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+"""
+
+
+@query("event_transitions", _TRANSITIONS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per user
+    — the behavioral-analytics staple built on a lead() window.
+
+    One shuffle to co-locate each user's history, then the lead() and the
+    final count are map-heavy. The window orders by (ts, event_id) so
+    same-second events have a deterministic cross-engine order — the
+    user_sessions oracle tie lesson applied from the start.
+    """
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("nxt"))
+    return (
+        seq.where(F.col("nxt").isNotNull())
+           .groupBy(F.col("event_type").alias("from_type"),
+                    F.col("nxt").alias("to_type"))
+           .agg(F.count(F.lit(1)).alias("n"))
     )
