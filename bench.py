@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_pipeline",
     "simhash_neardup",
     "big_spender_orders",
     "day1_retention",

@@ -167,6 +167,60 @@ def test_tx_match_golden(spark):
         assert set(rec[rec["tag"] == tag]["tx_id"]) == txs, tag
 
 
+def test_tx_reconcile_stream_golden(spark, tmp_path):
+    """J2 streaming twin over the reference's own fixtures: the
+    watermarked full-outer stream-stream join must produce the exact
+    matched / unmatched-pay / unmatched-receipt channels of
+    TxMatchDetect's side outputs. A far-future sentinel row per stream
+    closes both watermarks so unmatched state flushes before the
+    availableNow drain ends; sentinel ids are filtered from assertions."""
+    from user_behavior_analysis_spark.streaming import jobs
+
+    SENT = 9_999_999_999  # epoch far beyond every fixture timestamp
+    orders = (FIXTURES / "OrderLog.csv").read_text().strip().splitlines()
+    pays = [ln for ln in orders if ",pay," in ln]
+    receipts = (FIXTURES / "ReceiptLog.csv").read_text().strip().splitlines()
+
+    def _stream(lines, name, fmt):
+        d = tmp_path / name
+        d.mkdir()
+        lines = sorted(lines, key=lambda ln: int(ln.rsplit(",", 1)[1]))
+        lines.append(fmt)  # sentinel last → final watermark advance
+        for i, ln in enumerate(lines):
+            f = d / f"ev-{i:04d}.txt"
+            f.write_text(ln + "\n")
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        return (spark.readStream.format("text")
+                .option("maxFilesPerTrigger", 1).load(str(d))
+                .withColumnRenamed("value", "line"))
+
+    pay_raw = _stream(pays, "pays", f"0,pay,zz-sent-l,{SENT}")
+    rec_raw = _stream(receipts, "receipts", f"zz-sent-r,none,{SENT}")
+    pay = (parse_csv_lines(pay_raw, ORDER_EVENT)
+           .select(F.col("tx_id").alias("p_tx"), F.col("ts").alias("pay_t")))
+    rec = (parse_csv_lines(rec_raw, RECEIPT_EVENT)
+           .select(F.col("tx_id").alias("r_tx"),
+                   F.col("ts").alias("receipt_t")))
+    out = _drain(
+        spark,
+        jobs.reconcile_stream(pay, rec, ("p_tx", "r_tx"),
+                              "pay_t", "receipt_t", within_s=5,
+                              watermark="1 second",
+                              left_only="unmatched_pay",
+                              right_only="unmatched_receipt"),
+        "append", "golden_reconcile")
+    out = out[~(out["p_tx"].fillna("").str.startswith("zz-sent")
+                | out["r_tx"].fillna("").str.startswith("zz-sent"))]
+    matched = out[out["tag"] == "matched"]
+    # the duplicated 8x0zvy8z3 receipt row yields two matched rows
+    assert len(matched) == 3
+    assert set(matched["p_tx"]) == EXPECTED_TX["matched"]
+    assert set(out[out["tag"] == "unmatched_pay"]["p_tx"]) == \
+        EXPECTED_TX["unmatched_pay"]
+    assert set(out[out["tag"] == "unmatched_receipt"]["r_tx"]) == \
+        EXPECTED_TX["unmatched_receipt"]
+
+
 def test_ad_click_log_stream_golden(spark, tmp_path):
     clicks = (_per_event_stream(spark, tmp_path, "AdClickLog.csv", AD_CLICK)
               .select("user_id", F.col("ad_id").cast("int").alias("ad_id"),

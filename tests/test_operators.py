@@ -142,6 +142,27 @@ def test_minhash_lsh_recall_against_exact(spark, sf_dir):
     assert not missed, f"LSH missed planted near-dups: {missed}"
 
 
+def test_verify_pairs_matches_exhaustive_jaccard(spark, sf_dir):
+    """Candidate-restricted verification must score candidates exactly
+    like the exhaustive inverted-index form: verify(cands) ==
+    exhaustive ∩ cands (same threshold, same jaccard values)."""
+    from user_behavior_analysis_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, verify_pairs_jaccard)
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, "text", "doc_id")
+    verified = verify_pairs_jaccard(docs, cand, "text", "doc_id",
+                                    threshold=0.8).toPandas()
+    exhaustive = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     threshold=0.8).toPandas()
+    cand_set = set(zip(*cand.toPandas()[["doc_a", "doc_b"]].T.values))
+    expected = exhaustive[[tuple(r) in cand_set for r in
+                           exhaustive[["doc_a", "doc_b"]].values]]
+    cols = ["doc_a", "doc_b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        verified[cols].sort_values(cols, ignore_index=True),
+        expected[cols].sort_values(cols, ignore_index=True))
+
+
 def test_simhash_banding_is_lossless(spark, sf_dir):
     """Block-permutation banding is a LOSSLESS candidate generator for
     Hamming ≤ k (pigeonhole over k+1 bands): at a production-like width

@@ -98,3 +98,40 @@ def test_simhash_neardup_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Co-located join: two tables bucketed by the join key into the
+    same bucket count must join with ZERO Exchange in the plan — the
+    write-once/join-many primitive for repeated fact-fact joins."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_analysis_spark.sinks import write_bucketed
+    from user_behavior_analysis_spark.sources import load_table
+    base = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    write_bucketed(li, "bk_lineitem", ("l_orderkey",), 8,
+                   path=str(base / "li"))
+    write_bucketed(orders, "bk_orders", ("o_orderkey",), 8,
+                   path=str(base / "ord"))
+    abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("bk_lineitem")
+             .join(spark.table("bk_orders"),
+                   F.col("l_orderkey") == F.col("o_orderkey")))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j.queryExecution() if hasattr(j, "queryExecution")
+            else j._jdf.queryExecution(), "simple")
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        # and the data actually joins correctly
+        n = j.count()
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bk_orders")

@@ -119,6 +119,51 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def verify_pairs_jaccard(df: DataFrame, pairs: DataFrame, text_col: str,
+                         id_col: str, ngram: int = 3,
+                         threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard for CANDIDATE pairs only — the verification
+    stage between LSH banding and cluster resolution.
+
+    Unlike ``ngram_jaccard_pairs`` (inverted-index join over every pair
+    sharing a shingle — the exhaustive/bench form), this computes the
+    intersection by joining the shingle relation onto the candidate
+    list twice: cost is O(|pairs| × shingles-per-doc), independent of
+    how many non-candidate docs share common shingles. At 100 TB the
+    candidate list is tiny relative to the corpus, so this is the shape
+    a production pipeline runs.
+
+    Returns (doc_a, doc_b, jaccard) for candidates meeting ``threshold``.
+    """
+    sh = (_doc_shingles(df, text_col, id_col, ngram)
+          .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gha"))
+    sb = sh.select(F.col("doc_id").alias("b2"), F.col("gh").alias("ghb"))
+    inter = (
+        pairs.select("doc_a", "doc_b")
+             .join(sa, "doc_a")
+             .join(sb, (F.col("doc_b") == F.col("b2"))
+                   & (F.col("gha") == F.col("ghb")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.select("doc_a", "doc_b")
+             .join(inter, ["doc_a", "doc_b"], "left")
+             .join(na, "doc_a").join(nb, "doc_b")
+             .withColumn("jaccard",
+                         F.coalesce("inter_n", F.lit(0)).cast("double")
+                         / (F.col("na") + F.col("nb")
+                            - F.coalesce("inter_n", F.lit(0))))
+             .where(F.col("jaccard") >= threshold)
+             .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
                          max_iter: int = 25) -> DataFrame:

@@ -667,6 +667,69 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+# --- full dedup pipeline: candidates → verify → clusters → keep/drop --------
+
+_PIPELINE_THRESHOLD = 0.8
+
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE {_LSH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_n
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.gh = x.gh
+  GROUP BY c.doc_a, c.doc_b
+), verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  WHERE CAST(COALESCE(i.inter_n, 0) AS DOUBLE)
+        / (sa.n + sb.n - COALESCE(i.inter_n, 0)) >= {_PIPELINE_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM verified
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_rep FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+       d.doc_id = COALESCE(c.cluster_rep, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@query("dedup_pipeline", _PIPELINE_ORACLE)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline end-to-end: LSH band candidates
+    → exact Jaccard verification restricted to the candidate list (cost
+    O(|candidates| × shingles/doc), independent of corpus co-shingle
+    fan-out) → pointer-jumping connected components over VERIFIED edges
+    only → per-doc (cluster_rep, keep). Clustering unverified LSH
+    candidates (dedup_clusters) over-merges on band collisions; this is
+    the drop-set with the false positives filtered out."""
+    from .operators.dedup import (dedup_clusters, minhash_lsh_pairs,
+                                  verify_pairs_jaccard)
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, "text", "doc_id",
+                             num_hashes=_NUM_HASHES, bands=_BANDS)
+    verified = verify_pairs_jaccard(docs, cand, "text", "doc_id",
+                                    threshold=_PIPELINE_THRESHOLD)
+    return dedup_clusters(docs, verified)
+
+
 # --- exact n-gram Jaccard verification -------------------------------------
 
 _JACCARD_THRESHOLD = 0.8

@@ -36,6 +36,32 @@ def split_by_tag(df: DataFrame, tag_col: str = "tag",
     return {t: df.where(F.col(tag_col) == t).drop(tag_col) for t in tags}
 
 
+def write_bucketed(df: DataFrame, table: str, keys: tuple[str, ...],
+                   buckets: int, sort_cols: tuple[str, ...] | None = None,
+                   path: str | None = None, mode: str = "overwrite") -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) parquet table —
+    the co-located-join primitive for repeated fact⋈fact joins.
+
+    Two tables bucketed by the same keys into the same bucket count join
+    WITHOUT any Exchange: each scan's output partitioning already
+    satisfies the join's distribution requirement, so at 100 TB the
+    shuffle that dominates a fact-fact join is paid once at write time
+    and amortized over every subsequent join/aggregation on those keys
+    (see SCALING.md). ``path`` makes the table external (data at
+    ``path``, bucketing metadata in the session catalog); omitted, the
+    table lands in the warehouse dir.
+
+    Bucketing is a catalog property, so readers must come through
+    ``spark.table(table)`` — a raw ``spark.read.parquet(path)`` sees the
+    files but not the bucket spec.
+    """
+    w = (df.write.format("parquet").mode(mode)
+           .bucketBy(buckets, *keys).sortBy(*(sort_cols or keys)))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_console(df: DataFrame, label: str = "", num_rows: int = 20,
                   mode: str = "append") -> StreamingQuery | None:
     """S5 print sink: ``show()`` for batch, console stream otherwise.

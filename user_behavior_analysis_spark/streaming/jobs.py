@@ -128,6 +128,44 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     return lw.join(rw, cond, "inner")
 
 
+def reconcile_stream(left: DataFrame, right: DataFrame,
+                     key: str | tuple[str, str],
+                     left_ts: str, right_ts: str, within_s: int,
+                     watermark: str = "5 seconds",
+                     left_only: str = "unmatched_left",
+                     right_only: str = "unmatched_right") -> DataFrame:
+    """J2 streaming twin: full-outer stream-stream join with a ±within_s
+    event-time bound (TxMatchDetect.scala:88-138's matched + two
+    side-output channels as one tagged stream).
+
+    The range condition + watermarks on BOTH inputs bound the join
+    state: a row's partner must carry an event time within ±within_s, so
+    once the other side's watermark passes that horizon the row either
+    matched or is emitted as unmatched with the partner columns NULL —
+    exactly the reference's timer-driven unmatched side outputs, driven
+    by watermark instead of timers. State is O(rows within the horizon),
+    not O(stream).
+
+    Returns the joined frame plus a ``tag`` column
+    (matched/left_only/right_only); route with ``sinks.split_by_tag``.
+    """
+    lk, rk = (key, key) if isinstance(key, str) else key
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[lk] == rw[rk])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within_s} SECOND"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within_s} SECOND"))
+    )
+    joined = lw.join(rw, cond, "full_outer")
+    tag = (
+        F.when(rw[rk].isNull(), F.lit(left_only))
+         .when(lw[lk].isNull(), F.lit(right_only))
+         .otherwise(F.lit("matched"))
+    )
+    return joined.withColumn("tag", tag)
+
+
 def ad_stats_pipeline_stream(clicks: DataFrame, threshold: int,
                              window_duration: str = "1 hour",
                              watermark: str = "5 seconds") -> DataFrame:
