@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "big_spender_orders",
     "day1_retention",
     "event_transitions",
+    "rolling_active_users",
+    "funnel_steps",
+    "bilateral_trade",
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "ann_bruteforce_topk",

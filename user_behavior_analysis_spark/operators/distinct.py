@@ -34,6 +34,17 @@ def windowed_distinct(df: DataFrame, ts_col: str, duration: str,
     return _window_bounds(agg)
 
 
+def sliding_windowed_distinct(df: DataFrame, ts_col: str, duration: str,
+                              slide: str, id_col: str,
+                              out_col: str = "uv") -> DataFrame:
+    """Exact distinct count per SLIDING window (e.g. 7-day WAU advancing
+    daily). The window explode is map-side (duration/slide copies per
+    row); the distinct is one exchange on (window, id) + final count."""
+    agg = df.groupBy(F.window(ts_col, duration, slide)).agg(
+        F.countDistinct(id_col).alias(out_col))
+    return _window_bounds(agg)
+
+
 def windowed_approx_distinct(df: DataFrame, ts_col: str, duration: str,
                              id_col: str, rsd: float = 0.01,
                              out_col: str = "uv_approx") -> DataFrame:

@@ -1942,3 +1942,147 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("nxt").alias("to_type"))
            .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- rolling 7-day active users (WAU per day) -------------------------------
+
+_WAU_ORACLE = f"""
+SELECT window_start, window_end,
+       COUNT(DISTINCT user_id) AS active_users
+FROM {{frag}}
+GROUP BY window_start, window_end
+""".format(frag=sliding_oracle_from("events", "ts", 7 * 86400, 86400))
+
+
+@query("rolling_active_users", _WAU_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling active users, advancing daily (WAU curve).
+
+    The sliding window explodes each event into ≤7 (window, user) rows
+    map-side; the exact distinct is one exchange on (window, user)
+    followed by a count — the same two-phase shape as
+    unique_visitors_hourly. At 100 TB the exact-distinct exchange is the
+    honest cost; the HLL twin (windowed_approx_distinct) is the cheap
+    path when ±1% suffices.
+    """
+    from .operators.distinct import sliding_windowed_distinct
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return sliding_windowed_distinct(ev, "ts", "7 days", "1 day",
+                                     "user_id", out_col="active_users")
+
+
+# --- ordered 3-step funnel (view -> click -> purchase) ----------------------
+
+_FUNNEL_STEPS_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+"""
+
+
+@query("funnel_steps", _FUNNEL_STEPS_ORACLE)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel: first view, first click at/after
+    that view, first purchase at/after that click — per-user conditional
+    mins staged across three aggregations (the bounded-state pattern:
+    never a per-user event array, O(1) aggregation state per key,
+    shuffles keyed on user_id only)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (ev.where(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.where(F.col("event_type") == "click")
+           .join(v, "user_id")
+           .where(F.col("ts") >= F.col("t_view"))
+           .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.where(F.col("event_type") == "purchase")
+           .join(c, "user_id")
+           .where(F.col("ts") >= F.col("t_click"))
+           .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+         .crossJoin(p.agg(F.count(F.lit(1))
+                          .alias("n_purchased_after_click")))
+    )
+
+
+# --- TPC-H Q7 shape: bilateral trade volume ---------------------------------
+
+_NATION_A, _NATION_B = "NATION_1", "NATION_2"
+
+_BILATERAL_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = '{_NATION_A}' AND n2.n_name = '{_NATION_B}')
+   OR (n1.n_name = '{_NATION_B}' AND n2.n_name = '{_NATION_A}')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+@query("bilateral_trade", _BILATERAL_ORACLE)
+def bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two nations by direction
+    and year.
+
+    Scale posture: the 25-row nation dim broadcasts onto supplier and
+    customer BEFORE the facts are touched, pruning both to the two
+    nations; the pruned supplier/customer relations are still dim-table
+    sized, not literals, so every join against a fact is pinned
+    shuffle-hash (a nation-filtered supplier is ~8% of suppliers —
+    broadcastable at sf0.1, hundreds of GB at SF100k). Money math in
+    decimal(12,2), cast to double at the end.
+    """
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(_NATION_A, _NATION_B))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat.select(F.col("n_nationkey").alias("s_nationkey"),
+                                         F.col("n_name").alias("supp_nation"))),
+                  "s_nationkey")
+            .select("s_suppkey", "supp_nation"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nat.select(F.col("n_nationkey").alias("c_nationkey"),
+                                         F.col("n_name").alias("cust_nation"))),
+                  "c_nationkey")
+            .select("c_custkey", "cust_nation"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    rev = (F.sum(_dec("l_extendedprice")
+                 * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+           .cast("double"))
+    joined = (
+        li.join(supp.hint("shuffle_hash"), li.l_suppkey == supp.s_suppkey)
+          .join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+          .join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+          .where((F.col("supp_nation") != F.col("cust_nation")))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("int").alias("ship_year"))
+              .agg(rev.alias("volume"))
+    )
