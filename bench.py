@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "rolling_active_users",
     "funnel_steps",
     "bilateral_trade",
+    "discount_quantity_corr",
+    "customer_spend_deciles",
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "ann_bruteforce_topk",

@@ -404,3 +404,60 @@ def test_frame_sample_plan_shape(spark, sf_dir):
     assert len(out) > 0
     assert (out["frame_idx"] % 10 == 0).all()
     assert out.groupby("doc_id")["frame_idx"].is_monotonic_increasing.all()
+
+
+def _uf_components(pairs):
+    """Reference union-find for CC property tests."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graphs(spark):
+    """Property: on random graphs (dense, sparse, star, disjoint
+    cliques), CC labels must equal a reference union-find's min-label
+    components."""
+    import random
+
+    from user_behavior_analysis_spark.operators.dedup import (
+        connected_components)
+    rng = random.Random(7)
+    cases = []
+    # random sparse
+    cases.append([(rng.randrange(50), rng.randrange(50)) for _ in range(40)])
+    # star with hub 0
+    cases.append([(0, i) for i in range(1, 30)])
+    # two cliques + bridge
+    cases.append([(a, b) for a in range(5) for b in range(a + 1, 5)]
+                 + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+                 + [(4, 10)])
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        expect = _uf_components(pairs)
+        got = connected_components(
+            spark.createDataFrame(pairs, "doc_a long, doc_b long")).toPandas()
+        assert dict(zip(got["node"], got["rep"])) == expect
+
+
+def test_connected_components_max_iter_guard(spark):
+    """A too-small round budget must fail loudly, not return partial
+    labels silently."""
+    import pytest as _pytest
+
+    from user_behavior_analysis_spark.operators.dedup import (
+        connected_components)
+    chain = [(i, i + 1) for i in range(40)]
+    pdf = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pdf, max_iter=1)

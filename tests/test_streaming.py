@@ -458,3 +458,76 @@ def test_ad_geo_stream_static_join_parity(spark, sf_dir, split_events_dir):
                        suffixes=("_s", "_b"))
     assert len(merged) == len(out), "streamed window missing from batch"
     assert (merged["cnt_s"] == merged["cnt_b"]).all()
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Operational guarantee: a query killed and RESTARTED from its
+    checkpoint must neither lose nor double-count — the union of the two
+    runs' complete-mode snapshots equals the batch result exactly.
+
+    Run 1 sees half the files, drains, stops. More files land. Run 2
+    restarts from the same checkpoint + sink table and drains the rest;
+    offsets in the checkpoint ensure batches from run 1 are not re-read.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type") == "view")
+          .select("event_id", "ts", "user_id").orderBy("ts").toPandas())
+    src_dir = tmp_path / "ckpt_events"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "checkpoint")
+    step = (len(ev) + 3) // 4
+    parts = [ev.iloc[i * step:(i + 1) * step] for i in range(4)]
+
+    def _write(i):
+        parts[i].to_parquet(src_dir / f"part-{i:03d}.parquet", index=False)
+
+    def _run(name):
+        schema = spark.read.parquet(str(src_dir)).schema
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(str(src_dir))
+               .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        counted = jobs.windowed_count_stream(src, "ts", "1 hour", None, [],
+                                             watermark=WATERMARK)
+        q = (counted.writeStream.outputMode("complete").format("memory")
+             .queryName(name).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    _write(0), _write(1)
+    first = _run("ckpt_run1")
+    assert len(first) > 0
+    _write(2), _write(3)
+    second = _run("ckpt_run2")
+    batch = (spark.read.parquet(str(src_dir))
+             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+             .groupBy(F.window("ts", "1 hour"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.col("window.start").cast("bigint")
+                     .alias("window_start"), "cnt")).toPandas()
+    got = (second[["window_start", "cnt"]]
+           .sort_values("window_start", ignore_index=True))
+    want = batch.sort_values("window_start", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_wau_stream_matches_batch(spark, sf_dir, split_events_dir):
+    """Sliding exact distinct (7-day WAU) streaming twin: closed windows
+    from the replay must match the batch rolling_active_users exactly."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    src = stream_events(spark, split_events_dir)
+    out = run_stream(
+        spark,
+        jobs.uv_exact_stream(src, "ts", "7 days", "user_id",
+                             watermark=WATERMARK, slide="1 day",
+                             out_col="active_users"),
+        "append", "wau_stream")
+    batch = QUERIES["rolling_active_users"](spark, sf_dir).toPandas()
+    merged = out.merge(batch, on=["window_start", "window_end"],
+                       suffixes=("_s", "_b"))
+    # append mode emits only watermark-closed windows; every emitted
+    # window must agree with batch, and most windows must have closed
+    assert len(merged) == len(out)
+    assert len(out) >= len(batch) - 8, (len(out), len(batch))
+    assert (merged["active_users_s"] == merged["active_users_b"]).all()

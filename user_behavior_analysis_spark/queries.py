@@ -2086,3 +2086,101 @@ def bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.year("l_shipdate").cast("int").alias("ship_year"))
               .agg(rev.alias("volume"))
     )
+
+
+# --- closed-form Pearson correlation (cross-engine exact) -------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+              * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+              * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM lineitem
+)
+SELECT ((n * sxy) - (sx * sy))
+       / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)))
+       AS discount_quantity_corr,
+       n AS n_rows
+FROM s
+"""
+
+
+@query("discount_quantity_corr", _CORR_ORACLE)
+def discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation derived in closed form from exact decimal
+    co-moment sums — NOT F.corr, whose streaming co-moment accumulator
+    merges in partition order and is not cross-engine reproducible. The
+    five sums are decimal-exact (order-independent), cast decimal →
+    string → double (both engines' strtod round identically), and the
+    final expression is the same double arithmetic on both sides.
+    Single scan, single-row aggregate — the stddev-from-decimal-sums
+    trick from order_value_stats generalized to two variables."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount", "l_quantity")
+    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    via_str = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        via_str(F.sum(d("l_discount"))).alias("sx"),
+        via_str(F.sum(d("l_quantity"))).alias("sy"),
+        via_str(F.sum(d("l_discount") * d("l_quantity"))).alias("sxy"),
+        via_str(F.sum(d("l_discount") * d("l_discount"))).alias("sxx"),
+        via_str(F.sum(d("l_quantity") * d("l_quantity"))).alias("syy"),
+    )
+    n = F.col("n")
+    expr = (((n * F.col("sxy")) - (F.col("sx") * F.col("sy")))
+            / (F.sqrt((n * F.col("sxx")) - (F.col("sx") * F.col("sx")))
+               * F.sqrt((n * F.col("syy")) - (F.col("sy") * F.col("sy")))))
+    return s.select(expr.alias("discount_quantity_corr"),
+                    F.col("n").alias("n_rows"))
+
+
+# --- customer spend deciles (NTILE) -----------------------------------------
+
+_DECILES_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT o_custkey, spend,
+         CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS INTEGER)
+           AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+       MIN(spend) AS min_spend, MAX(spend) AS max_spend
+FROM t GROUP BY decile
+"""
+
+
+@query("customer_spend_deciles", _DECILES_ORACLE)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile boundaries of per-customer lifetime spend.
+
+    The global NTILE needs a total order — a single-partition window
+    over the per-customer rollup, which is |customers|-sized, not
+    fact-sized (the same bounded-input rule as Q10's dimension join).
+    Tiebreak on custkey makes the tiling deterministic cross-engine;
+    min/max per decile are order-independent aggregates.
+    """
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                   .cast("string").cast("double").alias("spend")))
+    w = Window.orderBy("spend", "o_custkey")
+    t = spend.select("o_custkey", "spend",
+                     F.ntile(10).over(w).cast("int").alias("decile"))
+    return (t.groupBy("decile")
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  F.min("spend").alias("min_spend"),
+                  F.max("spend").alias("max_spend")))

@@ -58,16 +58,24 @@ def windowed_count_stream(events: DataFrame, ts_col: str, duration: str,
 
 
 def uv_exact_stream(events: DataFrame, ts_col: str, duration: str,
-                    id_col: str, watermark: str = "5 seconds") -> DataFrame:
+                    id_col: str, watermark: str = "5 seconds",
+                    slide: str | None = None,
+                    out_col: str = "uv") -> DataFrame:
     """A6 streaming: exact distinct via pre-window dropDuplicates —
-    watermark evicts dedupe state once the window closes."""
+    watermark evicts dedupe state once the window closes. With ``slide``
+    this is the streaming twin of ``sliding_windowed_distinct`` (the
+    7-day WAU shape): the explode multiplies dedupe state by
+    duration/slide, which is the honest cost of exact sliding distinct —
+    the HLL path (uv_approx_stream) is the cheap alternative."""
+    win = (F.window(ts_col, duration, slide) if slide
+           else F.window(ts_col, duration))
     deduped = (
         events.withWatermark(ts_col, watermark)
-        .select(F.window(ts_col, duration).alias("window"), id_col)
+        .select(win.alias("window"), id_col)
         .dropDuplicates(["window", id_col])
     )
     return (
-        deduped.groupBy("window").agg(F.count(F.lit(1)).alias("uv"))
+        deduped.groupBy("window").agg(F.count(F.lit(1)).alias(out_col))
         .withColumn("window_start", F.col("window.start").cast("bigint"))
         .withColumn("window_end", F.col("window.end").cast("bigint"))
         .drop("window")
