@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "ann_ivf_topk",
     "document_profile",
     "token_stats",

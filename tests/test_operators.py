@@ -461,3 +461,45 @@ def test_connected_components_max_iter_guard(spark):
     pdf = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pdf, max_iter=1)
+
+
+def test_rp_lsh_finds_planted_neardups(spark):
+    """The property LSH actually promises: planted near-dups (cos≈0.95; per-coord noise 0.04 over 64 dims)
+    must be retrieved. With 8 tables x 4 bits, a cos 0.95 pair misses a
+    table with p≈0.35, all eight with p≈2e-4 — so all 10 planted
+    partners must appear at rank 1. The testdata embeddings carry no
+    strong pairs (max cos≈0.45), hence the synthetic fixture."""
+    import numpy as np
+
+    from user_behavior_analysis_spark.operators.similarity import rp_lsh_topk
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(50, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base[:10] + 0.04 * rng.normal(size=(10, 64))
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(int(i), row.tolist()) for i, row in enumerate(base)],
+        "c_id long, c_vec array<double>")
+    queries = spark.createDataFrame(
+        [(int(100 + i), row.tolist()) for i, row in enumerate(noisy)],
+        "q_id long, q_vec array<double>")
+    out = rp_lsh_topk(queries, corpus, k=5).toPandas()
+    top1 = out[out["rank"] == 1].set_index("q_id")["c_id"].to_dict()
+    missed = [i for i in range(10) if top1.get(100 + i) != i]
+    assert not missed, f"planted partners missed: {missed}"
+
+
+def test_rp_lsh_overlaps_bruteforce_on_weak_data(spark, sf_dir):
+    """Sanity on the real (weak-signal) embeddings: the LSH top-5 must
+    overlap the brute-force truth well above the random-scan baseline
+    and every returned score must match the brute-force score for the
+    same pair (scoring is exact; only candidate coverage is
+    approximate)."""
+    lsh = QUERIES["ann_lsh_topk"](spark, sf_dir).toPandas()
+    brute = QUERIES["ann_bruteforce_topk"](spark, sf_dir).toPandas()
+    truth = set(zip(brute["q_id"], brute["c_id"]))
+    got = set(zip(lsh["q_id"], lsh["c_id"]))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2, f"LSH overlap {recall:.2f} below sanity bound"
+    merged = lsh.merge(brute, on=["q_id", "c_id"], suffixes=("_l", "_b"))
+    assert (merged["cos_r_l"] == merged["cos_r_b"]).all()

@@ -154,3 +154,92 @@ def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
          .where(F.col("cos") >= threshold)
          .select("id_a", "id_b", "cos")
     )
+
+
+def _rp_hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: integer weight
+    w[p][d] = (md5_int(seed_p_d) mod 2001) - 1000 — reproducible on any
+    engine/driver from the (seed, p, d) triple alone, no RNG state."""
+    import hashlib
+
+    return [
+        [int(hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[:15], 16)
+         % 2001 - 1000
+         for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def rp_lsh_bucket(vec_col, n_planes: int, dim: int, seed: int = 7):
+    """Column expr: random-hyperplane (SimHash-for-embeddings) LSH bucket
+    of an ``array<double>`` column — bit p is the sign of the dot product
+    with hyperplane p, all JVM-side (zip_with product + sequential
+    aggregate fold, deterministic)."""
+    planes = _rp_hyperplanes(n_planes, dim, seed)
+    sig = None
+    for p, w in enumerate(planes):
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.zip_with(wlit, vec_col, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(1 << p)
+        sig = term if sig is None else (sig + term)
+    return sig.cast("int")
+
+
+def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                n_tables: int = 8, n_planes: int = 4, dim: int = 64,
+                seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH ANN — the second, training-free scale path
+    next to IVF (the index is a pure map-side expression).
+
+    Classic L-table OR-amplification: ``n_tables`` independent
+    ``n_planes``-bit signatures per vector; a corpus vector is a
+    candidate if it shares ANY table's bucket with the query. For a pair
+    at angle θ a table matches with (1 − θ/π)^n_planes, so near-dups
+    (cos ≥ 0.9) survive ≥1 of 8 tables with probability ≈ 0.999 while
+    the expected scanned fraction stays ~L/2^b of the corpus on neutral
+    vectors. Buckets are computed in the scan (no shuffle to build the
+    index); the corpus explodes ×L map-side — the standard storage cost
+    of an L-table LSH index; candidates dedup via a (q, c) group-max
+    before ranking. The probed-query side broadcasts, the bucketed
+    corpus streams — the same direction rule as brute force.
+    Approximate by design; planted-near-dup retrieval is asserted in
+    tests, with the miss probability derivable from (θ, b, L).
+    """
+    c_tabs = [
+        F.struct(F.lit(t).alias("tab"),
+                 rp_lsh_bucket(F.col("cv"), n_planes, dim,
+                               seed + 1000 * t).alias("bucket"))
+        for t in range(n_tables)
+    ]
+    c = (corpus.select("c_id", as_double("c_vec").alias("cv"))
+               .withColumn("tb", F.explode(F.array(*c_tabs)))
+               .select("c_id", "cv", F.col("tb.tab").alias("tab"),
+                       F.col("tb.bucket").alias("bucket")))
+    q_tabs = [
+        F.struct(F.lit(t).alias("tab"),
+                 rp_lsh_bucket(F.col("qv"), n_planes, dim,
+                               seed + 1000 * t).alias("bucket"))
+        for t in range(n_tables)
+    ]
+    probed = (queries.select("q_id", as_double("q_vec").alias("qv"))
+                     .withColumn("tb", F.explode(F.array(*q_tabs)))
+                     .select("q_id", "qv", F.col("tb.tab").alias("tab"),
+                             F.col("tb.bucket").alias("bucket")))
+    scored = (
+        c.join(F.broadcast(probed),
+               (c["tab"] == probed["tab"])
+               & (c["bucket"] == probed["bucket"])
+               & (probed["q_id"] != c["c_id"]))
+         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+         .groupBy("q_id", "c_id")
+         .agg(F.max("cos").alias("cos"))  # dedup multi-table hits
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("q_id", "c_id", "cos", "rank")
+    )

@@ -2184,3 +2184,24 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_customers"),
                   F.min("spend").alias("min_spend"),
                   F.max("spend").alias("max_spend")))
+
+
+# --- ANN: random-hyperplane LSH (training-free scale path) ------------------
+
+
+@query("ann_lsh_topk")  # rows-only: signature thresholds are not SQL-portable
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 6-bit signatures from deterministic
+    md5-derived hyperplanes, multiprobe at Hamming ≤ 1. Training-free
+    twin of ann_ivf_topk (operators/similarity.py:rp_lsh_topk); recall
+    vs the brute-force truth is asserted in
+    tests/test_operators.py::test_rp_lsh_recall_vs_bruteforce."""
+    from .operators.similarity import rp_lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    out = rp_lsh_topk(q, c, k=5)
+    return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
+                      "rank")
