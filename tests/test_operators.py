@@ -503,3 +503,15 @@ def test_rp_lsh_overlaps_bruteforce_on_weak_data(spark, sf_dir):
     assert recall >= 0.2, f"LSH overlap {recall:.2f} below sanity bound"
     merged = lsh.merge(brute, on=["q_id", "c_id"], suffixes=("_l", "_b"))
     assert (merged["cos_r_l"] == merged["cos_r_b"]).all()
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    """No candidate pairs (clean corpus) must yield all-keep, not an
+    error — the common production case after a good upstream filter."""
+    from user_behavior_analysis_spark.operators.dedup import dedup_clusters
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dedup_clusters(docs, empty).toPandas()
+    assert len(out) == 5
+    assert out["keep"].all()
+    assert (out["doc_id"] == out["cluster_rep"]).all()

@@ -2143,17 +2143,21 @@ def discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- customer spend deciles (NTILE) -----------------------------------------
 
-_DECILES_ORACLE = """
+_DECILE_QS = [i / 10 for i in range(1, 10)]
+
+_DECILES_ORACLE = f"""
 WITH spend AS (
   SELECT o_custkey,
          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
               AS DOUBLE) AS spend
   FROM orders GROUP BY o_custkey
+), th AS (
+  SELECT quantile_cont(spend, {_DECILE_QS}) AS qs FROM spend
 ), t AS (
-  SELECT o_custkey, spend,
-         CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS INTEGER)
-           AS decile
-  FROM spend
+  SELECT spend,
+         CAST(1 {' '.join(f'+ (CASE WHEN spend > qs[{i + 1}] THEN 1 ELSE 0 END)'
+                          for i in range(9))} AS INTEGER) AS decile
+  FROM spend CROSS JOIN th
 )
 SELECT decile, COUNT(*) AS n_customers,
        MIN(spend) AS min_spend, MAX(spend) AS max_spend
@@ -2163,23 +2167,30 @@ FROM t GROUP BY decile
 
 @query("customer_spend_deciles", _DECILES_ORACLE)
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE decile boundaries of per-customer lifetime spend.
+    """Value-based decile buckets of per-customer lifetime spend.
 
-    The global NTILE needs a total order — a single-partition window
-    over the per-customer rollup, which is |customers|-sized, not
-    fact-sized (the same bounded-input rule as Q10's dimension join).
-    Tiebreak on custkey makes the tiling deterministic cross-engine;
-    min/max per decile are order-independent aggregates.
+    Deliberately NOT ntile(): a global NTILE window has no partition key,
+    so every row funnels through ONE task — and unlike rank-filter
+    top-N there is no WindowGroupLimit pruning to save it at 100 TB.
+    Instead: exact decile boundaries from one distributed percentile
+    aggregate (partial-merge, customer-sized input), broadcast as a
+    1-row frame, and each customer assigned map-side by threshold
+    comparison. Spark's percentile() and DuckDB's quantile_cont are
+    bit-identical on the same doubles, so the bucketing is oracle-exact.
     """
-    from pyspark.sql import Window
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice")
     spend = (orders.groupBy("o_custkey")
              .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
                    .cast("string").cast("double").alias("spend")))
-    w = Window.orderBy("spend", "o_custkey")
-    t = spend.select("o_custkey", "spend",
-                     F.ntile(10).over(w).cast("int").alias("decile"))
+    th = spend.agg(F.percentile(
+        "spend", F.array(*[F.lit(q) for q in _DECILE_QS])).alias("qs"))
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + F.when(F.col("spend") > F.col("qs")[i], 1) \
+                           .otherwise(0)
+    t = (spend.crossJoin(F.broadcast(th))
+              .select("spend", decile.cast("int").alias("decile")))
     return (t.groupBy("decile")
              .agg(F.count(F.lit(1)).alias("n_customers"),
                   F.min("spend").alias("min_spend"),
