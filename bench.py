@@ -58,6 +58,14 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "ann_bruteforce_topk",
+    "market_share",
+    "cust_order_distribution",
+    "top_supplier",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "sole_return_supplier",
+    "lapsed_rich_customers",
+    "corpus_heavy_hitters",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "document_profile",

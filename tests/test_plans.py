@@ -135,3 +135,43 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
         spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
+def test_disjunctive_revenue_pushes_per_side_weakenings(spark, sf_dir):
+    # Q19 shape: the OR's per-table weakenings must reach BOTH scans —
+    # quantity bounds on lineitem, brand/size disjunction on part.
+    plan = plan_of(spark, "disjunctive_revenue", sf_dir, mode="formatted")
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]\n", plan)
+    li_pushed = [p for p in pushed if "l_quantity" in p]
+    part_pushed = [p for p in pushed if "p_brand" in p]
+    assert li_pushed and "LessThanOrEqual(l_quantity,30.0)" in li_pushed[0], pushed
+    assert part_pushed and "Brand#12" in part_pushed[0], pushed
+
+
+def test_cust_order_distribution_join_and_agg_share_shuffle(spark, sf_dir):
+    # Q13 shape: orders (the fact) must not broadcast; the left-outer
+    # join shuffles on custkey and the per-customer count reuses that
+    # partitioning — exactly 2 exchanges feed the first agg (one per
+    # join side), plus 1 for the tiny final distribution agg.
+    plan = plan_of(spark, "cust_order_distribution", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_sole_return_supplier_stats_never_broadcast(spark, sf_dir):
+    # Q21 shape: the per-order stats aggregate is order-cardinality
+    # (grows with the fact) — it must stay a shuffle build.
+    plan = plan_of(spark, "sole_return_supplier", sf_dir)
+    assert re.search(
+        r"ShuffledHashJoin \[l_orderkey#\d+L?\], \[st_orderkey#\d+L?\]",
+        plan), plan
+
+
+def test_market_share_single_fact_fact_shuffle(spark, sf_dir):
+    # Q8 shape: every dim chain broadcasts; lineitem⋈orders is the only
+    # shuffle join and it is pinned (a fact must never broadcast).
+    plan = plan_of(spark, "market_share", sf_dir)
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert not re.search(
+        r"BroadcastHashJoin \[l_orderkey#\d+L?\]", plan), plan

@@ -2216,3 +2216,447 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rp_lsh_topk(q, c, k=5)
     return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
                       "rank")
+
+
+# ===========================================================================
+# Round-2 OLAP widening: the remaining TPC-H shapes expressible on this
+# schema (no partsupp table, no shipmode/commitdate columns — Q2/Q9/Q11/
+# Q12/Q16/Q20 are out of reach; Q21 is re-shaped onto l_returnflag).
+# ===========================================================================
+
+_MARKET_SHARE_ORACLE = """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+), agg AS (
+  SELECT o_year,
+    CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END)
+         AS VARCHAR) AS DOUBLE) AS nation_vol,
+    CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS total_vol
+  FROM vol GROUP BY o_year
+)
+SELECT o_year, COALESCE(nation_vol, 0.0) AS nation_vol, total_vol,
+       COALESCE(nation_vol, 0.0) / total_vol AS mkt_share
+FROM agg
+"""
+
+
+@query("market_share", _MARKET_SHARE_ORACLE)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part volume sold into
+    ASIA customers, per year (reference has no multi-dim star query; this
+    is the OLAP extension surface).
+
+    100 TB shape: every dimension chain (part-filter, supplier->nation,
+    customer->nation->region) broadcasts; the only fact-fact edge,
+    lineitem x orders, is pinned shuffle-hash on orderkey so AQE cannot
+    broadcast a fact that is merely small at test scale. The share is
+    computed from exact decimal sums cast to double via VARCHAR (both
+    engines' strtod round identically), then divided in IEEE doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    sn = supp.join(F.broadcast(nation),
+                   supp.s_nationkey == nation.n_nationkey) \
+             .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    asia_nk = (nation.join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                           nation.n_regionkey == region.r_regionkey)
+                     .select("n_nationkey"))
+    ord_asia = (orders.join(F.broadcast(
+                    cust.join(F.broadcast(asia_nk),
+                              cust.c_nationkey == asia_nk.n_nationkey)
+                        .select("c_custkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+                .select("o_orderkey", "o_orderdate"))
+
+    one = F.lit(1).cast(_D12)
+    vol = (_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("volume")
+    base = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+              .join(ord_asia.hint("shuffle_hash"),
+                    li.l_orderkey == ord_asia.o_orderkey)
+              .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                      vol, "supp_nation"))
+    agg = (base.groupBy("o_year")
+               .agg(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                 F.col("volume")))
+                     .cast("string").cast("double").alias("nation_vol"),
+                    F.sum("volume")
+                     .cast("string").cast("double").alias("total_vol")))
+    nv = F.coalesce(F.col("nation_vol"), F.lit(0.0))
+    return agg.select("o_year", nv.alias("nation_vol"), "total_vol",
+                      (nv / F.col("total_vol")).alias("mkt_share"))
+
+
+_CUST_DIST_ORACLE = """
+WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM pc GROUP BY c_count
+"""
+
+
+@query("cust_order_distribution", _CUST_DIST_ORACLE)
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of non-urgent order counts per
+    customer, including zero-order customers (LEFT OUTER join with the
+    predicate in the join condition, not a WHERE — a WHERE would silently
+    turn the outer join inner).
+
+    100 TB shape: the outer join shuffles both sides on custkey and the
+    per-customer count reuses that exact partitioning — Catalyst emits no
+    extra Exchange between join and first aggregate. The second aggregate
+    groups |distinct counts| rows (tiny)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    # orders is the FACT side: left alone AQE broadcasts it at test scale,
+    # a plan that dies at 100x. Pin shuffle-hash so both sides exchange on
+    # custkey once — the per-customer count then reuses that partitioning
+    # (no extra Exchange between join and first aggregate).
+    pc = (cust.join(orders.hint("shuffle_hash"),
+                    cust.c_custkey == orders.o_custkey, "left_outer")
+              .groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return pc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(CAST(r AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
+@query("top_supplier", _TOP_SUPPLIER_ORACLE)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the max-of-aggregate scalar-subquery pattern.
+
+    100 TB shape: revenue is a supplier-keyed aggregate (bounded, one
+    shuffle over the date-pruned fact); the scalar max is a 1-row frame
+    broadcast back (crossJoin) and the tie-preserving filter compares the
+    EXACT decimals, not doubles — only the output casts to double."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    one = F.lit(1).cast(_D12)
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                   .alias("r")))
+    mx = rev.agg(F.max("r").alias("mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+               .where(F.col("r") == F.col("mx"))
+               .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+               .select("s_suppkey", "s_name",
+                       F.col("r").cast("string").cast("double")
+                        .alias("total_revenue")))
+
+
+_SMALL_QTY_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         CAST(COUNT(*) AS DECIMAL(10,0)) AS nq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+       AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.l_partkey = part.p_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * CAST(5 AS DECIMAL(3,0)) * nq < sq
+"""
+
+
+@query("small_qty_revenue", _SMALL_QTY_ORACLE)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue in lines whose quantity is below 20% of
+    the part's average — the correlated-scalar-subquery pattern,
+    decorrelated into a per-part aggregate joined back to the fact.
+
+    100 TB shape: the per-part (sum, count) aggregate is part-bounded and
+    map-side-combined; the threshold test cross-multiplies in exact
+    decimals (q*5*n < sum) instead of dividing, so no double rounding can
+    flip a row's membership between engines. Brand filter broadcasts into
+    both the fact and the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#23").select("p_partkey")
+    pa = (li.groupBy("l_partkey")
+            .agg(F.sum(_dec("l_quantity")).alias("sq"),
+                 F.count(F.lit(1)).cast("decimal(10,0)").alias("nq"))
+            .withColumnRenamed("l_partkey", "pa_partkey"))
+    five = F.lit(5).cast("decimal(3,0)")
+    cond = _dec("l_quantity") * five * F.col("nq") < F.col("sq")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(pa.hint("shuffle_hash"),
+                    li.l_partkey == pa.pa_partkey)
+              .where(cond)
+              .agg((F.sum(_dec("l_extendedprice"))
+                     .cast("string").cast("double") / F.lit(7.0))
+                   .alias("avg_yearly"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+_DISJUNCT_ORACLE = """
+SELECT
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      AS VARCHAR) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("disjunctive_revenue", _DISJUNCT_ORACLE)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three-way disjunctive brand/size/quantity
+    predicate across a fact-dimension join.
+
+    100 TB shape: the per-table weakenings of the OR are pushed down
+    manually — part scans only the union of brand/size disjuncts,
+    lineitem scans only quantity in [1,30] — so the join sees a fraction
+    of each input; the full disjunction then filters post-join. Catalyst
+    cannot derive these weakenings itself (it only pushes predicates that
+    reference one side), so deriving them by hand is the difference
+    between scanning 6% and 100% of the fact."""
+    b12 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+    b23 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+    b34 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+    part = load_table(spark, sf_dir, "part").where(b12 | b23 | b34).select(
+        "p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    q = F.col("l_quantity")
+    full = ((b12 & (q >= 1) & (q <= 11))
+            | (b23 & (q >= 10) & (q <= 20))
+            | (b34 & (q >= 20) & (q <= 30)))
+    one = F.lit(1).cast(_D12)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .where(full)
+              .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                    .cast("string").cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+_SOLE_RETURN_ORACLE = """
+WITH stats AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret
+  FROM lineitem GROUP BY l_orderkey
+), guilty AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem WHERE l_returnflag = 'R'
+), cnt AS (
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM guilty JOIN stats USING (l_orderkey)
+  WHERE n_supp >= 2 AND n_ret = 1
+  GROUP BY l_suppkey
+), rk AS (
+  SELECT s_suppkey, s_name, numwait,
+         ROW_NUMBER() OVER (ORDER BY numwait DESC, s_name) AS rn
+  FROM cnt JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT s_suppkey, s_name, numwait, CAST(rn AS INTEGER) AS rn
+FROM rk WHERE rn <= 20
+"""
+
+
+@query("sole_return_supplier", _SOLE_RETURN_ORACLE)
+def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape re-keyed to this schema: suppliers who were the
+    ONLY supplier with a returned line in a multi-supplier order — the
+    exists + not-exists double-correlation pattern (the schema has no
+    commit/receipt dates, so 'kept waiting' becomes 'sole return').
+
+    100 TB shape: both the per-order stats aggregate and the distinct
+    guilty pairs derive from one shuffle of lineitem on orderkey and the
+    stats side is pinned shuffle-hash (order-cardinality grows with the
+    fact — must never broadcast). The per-supplier count is
+    supplier-bounded; top-20 goes through the WindowGroupLimit rank
+    funnel."""
+    from .operators.topn import top_n_per_group
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    stats = (li.groupBy("l_orderkey")
+               .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                    F.countDistinct(
+                        F.when(F.col("l_returnflag") == "R",
+                               F.col("l_suppkey"))).alias("n_ret"))
+               .where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+               .withColumnRenamed("l_orderkey", "st_orderkey"))
+    guilty = (li.where(F.col("l_returnflag") == "R")
+                .select("l_orderkey", "l_suppkey").distinct())
+    cnt = (guilty.join(stats.hint("shuffle_hash"),
+                       guilty.l_orderkey == stats.st_orderkey)
+                 .groupBy("l_suppkey")
+                 .agg(F.count(F.lit(1)).alias("numwait")))
+    named = cnt.join(F.broadcast(supp), cnt.l_suppkey == supp.s_suppkey)
+    top = top_n_per_group(named.withColumn("_g", F.lit(1)), ["_g"],
+                          [F.desc("numwait"), F.asc("s_name")], n=20,
+                          rank_col="rn")
+    return top.select("s_suppkey", "s_name", "numwait",
+                      F.col("rn").cast("int").alias("rn"))
+
+
+_LAPSED_RICH_ORACLE = """
+WITH avg_bal AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+         CAST(COUNT(*) AS DECIMAL(10,0)) AS n
+  FROM customer WHERE c_acctbal > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR)
+            AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN avg_bal
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY n_name
+"""
+
+
+@query("lapsed_rich_customers", _LAPSED_RICH_ORACLE)
+def lapsed_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, counted per nation (the schema's customers all have SOME
+    order, so 'never ordered' becomes 'no order since 2000-01-01' —
+    same anti-join + scalar-average-subquery pattern).
+
+    100 TB shape: the positive-balance average is a 1-row exact-decimal
+    frame broadcast back, compared by cross-multiplication (bal*n > s) so
+    no engine-dependent division rounding can flip membership; the
+    anti-join shuffles on custkey against the date-pruned distinct
+    buyer set."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    recent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate")
+                     >= F.lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey").distinct())
+    avg_bal = (cust.where(F.col("c_acctbal") > 0)
+                   .agg(F.sum(_dec("c_acctbal")).alias("s"),
+                        F.count(F.lit(1)).cast("decimal(10,0)").alias("n")))
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+                .where(_dec("c_acctbal") * F.col("n") > F.col("s")))
+    lapsed = rich.join(recent, rich.c_custkey == recent.o_custkey,
+                       "left_anti")
+    return (lapsed.join(F.broadcast(nation),
+                        lapsed.c_nationkey == nation.n_nationkey)
+                  .groupBy("n_name")
+                  .agg(F.count(F.lit(1)).alias("numcust"),
+                       F.sum(_dec("c_acctbal"))
+                        .cast("string").cast("double").alias("totacctbal")))
+
+
+# --- corpus heavy hitters (LLM-pipeline vocabulary statistics) --------------
+
+_HEAVY_HITTERS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), ag AS (
+  SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tok WHERE tok <> '' GROUP BY tok
+), rk AS (
+  SELECT tok, tf, df,
+         ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rn
+  FROM ag
+)
+SELECT tok, tf, df, CAST(rn AS INTEGER) AS rn FROM rk WHERE rn <= 50
+"""
+
+
+@query("corpus_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary by term frequency, with document
+    frequency — the vocabulary/stopword audit every training-data
+    pipeline runs before tokenizer training.
+
+    100 TB shape: explode happens map-side; (tf, df) is one two-phase
+    aggregate keyed by token (Spark plans the exact count-distinct as an
+    expand over (tok, doc_id) with partial aggregation — no all-pairs
+    state); the global top-50 goes through the WindowGroupLimit rank
+    funnel, carrying O(50 x partitions) rows, never the vocabulary. At
+    real scale swap df for approx_count_distinct and this plan is
+    unchanged."""
+    from .operators.topn import top_n_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                  r"\s+")).alias("tok"))
+                .where(F.col("tok") != ""))
+    ag = (toks.groupBy("tok")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.countDistinct("doc_id").alias("df")))
+    top = top_n_per_group(ag.withColumn("_g", F.lit(1)), ["_g"],
+                          [F.desc("tf"), F.asc("tok")], n=50,
+                          rank_col="rn")
+    return top.select("tok", "tf", "df", F.col("rn").cast("int").alias("rn"))
