@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "sole_return_supplier",
     "lapsed_rich_customers",
     "corpus_heavy_hitters",
+    "stratified_split_sample",
+    "tfidf_top_terms",
+    "cross_source_contamination",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "document_profile",

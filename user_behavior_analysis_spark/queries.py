@@ -2660,3 +2660,181 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           [F.desc("tf"), F.asc("tok")], n=50,
                           rank_col="rn")
     return top.select("tok", "tf", "df", F.col("rn").cast("int").alias("rn"))
+
+
+# ===========================================================================
+# Round-2 pipeline widening: dataset curation primitives — deterministic
+# stratified sampling / split assignment, TF-IDF vocabulary ranking, and
+# cross-source contamination detection over winnowing fingerprints.
+# ===========================================================================
+
+_STRAT_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('101|' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 100 AS bucket,
+    CAST(('0x' || substr(md5('202|' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 10 AS sb
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN sb < 8 THEN 'train' WHEN sb = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+WHERE bucket < CASE lang WHEN 'en' THEN 20 ELSE 50 END
+"""
+
+
+@query("stratified_split_sample", _STRAT_SAMPLE_ORACLE)
+def stratified_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling + train/val/test assignment:
+    downsample dominant languages (en keeps 20%, others 50%) and split
+    80/10/10 — the curation step between raw corpus and tokenizer/train
+    jobs.
+
+    Membership is a pure function of doc_id (md5-prefix bucket, seeds
+    101/202), NOT rand(): re-runs, retries, and engines agree row-for-row
+    — which is why this is oracle-checkable at all, and why a production
+    pipeline can resume mid-corpus without resampling drift. Scale shape:
+    two md5s per row in one codegen scan, zero shuffles, filter prunes
+    before any downstream stage."""
+    from .functions.text import md5_prefix_hash
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    did = F.col("doc_id").cast("string")
+    bucket = md5_prefix_hash(did, seed=101) % 100
+    sb = md5_prefix_hash(did, seed=202) % 10
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    split = (F.when(sb < 8, "train").when(sb == 8, "val")
+              .otherwise("test"))
+    return (docs.withColumn("bucket", bucket)
+                .withColumn("split", split)
+                .where(F.col("bucket") < rate)
+                .select("doc_id", "lang", "split"))
+
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), sc AS (
+  SELECT doc_id, tf.tok AS tok, tf,
+         CAST(tf * n AS DOUBLE) / df AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+), rk AS (
+  SELECT doc_id, tok, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rn
+  FROM sc
+)
+SELECT doc_id, tok, tf, score, CAST(rn AS INTEGER) AS rn
+FROM rk WHERE rn <= 3
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by linear TF-IDF
+    (score = tf * N / df) — the keyword/topic profile used for corpus
+    browsing and domain balancing.
+
+    The linear-idf variant is deliberate: tf*N is exact in int64 and the
+    single double division is IEEE-identical across engines, whereas
+    ln(N/df) would hang cross-engine equality on libm's last ulp. Scale
+    shape: per-(doc,tok) counts shuffle once; document frequency derives
+    from that aggregate (no second scan); df joins back token-keyed and
+    pinned shuffle-hash (the vocabulary grows with the corpus — never a
+    broadcast build); the per-doc top-3 goes through the WindowGroupLimit
+    funnel keyed by doc_id."""
+    from .operators.topn import top_n_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                  r"\s+")).alias("tok"))
+                .where(F.col("tok") != ""))
+    tf = (toks.groupBy("doc_id", "tok")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+               .withColumnRenamed("tok", "df_tok"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    sc = (tf.join(dfreq.hint("shuffle_hash"),
+                  tf.tok == dfreq.df_tok)
+            .crossJoin(F.broadcast(n))
+            .select("doc_id", "tok", "tf",
+                    ((F.col("tf") * F.col("n")).cast("double")
+                     / F.col("df")).alias("score")))
+    top = top_n_per_group(sc, ["doc_id"],
+                          [F.desc("score"), F.asc("tok")], n=3,
+                          rank_col="rn")
+    return top.select("doc_id", "tok", "tf", "score",
+                      F.col("rn").cast("int").alias("rn"))
+
+
+_CONTAMINATION_ORACLE = rf"""
+WITH fp AS ({_ROLLING_FP_ORACLE}
+), keepfp AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 100
+), meta AS (
+  SELECT doc_id, source FROM documents
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         LEAST(ma.source, mb.source) AS source_lo,
+         GREATEST(ma.source, mb.source) AS source_hi
+  FROM fp a
+  JOIN keepfp USING (fp)
+  JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN meta ma ON a.doc_id = ma.doc_id
+  JOIN meta mb ON b.doc_id = mb.doc_id
+  WHERE ma.source <> mb.source
+)
+SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+FROM pairs GROUP BY source_lo, source_hi
+"""
+
+
+@query("cross_source_contamination", _CONTAMINATION_ORACLE)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: document pairs from DIFFERENT
+    sources sharing a winnowing fingerprint (>= k+w-1 = 6 identical
+    consecutive tokens), counted per source pair — the check run before
+    trusting any held-out-source eval split.
+
+    Scale shape: fingerprints come from the same single-scan winnowing
+    expression as rolling_fingerprints; degenerate fingerprints (shared
+    by > 100 docs — boilerplate runs) are dropped BEFORE the self-join,
+    the same hot-bucket cap as MinHash LSH, so no fingerprint fans out
+    quadratically; the join is fp-keyed co-partitioned, and the distinct
+    + per-source-pair count are both bounded by the surviving pair set."""
+    from .functions.text import tokens, winnow_fingerprints_expr
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (docs.withColumn("toks", tokens("text"))
+              .withColumn("fps",
+                          F.expr(winnow_fingerprints_expr(
+                              "toks", _WINNOW_K, _WINNOW_W)))
+              .select("doc_id", "source",
+                      F.explode("fps").alias("fp")))
+    keep = (fp.groupBy("fp")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .where(F.col("nd") <= 100)
+              .select("fp"))
+    fpk = fp.join(keep.hint("shuffle_hash"), "fp")
+    a = fpk.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("doc_a"),
+                   F.col("source").alias("source_a"))
+    b = fpk.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("doc_b"),
+                   F.col("source").alias("source_b"))
+    pairs = (a.join(b, (a.fp_a == b.fp_b) & (a.doc_a < b.doc_b))
+               .where(F.col("source_a") != F.col("source_b"))
+               .select("doc_a", "doc_b",
+                       F.least("source_a", "source_b").alias("source_lo"),
+                       F.greatest("source_a", "source_b").alias("source_hi"))
+               .distinct())
+    return (pairs.groupBy("source_lo", "source_hi")
+                 .agg(F.count(F.lit(1)).alias("n_pairs")))
