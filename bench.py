@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "stratified_split_sample",
     "tfidf_top_terms",
     "cross_source_contamination",
+    "last_touch_attribution",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "document_profile",

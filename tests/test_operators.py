@@ -515,3 +515,57 @@ def test_dedup_clusters_empty_pairs(spark):
     assert len(out) == 5
     assert out["keep"].all()
     assert (out["doc_id"] == out["cluster_rep"]).all()
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union-tag window must agree with pandas merge_asof (backward,
+    inclusive) on a keyed fixture with no-match rows and multiple keys."""
+    import pandas as pd
+    from user_behavior_analysis_spark.operators.asof import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "lt": [5, 10, 3, 7, 1, 4],
+        "lv": ["a", "b", "c", "d", "e", "f"],
+    })
+    right = pd.DataFrame({
+        "rk": [1, 1, 2, 2, 9],
+        "rt": [4, 9, 7, 8, 1],
+        "pay": ["r1", "r2", "r3", "r4", "r9"],
+    })
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        left_on="k", right_on="rk", left_ts="lt", right_ts="rt",
+        payload=["pay"],
+    ).toPandas().sort_values(["k", "lt"]).reset_index(drop=True)
+
+    exp = pd.merge_asof(
+        left.sort_values("lt"), right.sort_values("rt"),
+        left_on="lt", right_on="rt", left_by="k", right_by="rk",
+        direction="backward",
+    ).sort_values(["k", "lt"]).reset_index(drop=True)
+    assert list(out["pay"]) == [None if pd.isna(p) else p
+                                for p in exp["pay"]]
+
+
+def test_asof_join_same_timestamp_is_inclusive(spark):
+    """A right row at exactly the left timestamp must match (right rows
+    sort before left rows at equal ts)."""
+    from user_behavior_analysis_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 10)], "k long, lt long")
+    right = spark.createDataFrame([(1, 10, "hit")],
+                                  "rk long, rt long, pay string")
+    out = asof_join(left, right, left_on="k", right_on="rk",
+                    left_ts="lt", right_ts="rt", payload=["pay"]).toPandas()
+    assert list(out["pay"]) == ["hit"]
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    from user_behavior_analysis_spark.operators.asof import asof_join
+    df = spark.createDataFrame([(1, 2)], "k long, pay long")
+    try:
+        asof_join(df, df, left_on="k", right_on="k",
+                  left_ts="pay", right_ts="pay", payload=["pay"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

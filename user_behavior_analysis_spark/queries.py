@@ -2838,3 +2838,55 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                .distinct())
     return (pairs.groupBy("source_lo", "source_hi")
                  .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+# --- as-of join: last-touch attribution -------------------------------------
+
+_LAST_TOUCH_ORACLE = """
+WITH touch AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY user_id, ts
+), purchase AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(t.touch_type, 'none') AS touch,
+       COUNT(*) AS n_purchases,
+       CAST(CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS VARCHAR)
+            AS DOUBLE) AS total_value
+FROM purchase p ASOF LEFT JOIN touch t
+  ON p.user_id = t.user_id AND p.ts >= t.ts
+GROUP BY COALESCE(t.touch_type, 'none')
+"""
+
+
+@query("last_touch_attribution", _LAST_TOUCH_ORACLE)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution via the as-of join (operators/asof.py):
+    every purchase event is attributed to the user's most recent
+    NON-purchase event at-or-before it; purchases with no prior touch
+    attribute to 'none'. The DuckDB oracle is a native ASOF LEFT JOIN —
+    this query is the cross-engine proof that the union-tag window
+    implements real as-of semantics.
+
+    The touch side is pre-deduped to one row per (user, ts) with
+    max_by(event_type, event_id) — ASOF is otherwise ambiguous under
+    timestamp ties and no oracle could be exact. Scale shape: one
+    shuffle on user_id for the carry-forward window; purchase revenue
+    summed in exact decimals."""
+    from .operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    touch = (ev.where(F.col("event_type") != "purchase")
+               .groupBy("user_id", "ts")
+               .agg(F.max_by("event_type", "event_id").alias("touch_type")))
+    purchase = (ev.where(F.col("event_type") == "purchase")
+                  .select(F.col("user_id").alias("p_user"), "ts", "value"))
+    joined = asof_join(purchase, touch,
+                       left_on="p_user", right_on="user_id",
+                       left_ts="ts", right_ts="ts",
+                       payload=["touch_type"])
+    return (joined.groupBy(F.coalesce("touch_type", F.lit("none"))
+                            .alias("touch"))
+                  .agg(F.count(F.lit(1)).alias("n_purchases"),
+                       F.sum(_dec("value"))
+                        .cast("string").cast("double").alias("total_value")))
