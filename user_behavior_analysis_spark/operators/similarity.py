@@ -170,22 +170,36 @@ def _rp_hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[int]]:
     ]
 
 
-def rp_lsh_bucket(vec_col, n_planes: int, dim: int, seed: int = 7):
-    """Column expr: random-hyperplane (SimHash-for-embeddings) LSH bucket
-    of an ``array<double>`` column — bit p is the sign of the dot product
-    with hyperplane p, all JVM-side (zip_with product + sequential
-    aggregate fold, deterministic)."""
-    planes = _rp_hyperplanes(n_planes, dim, seed)
-    sig = None
-    for p, w in enumerate(planes):
-        wlit = F.array(*[F.lit(float(x)) for x in w])
-        dot = F.aggregate(
-            F.zip_with(wlit, vec_col, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
-        term = bit * F.lit(1 << p)
-        sig = term if sig is None else (sig + term)
-    return sig.cast("int")
+def rp_lsh_buckets_expr(vec_col: str, n_tables: int, n_planes: int,
+                        dim: int, seed: int = 7) -> str:
+    """SQL expr: ``array<int>`` of all ``n_tables`` random-hyperplane LSH
+    buckets of an ``array<double>`` column, in ONE ``transform`` over a
+    literal plane matrix — bit p of table t is the sign of the dot
+    product with hyperplane (t, p), all JVM-side and deterministic.
+
+    The earlier per-plane form unrolled n_tables*n_planes dot products
+    (each a 64-literal zip_with/aggregate), and codegen COMPILE time —
+    not data — dominated the query (~2.7 s at any scale factor). One
+    lambda over the (n_tables*n_planes) x dim matrix emits a single
+    generated loop instead; the sign-bit array is let-bound
+    (functions.text.let_expr) so packing buckets per table does not
+    re-inline the dot products."""
+    from ..functions.text import let_expr
+
+    rows: list[list[int]] = []
+    for t in range(n_tables):
+        rows.extend(_rp_hyperplanes(n_planes, dim, seed + 1000 * t))
+    mat = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)}D" for x in w) + ")"
+        for w in rows) + ")"
+    bits = (f"transform({mat}, p -> if(aggregate(zip_with(p, {vec_col}, "
+            f"(a, b) -> a * b), 0D, (acc, x) -> acc + x) > 0, 1, 0))")
+    pack = " + ".join(
+        f"element_at(bs, t * {n_planes} + {p + 1}) * {1 << p}"
+        for p in range(n_planes))
+    return let_expr(
+        bits, "bs",
+        f"transform(sequence(0, {n_tables - 1}), t -> cast(({pack}) as int))")
 
 
 def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -208,26 +222,16 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     Approximate by design; planted-near-dup retrieval is asserted in
     tests, with the miss probability derivable from (θ, b, L).
     """
-    c_tabs = [
-        F.struct(F.lit(t).alias("tab"),
-                 rp_lsh_bucket(F.col("cv"), n_planes, dim,
-                               seed + 1000 * t).alias("bucket"))
-        for t in range(n_tables)
-    ]
     c = (corpus.select("c_id", as_double("c_vec").alias("cv"))
-               .withColumn("tb", F.explode(F.array(*c_tabs)))
-               .select("c_id", "cv", F.col("tb.tab").alias("tab"),
-                       F.col("tb.bucket").alias("bucket")))
-    q_tabs = [
-        F.struct(F.lit(t).alias("tab"),
-                 rp_lsh_bucket(F.col("qv"), n_planes, dim,
-                               seed + 1000 * t).alias("bucket"))
-        for t in range(n_tables)
-    ]
+               .select("c_id", "cv",
+                       F.posexplode(F.expr(rp_lsh_buckets_expr(
+                           "cv", n_tables, n_planes, dim, seed)))
+                        .alias("tab", "bucket")))
     probed = (queries.select("q_id", as_double("q_vec").alias("qv"))
-                     .withColumn("tb", F.explode(F.array(*q_tabs)))
-                     .select("q_id", "qv", F.col("tb.tab").alias("tab"),
-                             F.col("tb.bucket").alias("bucket")))
+                     .select("q_id", "qv",
+                             F.posexplode(F.expr(rp_lsh_buckets_expr(
+                                 "qv", n_tables, n_planes, dim, seed)))
+                              .alias("tab", "bucket")))
     scored = (
         c.join(F.broadcast(probed),
                (c["tab"] == probed["tab"])
