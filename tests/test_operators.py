@@ -569,3 +569,46 @@ def test_asof_join_rejects_payload_collision(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_asof_join_property_vs_merge_asof(spark):
+    """Property test: on arbitrary keyed timelines (including empty
+    sides, all-before / all-after timestamps, and multi-key mixes) the
+    union-tag window must agree with pandas merge_asof. Right side is
+    deduped per (key, ts) — the operator's documented determinism
+    precondition."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+    from user_behavior_analysis_spark.operators.asof import asof_join
+
+    row_l = st.tuples(st.integers(0, 2), st.integers(0, 15))
+    row_r = st.tuples(st.integers(0, 2), st.integers(0, 15),
+                      st.sampled_from(["p", "q", "r"]))
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(row_l, min_size=1, max_size=10),
+           st.lists(row_r, max_size=10,
+                    unique_by=lambda t: (t[0], t[1])))
+    def check(lrows, rrows):
+        left = pd.DataFrame(lrows, columns=["k", "lt"])
+        left["lid"] = range(len(left))
+        right = pd.DataFrame(rrows or None,
+                             columns=["rk", "rt", "pay"])
+        sl = spark.createDataFrame(left)
+        sr = (spark.createDataFrame(right) if len(right) else
+              spark.createDataFrame([], "rk long, rt long, pay string"))
+        out = (asof_join(sl, sr, left_on="k", right_on="rk",
+                         left_ts="lt", right_ts="rt", payload=["pay"])
+               .toPandas().sort_values("lid").reset_index(drop=True))
+        exp = pd.merge_asof(
+            left.sort_values(["lt", "lid"]),
+            right.sort_values("rt").astype(
+                {"rt": "int64", "rk": "int64"}),
+            left_on="lt", right_on="rt", left_by="k", right_by="rk",
+            direction="backward",
+        ).sort_values("lid").reset_index(drop=True)
+        got = [None if p is None else p for p in out["pay"]]
+        want = [None if pd.isna(p) else p for p in exp["pay"]]
+        assert got == want, (left, right, got, want)
+
+    check()

@@ -531,3 +531,28 @@ def test_wau_stream_matches_batch(spark, sf_dir, split_events_dir):
     assert len(merged) == len(out)
     assert len(out) >= len(batch) - 8, (len(out), len(batch))
     assert (merged["active_users_s"] == merged["active_users_b"]).all()
+
+
+def test_last_touch_stream_matches_batch_asof(spark, sf_dir,
+                                              split_events_dir):
+    """The O(1)-state streaming attribution must agree with the batch
+    as-of join query on per-touch purchase counts and exact-decimal
+    revenue."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.streaming.stateful import (
+        last_touch_stream)
+
+    ev = stream_events(spark, split_events_dir).select(
+        "user_id", "ts", "event_type", "value")
+    got = run_stream(spark, last_touch_stream(ev), "append",
+                     "last_touch_stream")
+    agg = (got.assign(value=got["value"].round(2))
+              .groupby("touch")
+              .agg(n_purchases=("user_id", "size"),
+                   total_value=("value", "sum"))
+              .reset_index())
+    exp = QUERIES["last_touch_attribution"](spark, sf_dir).toPandas()
+    m = agg.merge(exp, on="touch", suffixes=("_s", "_b"))
+    assert len(m) == len(exp)
+    assert (m["n_purchases_s"] == m["n_purchases_b"]).all(), m
+    assert (abs(m["total_value_s"] - m["total_value_b"]) < 1e-6).all(), m

@@ -269,3 +269,64 @@ def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
                                 _UV_BLOOM_STATE_SCHEMA, "update",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+ATTRIBUTION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("purchase_ts", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("touch", T.StringType()),
+])
+_ATTR_STATE_SCHEMA = T.StructType([
+    T.StructField("touch_ts", T.LongType()),
+    T.StructField("touch_type", T.StringType()),
+])
+
+
+def last_touch_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the as-of last-touch attribution
+    (operators/asof.py + queries.last_touch_attribution): per user,
+    remember the latest non-purchase event; emit every purchase
+    attributed to it ('none' when no prior touch).
+
+    State is O(1) per user — exactly (touch_ts, touch_type) — the
+    streaming shape the batch union-tag window cannot have. Within a
+    micro-batch rows sort by event time; cross-batch order is the
+    stream's responsibility (same watermark-bounded-disorder contract as
+    the other stateful ops). A touch and a purchase at the same
+    timestamp attribute the purchase to that touch (ties sort
+    touch-first), matching the batch operator's inclusive semantics.
+    """
+
+    def handle(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        touch_ts, touch_type = state.get if state.exists else (None, None)
+        out: list[tuple[int, int, float, str]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                ["ts", "is_touch"], ascending=[True, False])
+            for row in pdf.itertuples():
+                ts_us = int(row.ts.value // 1_000)
+                if row.is_touch:
+                    if touch_ts is None or ts_us >= touch_ts:
+                        touch_ts, touch_type = ts_us, row.event_type
+                else:
+                    out.append((user_id, ts_us, row.value,
+                                touch_type if touch_type is not None
+                                else "none"))
+        state.update((touch_ts, touch_type))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "purchase_ts", "value", "touch"])
+
+    from pyspark.sql import functions as F
+    tagged = events.withColumn(
+        "is_touch", F.col("event_type") != "purchase")
+    return (
+        tagged
+        .groupBy("user_id")
+        .applyInPandasWithState(handle, ATTRIBUTION_OUT_SCHEMA,
+                                _ATTR_STATE_SCHEMA, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
