@@ -612,3 +612,26 @@ def test_asof_join_property_vs_merge_asof(spark):
         assert got == want, (left, right, got, want)
 
     check()
+
+
+def test_approx_percentile_within_accuracy_bound(spark, sf_dir):
+    """The 100 TB path for order_value_stats' exact percentiles:
+    approx_percentile's Greenwald-Khanna sketch must land within its
+    documented rank-error bound (1/accuracy) of the exact rank. This is
+    the percentile analogue of the exact-UV / HLL pair — exact for the
+    oracle, mergeable sketch at scale."""
+    from pyspark.sql import functions as F
+    from user_behavior_analysis_spark.sources import load_table
+    from user_behavior_analysis_spark.session import tune
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    n = orders.count()
+    acc = 100  # rank error <= n/acc
+    row = orders.agg(
+        F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), "
+               f"{acc})").alias("ap")).collect()[0]
+    exact_ranks = [0.25 * n, 0.5 * n, 0.9 * n]
+    for q_est, want_rank in zip(row["ap"], exact_ranks):
+        got_rank = orders.where(F.col("o_totalprice") <= q_est).count()
+        assert abs(got_rank - want_rank) <= n / acc + 1, (
+            q_est, got_rank, want_rank, n)
