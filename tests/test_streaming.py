@@ -556,3 +556,51 @@ def test_last_touch_stream_matches_batch_asof(spark, sf_dir,
     assert len(m) == len(exp)
     assert (m["n_purchases_s"] == m["n_purchases_b"]).all(), m
     assert (abs(m["total_value_s"] - m["total_value_b"]) < 1e-6).all(), m
+
+
+def test_streaming_vocabulary_matches_batch_heavy_hitters(spark, sf_dir,
+                                                          tmp_path):
+    """Streaming corpus analytics: per-token counts aggregated in update
+    mode over document micro-batches, ranked per epoch in foreachBatch
+    (rank-over-agg is not allowed mid-stream). The final epoch's top-50
+    by (tf DESC, tok) must equal the batch corpus_heavy_hitters ranking
+    on (tok, tf, rn)."""
+    import pyspark.sql.functions as F
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.sources import load_table
+    from user_behavior_analysis_spark.streaming.jobs import (
+        topn_foreach_batch)
+
+    d = str(tmp_path / "docs_split")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    counts = (stream.select(
+                  F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                    r"\s+")).alias("tok"))
+              .where(F.col("tok") != "")
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("tf")))
+
+    last: dict[str, object] = {}
+
+    def sink(ranked, epoch_id):
+        last["pdf"] = ranked.toPandas()
+
+    q = (counts.writeStream.outputMode("complete")
+         .foreachBatch(topn_foreach_batch(
+             50, [], "tf", "tok", sink))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = (last["pdf"].rename(columns={"rank": "rn"})
+           [["tok", "tf", "rn"]]
+           .sort_values("rn").reset_index(drop=True))
+    exp = (QUERIES["corpus_heavy_hitters"](spark, sf_dir).toPandas()
+           [["tok", "tf", "rn"]]
+           .sort_values("rn").reset_index(drop=True))
+    got["rn"] = got["rn"].astype(exp["rn"].dtype)
+    assert got.equals(exp), (got.head(), exp.head())
