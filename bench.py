@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "cross_source_contamination",
     "last_touch_attribution",
+    "props_key_stats",
+    "ann_pq_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "document_profile",

@@ -247,3 +247,105 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
               .where(F.col("rank") <= k)
               .select("q_id", "c_id", "cos", "rank")
     )
+
+
+def pq_codebooks(corpus: DataFrame, vec_col: str, m: int = 8,
+                 n_centroids: int = 16, dim: int = 64, seed: int = 42,
+                 max_train_rows: int = 100_000) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split ``dim`` into ``m``
+    subspaces and fit an independent KMeans per subspace on ONE shared
+    bounded sample (cached — eight fits must not rescan the corpus).
+    Returns m codebooks of n_centroids × (dim/m) floats — ~4 KB total,
+    broadcast by value into every downstream expression."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub_dim = dim // m
+    base = corpus.select(as_double(vec_col).alias("v"))
+    n = corpus.count()
+    train = base if n <= max_train_rows else base.sample(
+        fraction=max_train_rows / n, seed=seed)
+    train = train.cache()
+    try:
+        books = []
+        for s in range(m):
+            sub = train.select(array_to_vector(
+                F.slice("v", s * sub_dim + 1, sub_dim)).alias("_fv"))
+            model = KMeans(k=n_centroids, seed=seed + s,
+                           featuresCol="_fv").fit(sub)
+            books.append([list(map(float, c)) for c in
+                          model.clusterCenters()])
+    finally:
+        train.unpersist()
+    return books
+
+
+def _book_sql(book: list[list[float]]) -> str:
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{x}D" for x in c) + ")" for c in book) + ")"
+
+
+def _l2sq(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0D, (acc, z) -> acc + z)")
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
+            n_centroids: int = 16, dim: int = 64, seed: int = 42,
+            rerank: int = 32) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation and
+    exact re-rank — the compressed-domain scale path: a 64-d float64
+    vector (512 B) becomes m=8 one-byte codes, a 64× memory reduction,
+    so the scan side at 100 TB touches codes, not vectors.
+
+    Encode: per subspace, the corpus vector maps to its nearest codebook
+    centroid (map-side expression over the broadcast-by-value codebooks;
+    no shuffle builds the index). Score: each query precomputes an
+    m × n_centroids lookup table once; ADC distance is m table lookups
+    per (query, code) pair. The PQ top-``rerank`` candidates then
+    re-rank by TRUE cosine, so the output ranking is exact over the
+    candidate set — quantization only affects which candidates survive.
+
+    queries: (q_id, q_vec); corpus: (c_id, c_vec). Output
+    (q_id, c_id, cos, rank) like the other ANN paths; approximate by
+    design — recall vs brute force is asserted in tests.
+    """
+    from ..functions.text import let_expr
+
+    sub_dim = dim // m
+    books = pq_codebooks(corpus, "c_vec", m, n_centroids, dim, seed)
+
+    # encode: code_s = argmin_j l2(c_sub_s, book_s[j]), 1-based (let-bound
+    # dists so array_position does not recompute them)
+    codes = []
+    for s, book in enumerate(books):
+        sub = f"slice(cv, {s * sub_dim + 1}, {sub_dim})"
+        dists = f"transform({_book_sql(book)}, c -> {_l2sq('c', sub)})"
+        codes.append(let_expr(
+            dists, "ds", "cast(array_position(ds, array_min(ds)) as int)"))
+    c = (corpus.select("c_id", as_double("c_vec").alias("cv"))
+               .withColumn("codes", F.expr(
+                   "array(" + ",".join(codes) + ")")))
+
+    # per-query ADC lookup tables: qtabs[s][j] = l2sq(q_sub_s, book_s[j])
+    tabs = []
+    for s, book in enumerate(books):
+        sub = f"slice(qv, {s * sub_dim + 1}, {sub_dim})"
+        tabs.append(f"transform({_book_sql(book)}, c -> {_l2sq('c', sub)})")
+    q = (queries.select("q_id", as_double("q_vec").alias("qv"))
+                .withColumn("qtabs", F.expr(
+                    "array(" + ",".join(tabs) + ")")))
+
+    adc = F.expr(
+        f"aggregate(sequence(1, {m}), 0D, (acc, s) -> "
+        f"acc + element_at(element_at(qtabs, s), element_at(codes, s)))")
+    scored = (c.join(F.broadcast(q), q["q_id"] != c["c_id"])
+               .withColumn("adc", adc))
+    wq = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+    cand = (scored.withColumn("arank", F.row_number().over(wq))
+                  .where(F.col("arank") <= rerank))
+    rer = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (rer.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k)
+               .select("q_id", "c_id", "cos", "rank"))

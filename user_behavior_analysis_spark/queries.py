@@ -2890,3 +2890,55 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count(F.lit(1)).alias("n_purchases"),
                        F.sum(_dec("value"))
                         .cast("string").cast("double").alias("total_value")))
+
+
+# --- JSON property extraction (event payload surface) -----------------------
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("props_key_stats", _PROPS_ORACLE)
+def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload surface: extract a JSON property from the
+    event props column and aggregate it per event type — the schema-on-
+    read path every event pipeline needs (Spark get_json_object ==
+    DuckDB json_extract; integer sums are exact in both engines).
+    Scale shape: JSON parse is map-side codegen; one aggregate exchange
+    keyed by the 5-value event_type."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(k).alias("k_sum"),
+                   F.min(k).alias("k_min"),
+                   F.max(k).alias("k_max")))
+
+
+@query("ann_pq_topk")  # rows-only: trained KMeans codebooks are not SQL-reproducible
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk): 8
+    codebooks x 16 centroids compress each 64-d vector to 8 bytes (64x),
+    ADC scores the compressed codes, and the top-64 candidates re-rank
+    by true cosine. The compressed-domain scale path for corpora whose
+    vectors no longer fit the scan budget; recall vs brute force is
+    asserted in tests/test_operators.py::test_pq_topk_recall."""
+    from .operators.similarity import pq_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    out = pq_topk(q, c, k=5, m=8, n_centroids=16, rerank=64)
+    return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
+                      "rank")
