@@ -175,3 +175,24 @@ def test_market_share_single_fact_fact_shuffle(spark, sf_dir):
     assert plan.count("ShuffledHashJoin") == 1, plan
     assert not re.search(
         r"BroadcastHashJoin \[l_orderkey#\d+L?\]", plan), plan
+
+
+def test_asof_join_is_single_exchange(spark, sf_dir):
+    # the union-tag as-of join must cost exactly ONE exchange (the window's
+    # partitionBy) before its aggregate — no join exchanges, no broadcast
+    plan = plan_of(spark, "last_touch_attribution", sf_dir)
+    assert "Window" in plan, plan
+    # exchanges: one pre-agg for touch dedupe reuses the window's? count all:
+    # (1) groupBy(user_id, ts) dedupe, (2) window on user_id, (3) final
+    # touch-keyed aggregate — and nothing else
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_vocabulary_join_is_shuffle(spark, sf_dir):
+    # the document-frequency side grows with the corpus vocabulary — it
+    # must never become a broadcast build; per-doc top-3 must prune via
+    # WindowGroupLimit before the rank
+    plan = plan_of(spark, "tfidf_top_terms", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
