@@ -661,3 +661,23 @@ def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
     # re-ranked scores are TRUE cosines: any overlapping pair agrees
     m = brute.merge(pq, on=["q_id", "c_id"], suffixes=("_b", "_p"))
     assert (m["cos_b"] == m["cos_p"]).all()
+
+
+def test_asof_join_null_payload_not_resurrected(spark):
+    """A matched right row whose payload is legitimately NULL must yield
+    NULL — not a stale value carried from an older right row — and
+    NULL-keyed or NULL-ts right rows must never match anything."""
+    from user_behavior_analysis_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 10), (None, 10)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 1, "old"), (1, 5, None), (None, 2, "nullkey"),
+         (1, None, "nullts")],
+        "rk long, rt long, pay string")
+    out = (asof_join(left, right, left_on="k", right_on="rk",
+                     left_ts="lt", right_ts="rt", payload=["pay"])
+           .toPandas())
+    import pandas as pd
+    assert len(out) == 2
+    assert out.loc[out["k"] == 1, "pay"].isna().all()   # ts=5 NULL stands
+    assert out.loc[out["k"].isna(), "pay"].isna().all()  # null keys no match
+    assert pd.isna(out["pay"]).all()

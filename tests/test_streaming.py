@@ -543,7 +543,7 @@ def test_last_touch_stream_matches_batch_asof(spark, sf_dir,
         last_touch_stream)
 
     ev = stream_events(spark, split_events_dir).select(
-        "user_id", "ts", "event_type", "value")
+        "event_id", "user_id", "ts", "event_type", "value")
     got = run_stream(spark, last_touch_stream(ev), "append",
                      "last_touch_stream")
     agg = (got.assign(value=got["value"].round(2))

@@ -43,15 +43,25 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     ``right_ts <= left_ts`` (NULL payload when no prior right row).
 
     ``payload`` names must not collide with left column names.
+
+    Matches merge_asof/ASOF JOIN edge semantics: right rows with a NULL
+    key or NULL timestamp never match anything (dropped up front), and
+    the carried value is the latest right ROW as a unit — payload
+    columns are packed into one struct before the window, so a matched
+    row whose payload is legitimately NULL yields NULL (never a stale
+    value resurrected from an older row) and multi-column payloads can
+    never mix fields from different right rows.
     """
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"payload columns collide with left side: {clash}")
 
-    r = right.select(
+    r = right.where(
+        F.col(right_on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(right_on).alias(left_on),
         F.col(right_ts).alias("_asof_ts"),
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("_asof_pack"),
     ).withColumn("_asof_side", F.lit(0))
     l = left.withColumn("_asof_ts", F.col(left_ts)) \
             .withColumn("_asof_side", F.lit(1))
@@ -60,9 +70,9 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     w = (Window.partitionBy(left_on)
                .orderBy("_asof_ts", "_asof_side")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned.select(
-        *[c for c in unioned.columns if c not in payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-    )
+    carried = unioned.withColumn(
+        "_asof_hit", F.last("_asof_pack", ignorenulls=True).over(w))
     return (carried.where(F.col("_asof_side") == 1)
-                   .drop("_asof_ts", "_asof_side"))
+                   .select(*left.columns,
+                           *[F.col(f"_asof_hit.{c}").alias(c)
+                             for c in payload]))

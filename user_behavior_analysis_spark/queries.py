@@ -2647,11 +2647,9 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale swap df for approx_count_distinct and this plan is
     unchanged."""
     from .operators.topn import top_n_per_group
+    from .functions.text import tokens
     docs = load_table(spark, sf_dir, "documents")
-    toks = (docs.select(
-                "doc_id",
-                F.explode(F.split(F.lower(F.trim(F.col("text"))),
-                                  r"\s+")).alias("tok"))
+    toks = (docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
                 .where(F.col("tok") != ""))
     ag = (toks.groupBy("tok")
               .agg(F.count(F.lit(1)).alias("tf"),
@@ -2754,11 +2752,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build); the per-doc top-3 goes through the WindowGroupLimit
     funnel keyed by doc_id."""
     from .operators.topn import top_n_per_group
+    from .functions.text import tokens
     docs = load_table(spark, sf_dir, "documents")
-    toks = (docs.select(
-                "doc_id",
-                F.explode(F.split(F.lower(F.trim(F.col("text"))),
-                                  r"\s+")).alias("tok"))
+    toks = (docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
                 .where(F.col("tok") != ""))
     tf = (toks.groupBy("doc_id", "tok")
               .agg(F.count(F.lit(1)).alias("tf")))
@@ -2932,7 +2928,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC scores the compressed codes, and the top-64 candidates re-rank
     by true cosine. The compressed-domain scale path for corpora whose
     vectors no longer fit the scan budget; recall vs brute force is
-    asserted in tests/test_operators.py::test_pq_topk_recall."""
+    asserted in tests/test_operators.py::test_pq_topk_recall_vs_bruteforce."""
     from .operators.similarity import pq_topk
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(

@@ -279,6 +279,7 @@ ATTRIBUTION_OUT_SCHEMA = T.StructType([
 ])
 _ATTR_STATE_SCHEMA = T.StructType([
     T.StructField("touch_ts", T.LongType()),
+    T.StructField("touch_eid", T.LongType()),
     T.StructField("touch_type", T.StringType()),
 ])
 
@@ -289,19 +290,24 @@ def last_touch_stream(events: DataFrame) -> DataFrame:
     remember the latest non-purchase event; emit every purchase
     attributed to it ('none' when no prior touch).
 
-    State is O(1) per user — exactly (touch_ts, touch_type) — the
-    streaming shape the batch union-tag window cannot have. Within a
+    State is O(1) per user — exactly (touch_ts, touch_eid, touch_type) —
+    the streaming shape the batch union-tag window cannot have. Within a
     micro-batch rows sort by event time; cross-batch order is the
     stream's responsibility (same watermark-bounded-disorder contract as
     the other stateful ops). A touch and a purchase at the same
     timestamp attribute the purchase to that touch (ties sort
-    touch-first), matching the batch operator's inclusive semantics.
+    touch-first), and same-timestamp touches resolve by max event_id —
+    BOTH matching the batch query's inclusive + max_by(event_type,
+    event_id) tie rule, so attribution never depends on partition or
+    batch layout. NULL event_type rows are dropped, as the batch query's
+    touch/purchase filters both exclude them.
     """
 
     def handle(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        touch_ts, touch_type = state.get if state.exists else (None, None)
+        touch_ts, touch_eid, touch_type = (
+            state.get if state.exists else (None, None, None))
         out: list[tuple[int, int, float, str]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(
@@ -309,20 +315,24 @@ def last_touch_stream(events: DataFrame) -> DataFrame:
             for row in pdf.itertuples():
                 ts_us = int(row.ts.value // 1_000)
                 if row.is_touch:
-                    if touch_ts is None or ts_us >= touch_ts:
-                        touch_ts, touch_type = ts_us, row.event_type
+                    if (touch_ts is None or ts_us > touch_ts
+                            or (ts_us == touch_ts
+                                and row.event_id > touch_eid)):
+                        touch_ts, touch_eid, touch_type = (
+                            ts_us, row.event_id, row.event_type)
                 else:
                     out.append((user_id, ts_us, row.value,
                                 touch_type if touch_type is not None
                                 else "none"))
-        state.update((touch_ts, touch_type))
+        state.update((touch_ts, touch_eid, touch_type))
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "purchase_ts", "value", "touch"])
 
     from pyspark.sql import functions as F
-    tagged = events.withColumn(
-        "is_touch", F.col("event_type") != "purchase")
+    tagged = (events.where(F.col("event_type").isNotNull())
+                    .withColumn("is_touch",
+                                F.col("event_type") != "purchase"))
     return (
         tagged
         .groupBy("user_id")
