@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "last_touch_attribution",
     "props_key_stats",
     "ann_pq_topk",
+    "neardup_triangles",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "document_profile",

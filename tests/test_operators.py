@@ -681,3 +681,17 @@ def test_asof_join_null_payload_not_resurrected(spark):
     assert out.loc[out["k"] == 1, "pay"].isna().all()   # ts=5 NULL stands
     assert out.loc[out["k"].isna(), "pay"].isna().all()  # null keys no match
     assert pd.isna(out["pay"]).all()
+
+
+def test_count_triangles_known_graphs(spark):
+    """K4 has exactly 4 triangles; a path has none; a hub star (the
+    hash-pileup shape degree orientation exists for) has none either."""
+    from user_behavior_analysis_spark.operators.graph import count_triangles
+    k4 = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)], "a long, b long")
+    assert count_triangles(k4).collect()[0].n_triangles == 4
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
+    assert count_triangles(path).collect()[0].n_triangles == 0
+    star = spark.createDataFrame([(0, i) for i in range(1, 9)],
+                                 "a long, b long")
+    assert count_triangles(star).collect()[0].n_triangles == 0

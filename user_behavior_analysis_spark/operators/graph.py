@@ -1,0 +1,56 @@
+"""Distributed graph primitives over edge-list DataFrames.
+
+The near-dup pipeline already produces graphs (LSH/SimHash candidate
+pairs, connected components in ``dedup.py``); this module adds the
+classic analytics over them. Everything is DataFrame joins — no driver
+materialization, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["count_triangles"]
+
+
+def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count of an undirected graph given as canonical
+    (a < b) distinct edges. Returns a 1-row DataFrame
+    ``(n_edges, n_triangles)``.
+
+    Degree-oriented wedge counting (the MapReduce-era standard): orient
+    every edge from its lower-(degree, id) endpoint to the higher one,
+    build wedges from each source's out-neighbors, and close them
+    against the canonical edge set. Orientation bounds every node's
+    out-degree by O(sqrt(m)), so the wedge fan-out — the step a naive
+    neighbor-join blows up on for power-law hubs — is O(m^1.5) total
+    instead of sum(deg^2): the difference between a feasible and an
+    impossible plan when one hub node touches millions of near-dups.
+    Three shuffles total: degree agg, wedge self-join on source, closing
+    join on the (u, v) pair.
+    """
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    ed = (e.join(deg.select(F.col("u").alias("x"), F.col("deg").alias("dx")),
+                 e.u == F.col("x"))
+           .join(deg.select(F.col("u").alias("y"), F.col("deg").alias("dy")),
+                 e.v == F.col("y"))
+           .select("u", "v", "dx", "dy"))
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("u") < F.col("v")))
+    o = ed.select(F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+                  F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("d"))
+
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = (e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
+                      & (F.col("e1.d") < F.col("e2.d")))
+                .select(F.least("e1.d", "e2.d").alias("u"),
+                        F.greatest("e1.d", "e2.d").alias("v")))
+    closed = wedges.join(e, ["u", "v"])
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(
+        closed.agg(F.count(F.lit(1)).alias("n_triangles")))

@@ -2938,3 +2938,37 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pq_topk(q, c, k=5, m=8, n_centroids=16, rerank=64)
     return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
                       "rank")
+
+
+# --- triangle counting on the near-dup graph --------------------------------
+
+_TRIANGLES_ORACLE = f"""
+WITH edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({_SIMHASH_NEARDUP_ORACLE})
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*)
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+"""
+
+
+@query("neardup_triangles", _TRIANGLES_ORACLE)
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the SimHash near-dup graph — the cluster-density
+    diagnostic for a dedup candidate set (triangle-rich neighborhoods are
+    true duplicate clusters; triangle-free stars are hash pileups).
+
+    Spark side uses degree-oriented wedge counting
+    (operators/graph.py:count_triangles) whose wedge fan-out is bounded
+    O(m^1.5) even on power-law hubs; the oracle is the plain a<b<c
+    three-way self-join — agreeing counts prove the orientation counts
+    each triangle exactly once."""
+    from .operators.dedup import simhash_neardup_pairs
+    from .operators.graph import count_triangles
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(docs, "text", "doc_id",
+                                  bits=_SIMHASH_BITS,
+                                  max_hamming=_SIMHASH_MAX_HAMMING)
+    return count_triangles(pairs, a="doc_a", b="doc_b")
