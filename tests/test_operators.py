@@ -639,7 +639,7 @@ def test_approx_percentile_within_accuracy_bound(spark, sf_dir):
 
 def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
     """PQ + exact re-rank must recover most true top-5 neighbors even on
-    near-random vectors (measured 0.88 at these settings; KMeans is
+    near-random vectors (measured 0.94 at these settings; Lloyd is
     seeded, so the bound is stable)."""
     from pyspark.sql import functions as F
     from user_behavior_analysis_spark.operators.similarity import (
@@ -653,7 +653,7 @@ def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
     c = emb.select(F.col("vec_id").alias("c_id"),
                    F.col("embedding").alias("c_vec"))
     brute = cosine_topk_bruteforce(q, c, k=5).toPandas()
-    pq = pq_topk(q, c, k=5, m=8, n_centroids=16, rerank=64).toPandas()
+    pq = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=96).toPandas()
     bp = set(zip(brute.q_id, brute.c_id))
     pp = set(zip(pq.q_id, pq.c_id))
     recall = len(bp & pp) / len(bp)

@@ -251,32 +251,52 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def pq_codebooks(corpus: DataFrame, vec_col: str, m: int = 8,
                  n_centroids: int = 16, dim: int = 64, seed: int = 42,
-                 max_train_rows: int = 100_000) -> list[list[list[float]]]:
+                 max_train_rows: int = 20_000) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split ``dim`` into ``m``
-    subspaces and fit an independent KMeans per subspace on ONE shared
-    bounded sample (cached — eight fits must not rescan the corpus).
-    Returns m codebooks of n_centroids × (dim/m) floats — ~4 KB total,
-    broadcast by value into every downstream expression."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    subspaces and run seeded numpy Lloyd (k-means++ init, 10 rounds) per
+    subspace on ONE bounded driver-collected sample.
+
+    Collecting the sample is deliberate and bounded (≤ ``max_train_rows``
+    rows ≈ 10 MB at 64-d): codebook training is a tiny dense-math problem
+    that faiss-style pipelines run in-process on a sample, and doing it
+    driver-side replaces 8 sequential distributed KMeans fits (fixed
+    job-scheduling cost each) with milliseconds of numpy. Assignment —
+    the part that actually scales with the corpus — stays a map-side
+    expression. Returns m codebooks of n_centroids × (dim/m) floats,
+    ~4 KB, broadcast by value into every downstream expression."""
+    import numpy as np
 
     sub_dim = dim // m
     base = corpus.select(as_double(vec_col).alias("v"))
     n = corpus.count()
-    train = base if n <= max_train_rows else base.sample(
+    sample = base if n <= max_train_rows else base.sample(
         fraction=max_train_rows / n, seed=seed)
-    train = train.cache()
-    try:
-        books = []
-        for s in range(m):
-            sub = train.select(array_to_vector(
-                F.slice("v", s * sub_dim + 1, sub_dim)).alias("_fv"))
-            model = KMeans(k=n_centroids, seed=seed + s,
-                           featuresCol="_fv").fit(sub)
-            books.append([list(map(float, c)) for c in
-                          model.clusterCenters()])
-    finally:
-        train.unpersist()
+    X = np.array(sample.toPandas()["v"].tolist(), dtype=np.float64)
+
+    def lloyd(pts: "np.ndarray", k: int, rs: "np.random.RandomState"):
+        # k-means++ seeding
+        cents = [pts[rs.randint(len(pts))]]
+        for _ in range(1, k):
+            d2 = np.min(
+                ((pts[:, None, :] - np.array(cents)[None, :, :]) ** 2)
+                .sum(-1), axis=1)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cents.append(pts[rs.choice(len(pts), p=p)])
+        C = np.array(cents)
+        for _ in range(10):
+            a = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            for j in range(k):
+                sel = pts[a == j]
+                if len(sel):
+                    C[j] = sel.mean(0)
+        return C
+
+    books = []
+    for s_i in range(m):
+        rs = np.random.RandomState(seed + s_i)
+        sub = X[:, s_i * sub_dim:(s_i + 1) * sub_dim]
+        books.append([[float(x) for x in c]
+                      for c in lloyd(sub, n_centroids, rs)])
     return books
 
 

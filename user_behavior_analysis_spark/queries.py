@@ -2924,8 +2924,8 @@ def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_pq_topk")  # rows-only: trained KMeans codebooks are not SQL-reproducible
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py:pq_topk): 8
-    codebooks x 16 centroids compress each 64-d vector to 8 bytes (64x),
-    ADC scores the compressed codes, and the top-64 candidates re-rank
+    codebooks x 32 centroids compress each 64-d vector to 8 bytes (64x),
+    ADC scores the compressed codes, and the top-96 candidates re-rank
     by true cosine. The compressed-domain scale path for corpora whose
     vectors no longer fit the scan budget; recall vs brute force is
     asserted in tests/test_operators.py::test_pq_topk_recall_vs_bruteforce."""
@@ -2935,7 +2935,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("c_id"),
                    F.col("embedding").alias("c_vec"))
-    out = pq_topk(q, c, k=5, m=8, n_centroids=16, rerank=64)
+    out = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=96)
     return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
                       "rank")
 
