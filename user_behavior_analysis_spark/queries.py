@@ -2944,7 +2944,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLES_ORACLE = f"""
 WITH edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM ({_SIMHASH_NEARDUP_ORACLE})
+  SELECT doc_a AS a, doc_b AS b FROM ({_JACCARD_ORACLE})
 )
 SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
        (SELECT COUNT(*)
@@ -2956,19 +2956,23 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
 
 @query("neardup_triangles", _TRIANGLES_ORACLE)
 def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count of the SimHash near-dup graph — the cluster-density
-    diagnostic for a dedup candidate set (triangle-rich neighborhoods are
-    true duplicate clusters; triangle-free stars are hash pileups).
+    """Triangle count of the VERIFIED near-dup graph (exact n-gram
+    Jaccard >= 0.8 pairs) — the cluster-density diagnostic for a dedup
+    pair set (triangle-rich neighborhoods are true duplicate clusters;
+    triangle-free stars are spurious links).
 
-    Spark side uses degree-oriented wedge counting
-    (operators/graph.py:count_triangles) whose wedge fan-out is bounded
-    O(m^1.5) even on power-law hubs; the oracle is the plain a<b<c
-    three-way self-join — agreeing counts prove the orientation counts
-    each triangle exactly once."""
-    from .operators.dedup import simhash_neardup_pairs
+    The verified graph is the meaningful input: the raw SimHash
+    candidate graph on template-generated corpora is a union of
+    thousand-node near-cliques where ANY exact triangle algorithm is
+    Omega(c^3) per clique — density diagnostics there belong to sampling,
+    not enumeration. Spark side uses degree-oriented wedge counting
+    (operators/graph.py:count_triangles), wedge fan-out O(m^1.5), with
+    duplicate wedges collapsed map-side before the closing join; the
+    oracle is the plain a<b<c three-way self-join — agreeing counts
+    prove the orientation counts each triangle exactly once."""
+    from .operators.dedup import ngram_jaccard_pairs
     from .operators.graph import count_triangles
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_neardup_pairs(docs, "text", "doc_id",
-                                  bits=_SIMHASH_BITS,
-                                  max_hamming=_SIMHASH_MAX_HAMMING)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                threshold=_JACCARD_THRESHOLD)
     return count_triangles(pairs, a="doc_a", b="doc_b")
