@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "token_stats",
     "rolling_fingerprints",
     "quality_filter",
+    "basket_pairs",
+    "part_pagerank",
+    "cohort_retention",
+    "purchase_intervals",
+    "event_anomaly_days",
 ]
 
 

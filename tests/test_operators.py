@@ -695,3 +695,62 @@ def test_count_triangles_known_graphs(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 9)],
                                  "a long, b long")
     assert count_triangles(star).collect()[0].n_triangles == 0
+
+
+def test_co_occurrence_cap_bounds_fanout(spark):
+    """A 20-item mega-basket with cap=5 must emit exactly C(5,2) pairs
+    over its 5 smallest item ids — the quadratic-blowup guard."""
+    from user_behavior_analysis_spark.operators.graph import co_occurrence_pairs
+    rows = [(1, i) for i in range(20)] + [(2, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = co_occurrence_pairs(df, "basket", "item", cap=5, min_count=1)
+    pairs = {(r.item_a, r.item_b, r.n_baskets) for r in got.collect()}
+    expect = {(a, b, 2 if (a, b) == (0, 1) else 1)
+              for a in range(5) for b in range(a + 1, 5)}
+    assert pairs == expect
+
+
+def test_pagerank_uniform_on_ring(spark):
+    """On a ring every node has the same degree and the same
+    neighborhood structure, so every iteration preserves the uniform
+    distribution: all scaled ranks identical."""
+    from user_behavior_analysis_spark.operators.graph import pagerank
+    n = 8
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "a long, b long")
+    ranks = pagerank(ring, iterations=3).collect()
+    vals = {r.rank_scaled for r in ranks}
+    assert len(ranks) == n and len(vals) == 1
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Scaled-integer PageRank vs an independent float power iteration
+    on a random graph: relative error bounded by the floor-division
+    quantization (ranks are ~1e12/N units; per-iteration floor loss is
+    < 1 unit per edge, invisible at 1e-6 relative)."""
+    import random
+
+    import numpy as np
+
+    from user_behavior_analysis_spark.operators.graph import pagerank
+    rng = random.Random(7)
+    n = 30
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(n), rng.randrange(n))
+                                 for _ in range(120)) if a != b})
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.rank_scaled / 1e12
+           for r in pagerank(df, iterations=3).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    adj = np.zeros((m, m))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(m, 1.0 / m)
+    for _ in range(3):
+        r = (0.15 / m) + 0.85 * (adj.T @ (r / deg))
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])

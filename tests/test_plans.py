@@ -196,3 +196,19 @@ def test_tfidf_vocabulary_join_is_shuffle(spark, sf_dir):
     plan = plan_of(spark, "tfidf_top_terms", sf_dir)
     assert "ShuffledHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_basket_pairs_no_cartesian(spark, sf_dir):
+    """The basket self-join is an equi-join on the basket key — any
+    cartesian/nested-loop here would be quadratic in lineitems."""
+    plan = plan_of(spark, "basket_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_anomaly_stats_are_broadcast(spark, sf_dir):
+    """The per-type stats table (|event_type| rows) must broadcast back
+    onto the daily counts — never shuffle the daily side for a 5-row
+    join."""
+    plan = plan_of(spark, "event_anomaly_days", sf_dir)
+    assert "BroadcastHashJoin" in plan

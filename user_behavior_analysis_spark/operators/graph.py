@@ -11,7 +11,92 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["count_triangles"]
+__all__ = ["count_triangles", "co_occurrence_pairs", "pagerank"]
+
+
+def co_occurrence_pairs(df: DataFrame, basket: str, item: str,
+                        cap: int = 8, min_count: int = 2) -> DataFrame:
+    """Market-basket co-occurrence: for every pair of items that appear
+    in the same basket, count the number of shared baskets. Returns
+    ``(item_a, item_b, n_baskets)`` with ``item_a < item_b``.
+
+    Scale shape: the self-join is keyed on ``basket`` — a single
+    co-partitioned shuffle, no cross product. The quadratic term is
+    per-basket fan-out (a basket of b items emits b*(b-1)/2 pairs), so
+    a ``cap`` bounds every basket to its first ``cap`` items (by item
+    id, deterministic): one power-law mega-basket (a crawler session
+    touching 10^5 items) would otherwise emit 5e9 pairs from a single
+    row group. With the cap, fan-out is O(cap^2) per basket — the knob
+    that keeps the pair count linear in baskets at 100 TB.
+    """
+    b = df.select(F.col(basket).alias("basket"),
+                  F.col(item).alias("item")).distinct()
+    from pyspark.sql import Window
+    w = Window.partitionBy("basket").orderBy("item")
+    capped = (b.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") <= cap).drop("rn"))
+    l, r = capped.alias("l"), capped.alias("r")
+    pairs = (l.join(r, (F.col("l.basket") == F.col("r.basket"))
+                    & (F.col("l.item") < F.col("r.item")))
+              .groupBy(F.col("l.item").alias("item_a"),
+                       F.col("r.item").alias("item_b"))
+              .agg(F.count(F.lit(1)).alias("n_baskets")))
+    return pairs.where(F.col("n_baskets") >= min_count)
+
+
+def pagerank(edges: DataFrame, a: str = "a", b: str = "b",
+             iterations: int = 3, scale: int = 10**12,
+             checkpoint: bool = False) -> DataFrame:
+    """PageRank over an undirected graph (canonical a<b edge list),
+    damping 0.85, in SCALED INTEGER arithmetic: ranks are BIGINTs in
+    units of 1/scale, every division is integer floor-division. That
+    makes the result bit-exact across engines and partitionings — a
+    float PageRank is not even deterministic across two Spark runs
+    (shuffle order changes the fp summation order), which is why the
+    classic implementations can't be oracled and this one can.
+
+    Per iteration: join ranks to out-degrees (co-keyed on node), fan
+    contributions along edges (one shuffle on the destination), sum,
+    re-damp. Nodes are exactly the edge endpoints, so the symmetric
+    graph has no dangling mass. With ``checkpoint=True`` each iterate
+    is localCheckpoint()-ed — at 100 TB an unrolled 3-join lineage per
+    iteration compounds into a plan Catalyst re-optimizes from scratch
+    every pass; truncating lineage per iteration is the standard
+    iterative-algorithm hygiene (same reason GraphX checkpoints).
+    Returns ``(node, rank_scaled)``.
+    """
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # The directed edge list is re-read every iteration (plus once for
+    # degrees): persist it, or each pass re-executes the upstream
+    # pipeline that produced the graph — the textbook iterative-Spark
+    # mistake. MEMORY_AND_DISK so a 100 TB-derived edge list degrades
+    # to local spill instead of OOM.
+    from pyspark import StorageLevel
+    und = (e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    # base = (1-d)/N and r0 = 1/N, both floor-scaled; d = 85/100.
+    # `div` is true integer division (identical to DuckDB // on
+    # positives) — float `/` + cast would round-then-truncate and can
+    # disagree with exact floor by 1 ulp.
+    r = (deg.crossJoin(F.broadcast(n))
+            .selectExpr("u", "deg",
+                        f"{scale}L div n AS rank",
+                        f"(15 * ({scale}L div n)) div 100 AS base"))
+    for _ in range(iterations):
+        contrib = (und.join(r, "u")
+                      .select(F.col("v").alias("u"),
+                              F.expr("rank div deg").alias("c")))
+        s = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+        r = (r.drop("rank").join(s, "u")
+              .selectExpr("u", "deg", "base",
+                          "base + (85 * s) div 100 AS rank"))
+        if checkpoint:
+            r = r.localCheckpoint(eager=False)
+    return r.select(F.col("u").alias("node"), F.col("rank").alias("rank_scaled"))
 
 
 def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
