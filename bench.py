@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     "purchase_intervals",
     "event_anomaly_days",
+    "collocation_pmi",
+    "doc_repetition",
 ]
 
 

@@ -3215,3 +3215,146 @@ def event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .where(dev * dev > var4)
                  .select("event_type", "day_no", "cnt")
                  .orderBy("event_type", "day_no"))
+
+
+# ===========================================================================
+# Round-2 wave 4: corpus statistics — collocation mining and the Gopher
+# within-document repetition signal (the two remaining classic curation
+# passes: phrase discovery for tokenizer merges, repetition for quality).
+# ===========================================================================
+
+_COLLOCATION_ORACLE = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), ucnt AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), bg AS (
+  SELECT unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+         unnest([t[i + 1] FOR i IN range(1, len(t))]) AS w2
+  FROM toks
+), bcnt AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2
+  HAVING COUNT(*) >= 5
+), sc AS (
+  SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+         (c_xy * 1000000000) // (u1.c * u2.c) AS score_scaled
+  FROM bcnt JOIN ucnt u1 ON w1 = u1.w JOIN ucnt u2 ON w2 = u2.w
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_scaled DESC, c_xy DESC,
+                               w1, w2) AS rn
+  FROM sc
+)
+SELECT w1, w2, c_xy, c_x, c_y, score_scaled, CAST(rn AS INTEGER) AS rn
+FROM rk WHERE rn <= 50
+"""
+
+
+@query("collocation_pmi", _COLLOCATION_ORACLE)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations ranked by a PMI-monotone score — the
+    phrase-discovery pass tokenizer pipelines run to pick merge
+    candidates ("new york"-style units).
+
+    PMI = log(p(xy)/(p(x)p(y))) is monotone in c_xy/(c_x*c_y) once the
+    corpus-size constants factor out, so the ranking is computed as the
+    EXACT scaled integer c_xy*1e9 div (c_x*c_y) — no log, no float
+    division, bit-identical across engines and shuffle orders (the
+    event_anomaly_days cross-multiplication trick applied to ranking).
+
+    100 TB shape: bigram construction is a map-side array transform
+    (zero pre-shuffle state); unigram and bigram counts are two-phase
+    aggregates keyed by word; the two vocabulary joins are pinned
+    shuffle-hash because the vocabulary GROWS with the corpus — a
+    broadcast pin here would be the shipping_priority mistake. Only
+    bigrams seen >= 5 times survive to the joins, and the global top-50
+    rides the WindowGroupLimit rank funnel, never the full vocabulary."""
+    from .functions.text import tokens
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(tokens("text"), lambda x: x != "").alias("t"))
+    uni = (toks.select(F.explode("t").alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    bg = F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(0, size(t) - 2), "
+               "i -> struct(t[i] AS w1, t[i + 1] AS w2))"),
+    ).otherwise(F.expr(
+        "CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    bcnt = (toks.select(F.explode(bg).alias("b"))
+                .select("b.w1", "b.w2")
+                .groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("c_xy"))
+                .where(F.col("c_xy") >= 5))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    sc = (bcnt.join(u1.hint("shuffle_hash"), "w1")
+              .join(u2.hint("shuffle_hash"), "w2")
+              .withColumn("score_scaled",
+                          F.expr("c_xy * 1000000000L div (c_x * c_y)")))
+    top = top_n_per_group(
+        sc.withColumn("_g", F.lit(1)), ["_g"],
+        [F.desc("score_scaled"), F.desc("c_xy"), F.asc("w1"), F.asc("w2")],
+        n=50, rank_col="rn")
+    return top.select("w1", "w2", "c_xy", "c_x", "c_y", "score_scaled",
+                      F.col("rn").cast("int").alias("rn"))
+
+
+_DOC_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))] AS b
+  FROM toks
+), m AS (
+  SELECT doc_id, len(b) AS n, len(b) - len(list_distinct(b)) AS dup
+  FROM bg
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+       CAST(dup AS BIGINT) AS dup_bigrams,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE (10000 * dup) // n END
+            AS BIGINT) AS rep_bp,
+       CASE WHEN n = 0 THEN 0 ELSE (10000 * dup) // n END <= 1500 AS keep
+FROM m
+"""
+
+
+@query("doc_repetition", _DOC_REPETITION_ORACLE)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition gate: the fraction of
+    word bigrams that are repeats of an earlier bigram in the SAME
+    document (duplicate-line / repeated-phrase spam signal), expressed
+    in exact basis points — (10000 * dup) div n — so the keep/drop
+    boundary cannot be flipped by float rounding on either engine.
+
+    100 TB shape: entirely row-local — bigrams, distinct count, and the
+    gate are array expressions inside one codegen scan over the text
+    column; ZERO shuffles, no per-doc state leaves the row. This is the
+    shape quality filters must have at corpus scale (contrast: a
+    groupBy(doc_id, bigram) formulation would shuffle the whole corpus).
+    Complements quality_filter (corpus-level ratios) with the
+    within-doc repetition dimension of the Gopher rules."""
+    from .functions.text import tokens
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(tokens("text"), lambda x: x != "")
+    bg = F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(0, size(t) - 2), "
+               "i -> concat(t[i], ' ', t[i + 1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    m = (docs.select("doc_id", t.alias("t"))
+             .select("doc_id", bg.alias("b"))
+             .select("doc_id",
+                     F.size("b").cast("long").alias("n_bigrams"),
+                     (F.size("b") - F.size(F.array_distinct("b")))
+                     .cast("long").alias("dup_bigrams")))
+    rep_bp = F.expr("CASE WHEN n_bigrams = 0 THEN 0L "
+                    "ELSE (10000L * dup_bigrams) div n_bigrams END")
+    return m.select("doc_id", "n_bigrams", "dup_bigrams",
+                    rep_bp.alias("rep_bp"),
+                    (rep_bp <= 1500).alias("keep"))

@@ -26,8 +26,14 @@ from pyspark.sql import SparkSession
 #   the main line of defense at 100 TB where static tuning is impossible.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
-    # testdata events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
-    # nanos timestamp — read as long and convert in sources.load_table.
+    # testdata timestamps are parquet TIMESTAMP(isAdjustedToUTC=false);
+    # read them as session-TZ TimestampType (UTC above), NOT TIMESTAMP_NTZ:
+    # NTZ cannot cast to BIGINT, and every query/oracle pair compares
+    # epoch-second longs. load_table also casts defensively in case this
+    # conf is locked down.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # older testdata generations stored ts as TIMESTAMP(NANOS); harmless
+    # where unsupported — sources.load_table converts the long if seen.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -27,6 +27,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # Parquet TIMESTAMP(isAdjustedToUTC=false) infers as NTZ on
+            # Spark 4.1+ unless inferTimestampNTZ is off (session.py).
+            # Normalize to session-TZ TimestampType (UTC): NTZ cannot
+            # cast to BIGINT, and the whole query surface (and the
+            # DuckDB oracle) works in epoch-second longs.
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
