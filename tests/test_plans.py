@@ -212,3 +212,20 @@ def test_event_anomaly_stats_are_broadcast(spark, sf_dir):
     join."""
     plan = plan_of(spark, "event_anomaly_days", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_doc_repetition_is_scan_only(spark, sf_dir):
+    plan = plan_of(spark, "doc_repetition", sf_dir)
+    # the repetition gate is row-local array math: one codegen scan over
+    # documents, no shuffle anywhere — the only shape a per-doc quality
+    # filter can afford at corpus scale
+    assert "Exchange" not in plan, plan
+
+
+def test_collocation_vocabulary_joins_are_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "collocation_pmi", sf_dir)
+    # both unigram-count joins are against the corpus VOCABULARY, which
+    # grows with the corpus: they must be shuffle-hash, never broadcast
+    # builds (the shipping_priority lesson applied to text)
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
