@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "event_anomaly_days",
     "collocation_pmi",
     "doc_repetition",
+    "semantic_dedup_clusters",
 ]
 
 

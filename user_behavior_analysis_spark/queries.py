@@ -941,6 +941,55 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))
 
 
+_SEMANTIC_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE vv AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+verified AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM vv a JOIN vv b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.e', 'b.e')} >= {_NEARDUP_COS}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM verified
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS vec_id, least(u, min(v)) AS cluster_rep FROM reach GROUP BY u
+)
+SELECT d.vec_id,
+       COALESCE(c.cluster_rep, d.vec_id) AS cluster_rep,
+       d.vec_id = COALESCE(c.cluster_rep, d.vec_id) AS keep
+FROM embeddings d LEFT JOIN comp c USING (vec_id)
+"""
+
+
+@query("semantic_dedup_clusters", _SEMANTIC_CLUSTERS_ORACLE)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) dedup taken to its keep/drop end:
+    blocked near-dup pairs → pointer-jumping connected components → one
+    (vec_id, cluster_rep, keep) row per embedding. The exact embedding
+    twin of ``dedup_clusters`` (which resolves MinHash-LSH text pairs) —
+    together they close both dedup families with a consumable drop set.
+
+    100 TB shape: pair generation stays blocked (within coarse cells,
+    never all-pairs); component resolution is O(log diameter)
+    pointer-jumping rounds, one node-keyed and one edge-keyed shuffle
+    per round, lineage truncated per round (operators/dedup.py
+    connected_components). Oracle: recursive transitive-closure CTE."""
+    from .operators.dedup import dedup_clusters
+    from .operators.similarity import embedding_neardup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (embedding_neardup_pairs(emb, "vec_id", "embedding", "label",
+                                     threshold=_NEARDUP_COS)
+             .select(F.col("id_a").alias("doc_a"),
+                     F.col("id_b").alias("doc_b")))
+    out = dedup_clusters(emb, pairs, id_col="vec_id")
+    return out.select(F.col("doc_id").alias("vec_id"), "cluster_rep",
+                      "keep")
+
+
 # --- text analysis: per-document profile -----------------------------------
 
 _PROFILE_ORACLE = r"""
