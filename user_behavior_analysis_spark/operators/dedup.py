@@ -188,11 +188,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     rounds (duplicate clusters from LSH are shallow; hitting the cap
     means the input is not a near-dup graph).
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-             .union(pairs.select(F.col(dst).alias("u"),
-                                 F.col(src).alias("v")))
-    ).localCheckpoint(eager=True)
+    # Materialize the pair lineage ONCE before mirroring: ``pairs`` is
+    # typically the expensive end of a candidate pipeline (LSH banding,
+    # Jaccard verification, blocked cosine), and a union of two reads of
+    # it would execute that lineage twice inside the first checkpoint.
+    p0 = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+               .localCheckpoint(eager=True))
+    edges = p0.union(p0.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
     labels = (edges.select("u").distinct()
                    .select(F.col("u").alias("node"),
                            F.col("u").alias("rep"))

@@ -115,7 +115,12 @@ def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Three shuffles total: degree agg, wedge self-join on source, closing
     join on the (u, v) pair.
     """
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # The canonical edge list is read five times below (degree mirror ×2,
+    # orientation join, closing join, edge count) and typically arrives
+    # at the end of an expensive pair pipeline (Jaccard verification) —
+    # materialize it once instead of re-executing that lineage per read.
+    e = (edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+              .localCheckpoint(eager=True))
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))

@@ -19,17 +19,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, norm
 
 
 def _scored(queries: DataFrame, corpus: DataFrame, join_cond) -> DataFrame:
     # Broadcast the QUERY side: the corpus is the big table and must
-    # stream partition-parallel past the (small) query set.
-    q = queries.select(F.col("q_id"), as_double("q_vec").alias("qv"),
-                       *[c for c in queries.columns if c not in ("q_id", "q_vec")])
+    # stream partition-parallel past the (small) query set. Self-norms
+    # are hoisted to the join INPUTS — computed once per row, not once
+    # per candidate pair (same fold, identical IEEE values), so the
+    # per-pair work is one dot product instead of three array folds.
+    q = (queries.select(F.col("q_id"), as_double("q_vec").alias("qv"),
+                        *[c for c in queries.columns
+                          if c not in ("q_id", "q_vec")])
+                .withColumn("qn", norm(F.col("qv"))))
+    c = corpus.withColumn("cv", as_double(F.col("c_vec"))) \
+              .withColumn("cn", norm(F.col("cv")))
     return (
-        corpus.join(F.broadcast(q), join_cond)
-              .withColumn("cos", cosine(F.col("qv"), as_double(F.col("c_vec"))))
+        c.join(F.broadcast(q), join_cond)
+         .withColumn("cos", dot(F.col("qv"), F.col("cv"))
+                            / (F.col("qn") * F.col("cn")))
     )
 
 
@@ -141,16 +149,22 @@ def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                             block_col: str, threshold: float) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (coarse cells)
     — the embedding analog of MinHash-LSH candidate generation."""
-    a = vectors.select(F.col(id_col).alias("id_a"),
-                       as_double(vec_col).alias("va"),
-                       F.col(block_col).alias("blk"))
-    b = vectors.select(F.col(id_col).alias("id_b"),
-                       as_double(vec_col).alias("vb"),
-                       F.col(block_col).alias("blk_b"))
+    a = (vectors.select(F.col(id_col).alias("id_a"),
+                        as_double(vec_col).alias("va"),
+                        F.col(block_col).alias("blk"))
+                .withColumn("na", norm(F.col("va"))))
+    b = (vectors.select(F.col(id_col).alias("id_b"),
+                        as_double(vec_col).alias("vb"),
+                        F.col(block_col).alias("blk_b"))
+                .withColumn("nb", norm(F.col("vb"))))
+    # norms hoisted to the join inputs: one row-local fold per vector,
+    # then ONE dot product per candidate pair (identical IEEE values to
+    # cosine() — same folds, evaluated earlier).
     return (
         a.join(b, (F.col("blk") == F.col("blk_b"))
                & (F.col("id_a") < F.col("id_b")))
-         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+         .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")))
          .where(F.col("cos") >= threshold)
          .select("id_a", "id_b", "cos")
     )
