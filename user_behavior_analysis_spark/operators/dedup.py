@@ -196,9 +196,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                .localCheckpoint(eager=True))
     edges = p0.union(p0.select(F.col("v").alias("u"),
                                F.col("u").alias("v")))
-    labels = (edges.select("u").distinct()
+    # Initialize labels at min(self, min neighbor) — the first
+    # propagation half-round fused into initialization (same groupBy
+    # shuffle the identity init would need for the distinct, one fewer
+    # loop iteration on every shallow near-dup graph).
+    labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
                    .select(F.col("u").alias("node"),
-                           F.col("u").alias("rep"))
+                           F.least(F.col("u"), F.col("mv")).alias("rep"))
               ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (
