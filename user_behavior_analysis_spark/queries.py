@@ -2249,13 +2249,58 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ANN: random-hyperplane LSH (training-free scale path) ------------------
 
 
-@query("ann_lsh_topk")  # rows-only: signature thresholds are not SQL-portable
+_ANN_LSH_ORACLE = f"""
+WITH pw AS (
+  SELECT t.range AS tab, p.range AS p, d.range AS d,
+         CAST(('0x' || substr(md5(
+           CAST(7 + 1000 * t.range AS VARCHAR) || '_' ||
+           CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+  FROM range(8) t CROSS JOIN range(4) p CROSS JOIN range(64) d
+), pl AS (
+  SELECT tab, p, list(CAST(w AS DOUBLE) ORDER BY d) AS wv
+  FROM pw GROUP BY tab, p
+), vecs AS (
+  SELECT vec_id, embedding AS e FROM embeddings
+), sig AS (
+  SELECT v.vec_id, pl.tab, pl.p,
+         CASE WHEN list_sum([wv[i] * CAST(e[i] AS DOUBLE)
+                             FOR i IN range(1, 65)]) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM vecs v CROSS JOIN pl
+), bkt AS (
+  SELECT vec_id, tab, CAST(SUM(bit * (1 << p)) AS INTEGER) AS bucket
+  FROM sig GROUP BY vec_id, tab
+), cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM bkt q JOIN bkt c ON q.tab = c.tab AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cand.q_id, cand.c_id,
+         {_cos_sql('qv.e', 'cv.e')} AS cos
+  FROM cand JOIN vecs qv ON qv.vec_id = cand.q_id
+            JOIN vecs cv ON cv.vec_id = cand.c_id
+), ranked AS (
+  SELECT q_id, c_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cos, 3) AS cos_r, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_lsh_topk", _ANN_LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: 6-bit signatures from deterministic
-    md5-derived hyperplanes, multiprobe at Hamming ≤ 1. Training-free
-    twin of ann_ivf_topk (operators/similarity.py:rp_lsh_topk); recall
-    vs the brute-force truth is asserted in
-    tests/test_operators.py::test_rp_lsh_recall_vs_bruteforce."""
+    """Random-hyperplane LSH ANN: 8 tables x 4-bit sign signatures from
+    deterministic md5-derived integer hyperplanes, OR-amplified
+    candidates, exact-cosine re-rank. Training-free twin of ann_ivf_topk
+    (operators/similarity.py:rp_lsh_topk); recall is asserted by the
+    planted-near-dup test, and — because the hyperplanes are a pure
+    function of (seed, table, plane, dim) and both engines fold dot
+    products left-to-right — the WHOLE index-build + probe + re-rank
+    pipeline is reproduced in SQL and hash-checked, upgrading this from
+    rows-only to fully oracled."""
     from .operators.similarity import rp_lsh_topk
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
