@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "collocation_pmi",
     "doc_repetition",
     "semantic_dedup_clusters",
+    "customer_running_spend",
 ]
 
 

@@ -229,3 +229,12 @@ def test_collocation_vocabulary_joins_are_shuffle(spark, sf_dir):
     # builds (the shipping_priority lesson applied to text)
     assert plan.count("ShuffledHashJoin") >= 2, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_running_spend_single_window_operator(spark, sf_dir):
+    plan = plan_of(spark, "customer_running_spend", sf_dir)
+    # all three window functions share one (partition, order) spec: ONE
+    # exchange on custkey, ONE in-partition sort, ONE Window operator —
+    # differently-sorted specs would multiply the sort cost at scale
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan

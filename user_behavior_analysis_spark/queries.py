@@ -3452,3 +3452,64 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "n_bigrams", "dup_bigrams",
                     rep_bp.alias("rep_bp"),
                     (rep_bp <= 1500).alias("keep"))
+
+
+# --- window frames: running + sliding per-customer spend --------------------
+
+_RUNNING_SPEND_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_sec,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, order_sec,
+  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY order_sec, o_orderkey) AS INTEGER)
+    AS order_no,
+  CAST(CAST(SUM(price) OVER (PARTITION BY o_custkey
+                             ORDER BY order_sec, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS VARCHAR)
+       AS DOUBLE) AS cum_spend,
+  CAST(CAST(SUM(price) OVER (PARTITION BY o_custkey
+                             ORDER BY order_sec, o_orderkey
+                             ROWS BETWEEN 2 PRECEDING
+                                      AND CURRENT ROW) AS VARCHAR)
+       AS DOUBLE) AS last3_spend
+FROM o
+"""
+
+
+@query("customer_running_spend", _RUNNING_SPEND_ORACLE)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline with a cumulative lifetime spend and
+    a trailing 3-order spend — the ROWS-frame window surface (running
+    totals + bounded sliding frames) the inventory didn't yet exercise.
+
+    Accumulation is exact DECIMAL inside both engines (frame sums fold
+    the same ordered rows), presented as doubles through the same
+    string→double path lapsed_rich_customers uses, so no float
+    summation-order can leak into the hash.
+
+    100 TB shape: ONE exchange on custkey and ONE in-partition sort
+    serve all three window functions (Catalyst plans a single Window
+    operator over the shared (partition, order) spec); the frames then
+    stream rows in sorted order with O(frame) state. This is the shape
+    to insist on — three differently-sorted window specs would triple
+    the sort cost at any scale."""
+    from pyspark.sql import Window
+    o = (load_table(spark, sf_dir, "orders")
+         .select("o_custkey", "o_orderkey",
+                 F.col("o_orderdate").cast("long").alias("order_sec"),
+                 _dec("o_totalprice").alias("price")))
+    w = Window.partitionBy("o_custkey").orderBy("order_sec", "o_orderkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey", "order_sec",
+        F.row_number().over(w).cast("int").alias("order_no"),
+        F.sum("price").over(wc).cast("string").cast("double")
+         .alias("cum_spend"),
+        F.sum("price").over(w3).cast("string").cast("double")
+         .alias("last3_spend"))
