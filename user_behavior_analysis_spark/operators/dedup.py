@@ -212,26 +212,27 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         )
         new = (
             labels.join(nbr, "node", "left")
-                  .select("node",
+                  .select("node", F.col("rep").alias("old"),
                           F.least(F.col("rep"),
                                   F.coalesce("nrep", F.col("rep")))
                           .alias("rep"))
         )
         # pointer jump: rep <- rep's current rep (path halving). Every
         # rep is itself a node (it's a min over node ids), so the inner
-        # self-join is total.
+        # self-join is total. The pre-round label rides along as ``old``
+        # so convergence is read off the SAME checkpointed frame — no
+        # extra join back to ``labels`` and no full count: isEmpty()
+        # stops at the first still-moving row.
         jumped = (
             new.alias("x")
                .join(new.alias("y"), F.col("x.rep") == F.col("y.node"))
                .select(F.col("x.node").alias("node"),
+                       F.col("x.old").alias("old"),
                        F.col("y.rep").alias("rep"))
         ).localCheckpoint(eager=True)
-        changed = (
-            jumped.alias("n").join(labels.alias("o"), "node")
-                  .where(F.col("n.rep") != F.col("o.rep")).count()
-        )
-        labels = jumped
-        if changed == 0:
+        converged = jumped.where(F.col("old") != F.col("rep")).isEmpty()
+        labels = jumped.select("node", "rep")
+        if converged:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
