@@ -130,12 +130,15 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
          .where(F.col("crank") <= n_probe)
          .select("q_id", "qv", F.col("cent.cell").alias("cell"))
     )
+    assigned = (assigned.withColumn("cv2", as_double(F.col("c_vec")))
+                        .withColumn("cn", norm(F.col("cv2"))))
+    probed = probed.withColumn("qn", norm(F.col("qv")))
     scored = (
         assigned.join(F.broadcast(probed),
                       (assigned["cell"] == probed["cell"])
                       & (probed["q_id"] != assigned["c_id"]))
-                .withColumn("cos", cosine(probed["qv"],
-                                          as_double(assigned["c_vec"])))
+                .withColumn("cos", dot(probed["qv"], F.col("cv2"))
+                                   / (probed["qn"] * F.col("cn")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
@@ -246,12 +249,18 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
                              F.posexplode(F.expr(rp_lsh_buckets_expr(
                                  "qv", n_tables, n_planes, dim, seed)))
                               .alias("tab", "bucket")))
+    # norms hoisted to the join inputs (as in _scored): one row-local
+    # fold per exploded table row, one dot per candidate, same IEEE
+    # values as cosine() — the oracle stays hash-exact.
+    c = c.withColumn("cn", norm(F.col("cv")))
+    probed = probed.withColumn("qn", norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(probed),
                (c["tab"] == probed["tab"])
                & (c["bucket"] == probed["bucket"])
                & (probed["q_id"] != c["c_id"]))
-         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+         .withColumn("cos", dot(F.col("qv"), F.col("cv"))
+                            / (F.col("qn") * F.col("cn")))
          .groupBy("q_id", "c_id")
          .agg(F.max("cos").alias("cos"))  # dedup multi-table hits
     )
