@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "semantic_dedup_clusters",
     "customer_running_spend",
+    "events_dow_hour_profile",
 ]
 
 

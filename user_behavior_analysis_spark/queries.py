@@ -3513,3 +3513,44 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("cum_spend"),
         F.sum("price").over(w3).cast("string").cast("double")
          .alias("last3_spend"))
+
+
+# --- behavioral time-of-week profile ---------------------------------------
+
+_DOW_HOUR_ORACLE = """
+WITH e AS (
+  SELECT CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7
+              AS INTEGER) AS dow,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
+              AS INTEGER) AS hour,
+         user_id, event_type
+  FROM events
+)
+SELECT dow, hour, event_type,
+       COUNT(*) AS events,
+       COUNT(DISTINCT user_id) AS users
+FROM e GROUP BY dow, hour, event_type
+"""
+
+
+@query("events_dow_hour_profile", _DOW_HOUR_ORACLE)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap per event type — the weekly
+    rhythm profile behavioral dashboards are built on. Bucketing is pure
+    epoch-integer arithmetic ((days + 4) % 7 anchors Thursday=1970-01-01
+    to 4, hours from the day remainder), never calendar functions — so
+    no engine, locale, or timezone library can shift a bucket boundary.
+
+    100 TB shape: buckets are computed in the scan and the single
+    aggregate exchange carries at most 7 x 24 x |event types| groups;
+    the exact per-cell distinct-user count plans as an expand +
+    two-phase aggregate (swap in approx_count_distinct at real scale,
+    plan unchanged)."""
+    e = (load_table(spark, sf_dir, "events")
+         .selectExpr(
+             "CAST((CAST(ts AS LONG) div 86400 + 4) % 7 AS INT) AS dow",
+             "CAST((CAST(ts AS LONG) % 86400) div 3600 AS INT) AS hour",
+             "user_id", "event_type"))
+    return (e.groupBy("dow", "hour", "event_type")
+             .agg(F.count(F.lit(1)).alias("events"),
+                  F.countDistinct("user_id").alias("users")))
