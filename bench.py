@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "semantic_dedup_clusters",
     "customer_running_spend",
     "events_dow_hour_profile",
+    "part_supplier_diversity",
 ]
 
 

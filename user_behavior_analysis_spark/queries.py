@@ -3554,3 +3554,65 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy("dow", "hour", "event_type")
              .agg(F.count(F.lit(1)).alias("events"),
                   F.countDistinct("user_id").alias("users")))
+
+
+# --- TPC-H Q16 re-shape: supplier diversity per part segment ----------------
+
+_PART_DIVERSITY_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), ret AS (
+  SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+  HAVING 20 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         >= 7 * COUNT(*)
+), keep AS (
+  SELECT ev.l_partkey, ev.l_suppkey FROM ev
+  WHERE ev.l_suppkey NOT IN (SELECT l_suppkey FROM ret)
+)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT k.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM keep k JOIN part ON p_partkey = k.l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("part_supplier_diversity", _PART_DIVERSITY_ORACLE)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 re-shaped onto this schema: how many distinct suppliers
+    serve each (brand, type, size) part segment, excluding suppliers
+    whose return rate is >= 35%. The schema has no partsupp table or
+    supplier comments, so the supplier-part relation is EVIDENCED from
+    lineitem (distinct l_partkey x l_suppkey) and the 'customer
+    complaints' exclusion becomes a return-rate gate — evaluated by
+    cross-multiplication (20*r >= 7*n), never a division either engine
+    could round differently.
+
+    100 TB shape: the evidence distinct is one fact shuffle on
+    (partkey, suppkey) with partial aggregation; the exclusion list and
+    the part attributes are both FACT- or SF-scaled relations, so the
+    anti-join and the part join are pinned shuffle-hash — neither may
+    become a broadcast build at scale (the shipping_priority rule). The
+    final per-segment distinct count plans as expand + two-phase
+    aggregate bounded by |segments| x |suppliers|."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag")
+    ev = li.select("l_partkey", "l_suppkey").distinct()
+    ret = (li.groupBy("l_suppkey")
+             .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                         .otherwise(0)).alias("r"),
+                  F.count(F.lit(1)).alias("n"))
+             .where(F.lit(20) * F.col("r") >= F.lit(7) * F.col("n"))
+             .select("l_suppkey"))
+    keep = ev.join(ret.hint("shuffle_hash"), "l_suppkey", "left_anti")
+    part = (load_table(spark, sf_dir, "part")
+            .where((F.col("p_brand") != "Brand#13")
+                   & (F.col("p_type") != "PROMO")
+                   & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34,
+                                          39, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (keep.join(part.hint("shuffle_hash"),
+                      keep.l_partkey == part.p_partkey)
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
