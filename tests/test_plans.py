@@ -238,3 +238,11 @@ def test_running_spend_single_window_operator(spark, sf_dir):
     # differently-sorted specs would multiply the sort cost at scale
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_part_diversity_joins_never_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "part_supplier_diversity", sf_dir)
+    # the supplier exclusion list is fact-derived and part scales with
+    # SF — both joins must stay shuffle-hash, no broadcast builds
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "BroadcastHashJoin" not in plan, plan

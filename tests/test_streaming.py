@@ -604,3 +604,27 @@ def test_streaming_vocabulary_matches_batch_heavy_hitters(spark, sf_dir,
            .sort_values("rn").reset_index(drop=True))
     got["rn"] = got["rn"].astype(exp["rn"].dtype)
     assert got.equals(exp), (got.head(), exp.head())
+
+
+def test_doc_repetition_stream_parity(spark, sf_dir, tmp_path_factory):
+    """The repetition quality gate is stateless row-local array math, so
+    the IDENTICAL expressions run unchanged over a document stream in
+    append mode (no state, no watermark) — the batch/stream unification
+    argument for the scan-only quality-filter family."""
+    from user_behavior_analysis_spark.queries import QUERIES, repetition_gate
+
+    batch = _sorted(QUERIES["doc_repetition"](spark, sf_dir).toPandas())
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    pdf = load_table(spark, sf_dir, "documents").toPandas()
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        part = pdf.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(d / f"p{i:02d}.parquet", index=False)
+    schema = spark.read.parquet(str(d)).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    got = _sorted(run_stream(spark, repetition_gate(src), "append",
+                             "doc_repetition_stream"))
+    pd.testing.assert_frame_equal(batch, got)

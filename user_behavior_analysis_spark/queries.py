@@ -3418,23 +3418,12 @@ FROM m
 """
 
 
-@query("doc_repetition", _DOC_REPETITION_ORACLE)
-def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style within-document repetition gate: the fraction of
-    word bigrams that are repeats of an earlier bigram in the SAME
-    document (duplicate-line / repeated-phrase spam signal), expressed
-    in exact basis points — (10000 * dup) div n — so the keep/drop
-    boundary cannot be flipped by float rounding on either engine.
-
-    100 TB shape: entirely row-local — bigrams, distinct count, and the
-    gate are array expressions inside one codegen scan over the text
-    column; ZERO shuffles, no per-doc state leaves the row. This is the
-    shape quality filters must have at corpus scale (contrast: a
-    groupBy(doc_id, bigram) formulation would shuffle the whole corpus).
-    Complements quality_filter (corpus-level ratios) with the
-    within-doc repetition dimension of the Gopher rules."""
+def repetition_gate(docs: DataFrame) -> DataFrame:
+    """The doc_repetition transformation factored over any documents
+    DataFrame (batch OR streaming — it is stateless row-local array
+    math, so the identical expressions run unchanged over readStream;
+    parity asserted in tests/test_streaming.py)."""
     from .functions.text import tokens
-    docs = load_table(spark, sf_dir, "documents")
     t = F.filter(tokens("text"), lambda x: x != "")
     bg = F.when(
         F.size("t") >= 2,
@@ -3452,6 +3441,24 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "n_bigrams", "dup_bigrams",
                     rep_bp.alias("rep_bp"),
                     (rep_bp <= 1500).alias("keep"))
+
+
+@query("doc_repetition", _DOC_REPETITION_ORACLE)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition gate: the fraction of
+    word bigrams that are repeats of an earlier bigram in the SAME
+    document (duplicate-line / repeated-phrase spam signal), expressed
+    in exact basis points — (10000 * dup) div n — so the keep/drop
+    boundary cannot be flipped by float rounding on either engine.
+
+    100 TB shape: entirely row-local — bigrams, distinct count, and the
+    gate are array expressions inside one codegen scan over the text
+    column; ZERO shuffles, no per-doc state leaves the row. This is the
+    shape quality filters must have at corpus scale (contrast: a
+    groupBy(doc_id, bigram) formulation would shuffle the whole corpus).
+    Complements quality_filter (corpus-level ratios) with the
+    within-doc repetition dimension of the Gopher rules."""
+    return repetition_gate(load_table(spark, sf_dir, "documents"))
 
 
 # --- window frames: running + sliding per-customer spend --------------------
