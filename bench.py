@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "customer_running_spend",
     "events_dow_hour_profile",
     "part_supplier_diversity",
+    "monthly_returns_pivot",
 ]
 
 

@@ -3623,3 +3623,52 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       keep.l_partkey == part.p_partkey)
                 .groupBy("p_brand", "p_type", "p_size")
                 .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+# --- PIVOT surface: monthly revenue by return flag --------------------------
+
+_RETURNS_PIVOT_ORACLE = """
+WITH li AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS ym,
+         l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           AS rev
+  FROM lineitem
+)
+SELECT ym,
+  CAST(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN rev END) AS VARCHAR)
+       AS DOUBLE) AS A,
+  CAST(CAST(SUM(CASE WHEN l_returnflag = 'N' THEN rev END) AS VARCHAR)
+       AS DOUBLE) AS N,
+  CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN rev END) AS VARCHAR)
+       AS DOUBLE) AS R
+FROM li GROUP BY ym
+"""
+
+
+@query("monthly_returns_pivot", _RETURNS_PIVOT_ORACLE)
+def monthly_returns_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue pivoted to one column per return flag — the
+    ``groupBy().pivot()`` relational operator the inventory didn't yet
+    exercise (the long-to-wide reshape every BI export needs).
+
+    The pivot value list is EXPLICIT (['A','N','R']): with an implicit
+    list Spark first runs a distinct scan to discover values — a whole
+    extra job — and the output schema becomes data-dependent, which no
+    downstream consumer (or oracle) can rely on. Revenue accumulates in
+    exact decimals and is presented through the string→double path, so
+    per-cell sums hash identically. 100 TB shape: Catalyst compiles the
+    pivot to one two-phase aggregate keyed by ym with a pivot-expression
+    per flag — same single exchange as a plain groupBy, carrying
+    |months| x 3 cells."""
+    one = F.lit(1).cast(_D12)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) "
+                         "AS INT)").alias("ym"),
+                  "l_returnflag",
+                  (_dec("l_extendedprice")
+                   * (one - _dec("l_discount"))).alias("rev")))
+    return (li.groupBy("ym")
+              .pivot("l_returnflag", ["A", "N", "R"])
+              .agg(F.sum("rev").cast("string").cast("double")))
