@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "events_dow_hour_profile",
     "part_supplier_diversity",
     "monthly_returns_pivot",
+    "returns_unpivot",
 ]
 
 

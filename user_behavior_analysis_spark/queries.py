@@ -3672,3 +3672,33 @@ def monthly_returns_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.groupBy("ym")
               .pivot("l_returnflag", ["A", "N", "R"])
               .agg(F.sum("rev").cast("string").cast("double")))
+
+
+_RETURNS_UNPIVOT_ORACLE = """
+WITH li AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS ym,
+         l_returnflag AS flag,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           AS rev
+  FROM lineitem
+)
+SELECT ym, flag, CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS rev
+FROM li GROUP BY ym, flag
+"""
+
+
+@query("returns_unpivot", _RETURNS_UNPIVOT_ORACLE)
+def returns_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` (melt) — the wide-to-long inverse of
+    monthly_returns_pivot, round-tripping its output back to
+    (ym, flag, rev) rows. The oracle is the LONG form computed directly,
+    so the round-trip proves pivot ∘ unpivot loses nothing but the
+    all-NULL cells (dropped explicitly — Spark's unpivot keeps them).
+
+    100 TB shape: unpivot is a zero-shuffle generator expression (each
+    wide row emits |value columns| long rows map-side); the only
+    exchange in the whole round-trip is the pivot's aggregate."""
+    wide = monthly_returns_pivot(spark, sf_dir)
+    return (wide.unpivot("ym", ["A", "N", "R"], "flag", "rev")
+                .where(F.col("rev").isNotNull()))
