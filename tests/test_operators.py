@@ -754,3 +754,18 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = (0.15 / m) + 0.85 * (adj.T @ (r / deg))
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+
+
+def test_repetition_gate_null_text_kept_as_empty(spark):
+    """NULL text must land at (n=0, dup=0, rep_bp=0, keep=true) — the
+    coalesce-to-'' contract shared with the DuckDB oracle (ADVICE r2:
+    without it Spark's when/otherwise and DuckDB's NULL propagation
+    diverge exactly on NULL rows)."""
+    from user_behavior_analysis_spark.queries import repetition_gate
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a b")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_gate(docs).collect()}
+    for d in (1, 2):
+        assert rows[d].n_bigrams == 0 and rows[d].dup_bigrams == 0
+        assert rows[d].rep_bp == 0 and rows[d].keep is True
+    assert rows[3].n_bigrams == 3 and rows[3].dup_bigrams == 1

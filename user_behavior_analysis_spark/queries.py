@@ -3333,7 +3333,8 @@ WITH toks AS (
   HAVING COUNT(*) >= 5
 ), sc AS (
   SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
-         (c_xy * 1000000000) // (u1.c * u2.c) AS score_scaled
+         CAST((CAST(c_xy AS HUGEINT) * 1000000000)
+              // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS score_scaled
   FROM bcnt JOIN ucnt u1 ON w1 = u1.w JOIN ucnt u2 ON w2 = u2.w
 ), rk AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY score_scaled DESC, c_xy DESC,
@@ -3385,8 +3386,17 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
     sc = (bcnt.join(u1.hint("shuffle_hash"), "w1")
               .join(u2.hint("shuffle_hash"), "w2")
-              .withColumn("score_scaled",
-                          F.expr("c_xy * 1000000000L div (c_x * c_y)")))
+              .withColumn(
+                  # widen through DECIMAL(38,0) before the multiplies: at
+                  # 100 TB a bigram count past ~9.2e9 (or c_x*c_y past
+                  # ~9.2e18) overflows BIGINT, and Spark (wrap/ANSI error)
+                  # would diverge from DuckDB (HUGEINT) exactly there. The
+                  # div result is a true ratio bound <= 1e9, so the BIGINT
+                  # output type is safe at any corpus size.
+                  "score_scaled",
+                  F.expr("CAST(CAST(c_xy AS DECIMAL(38,0)) * 1000000000"
+                         " div (CAST(c_x AS DECIMAL(38,0))"
+                         " * CAST(c_y AS DECIMAL(38,0))) AS BIGINT)")))
     top = top_n_per_group(
         sc.withColumn("_g", F.lit(1)), ["_g"],
         [F.desc("score_scaled"), F.desc("c_xy"), F.asc("w1"), F.asc("w2")],
@@ -3398,7 +3408,8 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOC_REPETITION_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                           '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), bg AS (
@@ -3424,7 +3435,11 @@ def repetition_gate(docs: DataFrame) -> DataFrame:
     math, so the identical expressions run unchanged over readStream;
     parity asserted in tests/test_streaming.py)."""
     from .functions.text import tokens
-    t = F.filter(tokens("text"), lambda x: x != "")
+    # NULL text is coalesced to '' in BOTH engines so a null-text row
+    # lands at (n=0, keep=true) by construction instead of by accident
+    # of the when/otherwise NULL fallthrough vs DuckDB NULL propagation.
+    t = F.filter(tokens(F.coalesce(F.col("text"), F.lit(""))),
+                 lambda x: x != "")
     bg = F.when(
         F.size("t") >= 2,
         F.expr("transform(sequence(0, size(t) - 2), "
