@@ -18,81 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headliners: the reference-parity flagship plus one per operator family.
-BENCH_QUERIES = [
-    "hot_items_topn",
-    "page_view_hourly",
-    "unique_visitors_hourly",
-    "marketing_by_channel",
-    "ad_stats_by_geo",
-    "ad_blacklist_passthrough",
-    "login_fail_cep",
-    "order_timeout",
-    "tx_match_interval_join",
-    "tx_reconciliation",
-    "user_sessions",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "revenue_forecast",
-    "order_priority_count",
-    "returned_item_losses",
-    "promo_revenue",
-    "nation_rollup",
-    "repeat_buyers",
-    "order_value_stats",
-    "marketing_total",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_pipeline",
-    "simhash_neardup",
-    "big_spender_orders",
-    "day1_retention",
-    "event_transitions",
-    "rolling_active_users",
-    "funnel_steps",
-    "bilateral_trade",
-    "discount_quantity_corr",
-    "customer_spend_deciles",
-    "dedup_ngram_jaccard",
-    "simhash_fingerprints",
-    "ann_bruteforce_topk",
-    "market_share",
-    "cust_order_distribution",
-    "top_supplier",
-    "small_qty_revenue",
-    "disjunctive_revenue",
-    "sole_return_supplier",
-    "lapsed_rich_customers",
-    "corpus_heavy_hitters",
-    "stratified_split_sample",
-    "tfidf_top_terms",
-    "cross_source_contamination",
-    "last_touch_attribution",
-    "props_key_stats",
-    "ann_pq_topk",
-    "neardup_triangles",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "document_profile",
-    "token_stats",
-    "rolling_fingerprints",
-    "quality_filter",
-    "basket_pairs",
-    "part_pagerank",
-    "cohort_retention",
-    "purchase_intervals",
-    "event_anomaly_days",
-    "collocation_pmi",
-    "doc_repetition",
-    "semantic_dedup_clusters",
-    "customer_running_spend",
-    "events_dow_hour_profile",
-    "part_supplier_diversity",
-    "monthly_returns_pivot",
-    "returns_unpivot",
-]
+# The bench universe IS the registry: every registered query is timed, so
+# BENCH_r{N} and CORRECTNESS cover the same set by construction (a static
+# headliner list drifted 12 queries behind the registry by round 2).
+def bench_queries() -> list[str]:
+    from user_behavior_analysis_spark.queries import QUERIES
+    return list(QUERIES)
 
 
 def main() -> None:
@@ -113,7 +44,7 @@ def main() -> None:
     # throttling has been observed to inflate identical plans 10x; the
     # min of two back-to-back runs measures the plan, not the neighbor.
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
