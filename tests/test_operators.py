@@ -769,3 +769,30 @@ def test_repetition_gate_null_text_kept_as_empty(spark):
         assert rows[d].n_bigrams == 0 and rows[d].dup_bigrams == 0
         assert rows[d].rep_bp == 0 and rows[d].keep is True
     assert rows[3].n_bigrams == 3 and rows[3].dup_bigrams == 1
+
+
+def test_punct_and_fingerprint_fast_paths_match_regex(spark):
+    """The translate-based punct count and the toks-rebuilt fingerprint
+    must be bit-identical to their original regex formulations on every
+    whitespace/unicode edge (tabs and newlines survive space-only trim as
+    empty tokens; array_join restores the regexp_replace single space)."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_analysis_spark.functions.text import (
+        fingerprint, punct_ratio, tokens)
+    rows = [(1, "hello  world"), (2, "\tleading tab"), (3, "trailing\t"),
+            (4, ""), (5, None), (6, "  "), (7, "\t"), (8, "a\nb\r\nc"),
+            (9, "é 的, x!"), (10, "x" * 5000)]
+    df = (spark.createDataFrame(rows, "id long, text string")
+          .withColumn("toks", tokens("text")))
+    regex_fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    regex_pr = F.when(
+        F.length("text") > 0,
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+        / F.length("text")).otherwise(F.lit(0.0))
+    chk = df.select(
+        (F.coalesce(fingerprint("text", toks=F.col("toks")), F.lit("N"))
+         == F.coalesce(regex_fp, F.lit("N"))).alias("fp_eq"),
+        (F.coalesce(punct_ratio("text"), F.lit(-1.0))
+         == F.coalesce(regex_pr, F.lit(-1.0))).alias("pr_eq")).collect()
+    assert all(r.fp_eq and r.pr_eq for r in chk), chk

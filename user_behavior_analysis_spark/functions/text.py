@@ -57,12 +57,25 @@ def md5_prefix_hash(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
 
 
+#: the exact char set Java regex ``[A-Za-z0-9\s]`` covers (\s is ASCII
+#: [ \t\n\x0B\f\r] under Java's default flags) — used as a translate
+#: delete-set so the punct count needs no regex engine at all.
+_ALNUM_WS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+             "abcdefghijklmnopqrstuvwxyz"
+             "0123456789 \t\n\x0b\f\r")
+
+
 def punct_ratio(text: Column | str) -> Column:
-    """Fraction of characters that are not alphanumeric/space —
-    regexp_count of single non-alnum chars (no intermediate string
-    allocation, unlike a replace-then-measure)."""
+    """Fraction of characters that are not alphanumeric/space.
+
+    Computed as ``length(translate(text, alnum+ws, ''))`` — translate is
+    a per-char table lookup, so this costs one linear pass with no regex
+    automaton. Equivalent by construction to counting ``[^A-Za-z0-9\\s]``
+    matches: translate deletes exactly the chars that regex class keeps
+    out of the count, and every surviving char (incl. non-ASCII letters)
+    is punct under both formulations."""
     text = F.col(text) if isinstance(text, str) else text
-    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    n_punct = F.length(F.translate(text, _ALNUM_WS, ""))
     return F.when(F.length(text) > 0,
                   n_punct.cast("double") / F.length(text)
                   ).otherwise(F.lit(0.0))
@@ -78,8 +91,17 @@ def stopword_ratio(text: Column | str,
                   n_sw.cast("double") / F.size(t)).otherwise(F.lit(0.0))
 
 
-def fingerprint(text: Column | str) -> Column:
-    """Document fingerprint: md5 of whitespace-normalized lowered text."""
+def fingerprint(text: Column | str, toks: Column | None = None) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowered text.
+
+    With ``toks`` (a materialized ``tokens(text)`` column) the normalized
+    string is rebuilt as ``array_join(toks, ' ')`` instead of a second
+    regex pass — bit-identical because ``split`` (limit -1) keeps the
+    leading/trailing empty tokens that ``trim`` (space-only) leaves
+    behind for tab/newline edges, and joining empties with ' ' restores
+    exactly the single space ``regexp_replace(…, '\\s+', ' ')`` emits."""
+    if toks is not None:
+        return F.md5(F.array_join(toks, " "))
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.md5(norm)
 

@@ -1041,7 +1041,7 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio("text").alias("punct_ratio"),
         stopword_ratio("text", toks=t).alias("stopword_ratio"),
         detect_lang("text", toks=t).alias("lang_guess"),
-        fingerprint("text").alias("fp"),
+        fingerprint("text", toks=t).alias("fp"),
     )
 
 
