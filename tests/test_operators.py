@@ -653,11 +653,14 @@ def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
     c = emb.select(F.col("vec_id").alias("c_id"),
                    F.col("embedding").alias("c_vec"))
     brute = cosine_topk_bruteforce(q, c, k=5).toPandas()
-    pq = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=96).toPandas()
+    # the registered ann_pq_topk geometry: IVF-PQ with 16 coarse cells,
+    # 8 probed — half the codes scanned, hash-joined on the cell key
+    pq = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=96,
+                 n_cells=16, n_probe=8).toPandas()
     bp = set(zip(brute.q_id, brute.c_id))
     pp = set(zip(pq.q_id, pq.c_id))
     recall = len(bp & pp) / len(bp)
-    assert recall >= 0.7, f"PQ recall {recall:.2f} below bound"
+    assert recall >= 0.7, f"IVF-PQ recall {recall:.2f} below bound"
     # re-ranked scores are TRUE cosines: any overlapping pair agrees
     m = brute.merge(pq, on=["q_id", "c_id"], suffixes=("_b", "_p"))
     assert (m["cos_b"] == m["cos_p"]).all()

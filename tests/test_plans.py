@@ -250,3 +250,12 @@ def test_part_diversity_joins_never_broadcast(spark, sf_dir):
     # SF — both joins must stay shuffle-hash, no broadcast builds
     assert plan.count("ShuffledHashJoin") >= 2, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_pq_scoring_joins_on_cell_key(spark, sf_dir):
+    plan = plan_of(spark, "ann_pq_topk", sf_dir)
+    # IVF-PQ: ADC scoring must hash-join on the coarse cell id so each
+    # query touches O(N * n_probe / n_cells) codes — the flat variant's
+    # non-equi broadcast degenerated to a nested-loop scan of ALL codes
+    assert re.search(r"BroadcastHashJoin \[cell#\d+\]", plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
