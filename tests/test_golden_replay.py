@@ -59,12 +59,16 @@ EXPECTED_TX = {
 BLACKLIST_THRESHOLD = 15  # AdStatisticsByGeo.scala:54
 
 
-def _per_event_stream(spark, tmp_path, csv_name, schema, required=None):
+def _per_event_stream(spark, tmp_path, csv_name, schema, required=None,
+                      extra_lines=()):
     """One text file per CSV line in event-time order with strictly
     increasing mtimes + maxFilesPerTrigger=1 → one micro-batch per event,
     the closest Structured Streaming analog of the reference's
-    element-at-a-time DataStream replay."""
+    element-at-a-time DataStream replay. ``extra_lines`` are merged into
+    the event-time order (e.g. a far-future watermark-advancing
+    sentinel)."""
     lines = (FIXTURES / csv_name).read_text().strip().splitlines()
+    lines += list(extra_lines)
     lines.sort(key=lambda ln: int(ln.rsplit(",", 1)[1]))
     d = tmp_path / csv_name.replace(".csv", "")
     d.mkdir()
@@ -238,3 +242,28 @@ def test_ad_click_log_stream_golden(spark, tmp_path):
     hot = mains[(mains["user_id"] == 931766) & (mains["ad_id"] == 1715)]
     assert sorted(hot["ts_sec"]) == list(range(1511658600, 1511658615))
     assert len(mains) == 23  # 28 fixture rows - 5 suppressed
+
+
+def test_order_log_stream_event_time_golden(spark, tmp_path):
+    """J3 with REAL event-time timers: the timeout channel must fire by
+    WATERMARK passage of create+15min — OrderTimeout.scala:53's
+    semantics — not by wall-clock quiet. A far-future sentinel event
+    (key 1, type 'noop': touches no order state) advances event time
+    past 34758's create+900 during the replay, so ALL THREE reference
+    channels emerge from the availableNow run with no wall-clock wait —
+    exactly the channel the processing-time fallback cannot produce
+    under replay (see test_order_log_stream_golden above)."""
+    sentinel = "1,noop,,1558431900"
+    ev = _per_event_stream(spark, tmp_path, "OrderLog.csv", ORDER_EVENT,
+                           required=("order_id", "event_type", "ts"),
+                           extra_lines=[sentinel])
+    keyed = ev.withColumnRenamed("order_id", "user_id")
+    out = _drain(
+        spark,
+        stateful.order_timeout_stream_event_time(
+            keyed, "create", "pay", 900),
+        "append", "golden_order_event_time")
+    got = set(map(tuple,
+                  out[["user_id", "create_ts", "pay_ts", "status"]]
+                  .itertuples(index=False)))
+    assert got == EXPECTED_ORDER_RESULTS

@@ -1,13 +1,26 @@
-"""Kafka end-to-end contract (S1/S7) — gated on connector jars.
+"""Environment-gated contracts: capabilities the code supports but this
+image cannot execute, each probed (not assumed) and documented.
 
-The test image ships no spark-sql-kafka connector and no broker, so the
-full roundtrip is skipped here and documented as the contract it
-verifies when run in an environment that has both:
-file replay -> write_kafka(topic) -> read_kafka_stream(topic) ->
-parse_csv_lines(schema) must reproduce the rows read_event_csv parses
-from the same file. The jar-independent half of that path — the parse
-stage every Kafka record passes through — is covered unconditionally by
-test_parse_csv_lines_schema_roundtrip.
+* Kafka end-to-end (S1/S7): the image ships no spark-sql-kafka connector
+  jar and no broker. Offline vendoring was attempted and is impossible —
+  a filesystem-wide search finds no ``*sql-kafka*`` / ``*kafka-clients*``
+  jar and no ~/.ivy2 or ~/.m2 cache to copy from, and the environment
+  has no network access for ``--packages`` resolution. The full
+  roundtrip is therefore skipped here and documented as the contract it
+  verifies when run where both exist: file replay -> write_kafka(topic)
+  -> read_kafka_stream(topic) -> parse_csv_lines(schema) must reproduce
+  the rows read_event_csv parses from the same file. The jar-independent
+  half — the parse stage every Kafka record passes through — is covered
+  unconditionally by test_parse_csv_lines_schema_roundtrip.
+* transformWithStateInPandas (Spark 4 named event-time timers): its
+  Python<->JVM state protocol imports ``google.protobuf``, absent from
+  this image (probed below). The engine's event-time-timer semantics
+  ship on applyInPandasWithState + EventTimeTimeout instead
+  (stateful.order_timeout_stream_event_time, golden-replayed), which is
+  equivalent for the single-timer-per-key patterns the reference uses.
+* A8 per-element emission via the continuous trigger: probed below —
+  continuous processing rejects stateful operators, so micro-batch
+  update mode remains the honest A8 mapping (SURVEY.md §2.4).
 """
 
 import glob
@@ -61,3 +74,107 @@ def test_kafka_roundtrip_login_log(spark, tmp_path):
                           LOGIN_EVENT).toPandas()
     assert len(got) == len(want)
     assert set(got["user_id"]) == set(want["user_id"])
+
+
+def _protobuf_present() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_present(),
+    reason="google.protobuf absent in this image — "
+           "transformWithStateInPandas's state protocol cannot start "
+           "(probed: its driver worker dies importing StateMessage_pb2); "
+           "event-time timers ship on applyInPandasWithState + "
+           "EventTimeTimeout instead, see "
+           "stateful.order_timeout_stream_event_time")
+def test_transform_with_state_timer_contract(spark, tmp_path):
+    """Contract for environments with protobuf: a named event-time timer
+    registered at create+900 via transformWithStateInPandas must emit
+    the timeout row when the watermark passes it — mirroring
+    order_timeout_stream_event_time's golden replay."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class P(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("order", "create_ts long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                    if et == "create":
+                        ts_s = int(ts.timestamp())
+                        self.state.update((ts_s,))
+                        self.handle.registerTimer((ts_s + 900) * 1000)
+            yield pd.DataFrame({"user_id": [], "create_ts": [],
+                                "status": []})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if self.state.exists():
+                (create_ts,) = self.state.get()
+                self.state.clear()
+                yield pd.DataFrame([(user_id, create_ts, "timeout")],
+                                   columns=["user_id", "create_ts",
+                                            "status"])
+
+        def close(self) -> None:
+            pass
+
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = pathlib.Path(tmp_path) / "tws"
+    d.mkdir()
+    rows = [(1, "create", 1000), (2, "noop", 5000)]
+    for i, (uid, et, ts) in enumerate(rows):
+        pq.write_table(pa.table({"user_id": [uid], "event_type": [et],
+                                 "ts": [ts]}), d / f"p{i:03d}.parquet")
+        os.utime(d / f"p{i:03d}.parquet", (1_000_000_000 + i,) * 2)
+    df = (spark.readStream.schema("user_id long, event_type string, ts long")
+          .option("maxFilesPerTrigger", 1).parquet(str(d))
+          .withColumn("ts", F.timestamp_seconds("ts"))
+          .withWatermark("ts", "1 second"))
+    out = (df.groupBy("user_id").transformWithStateInPandas(
+        P(), "user_id long, create_ts long, status string", "append",
+        "eventTime"))
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("tws_probe").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tws_probe").toPandas()
+    assert (1, 1000, "timeout") in set(map(tuple, got.itertuples(index=False)))
+
+
+def test_continuous_trigger_rejects_stateful_uv(spark, tmp_path):
+    """A8 probe: the reference fires its UV window per element
+    (FIRE_AND_PURGE). Spark's continuous trigger is the only sub-micro-
+    batch emission path, and it does NOT support stateful operators —
+    this test pins that documented delta (SURVEY.md §2.4 A8): the query
+    must be rejected at start, confirming micro-batch update mode is the
+    closest executable mapping. (If a future Spark accepts it, this
+    fails and the delta should be upgraded.)"""
+    from pyspark.errors import PySparkException
+    from user_behavior_analysis_spark.streaming.stateful import (
+        uv_bloom_stream)
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 10).load()
+            .select(F.col("timestamp").alias("ts"),
+                    F.col("value").alias("user_id")))
+    uv = uv_bloom_stream(rate, "ts", "user_id", window_s=3600,
+                         cap_bits=1 << 16)
+    with pytest.raises((PySparkException, Exception)) as exc:
+        q = (uv.writeStream.outputMode("update").format("memory")
+             .queryName("a8_probe").trigger(continuous="1 second").start())
+        q.awaitTermination(30)
+        q.stop()
+    msg = str(exc.value)
+    assert ("continuous" in msg.lower() or "unsupported" in msg.lower()
+            or "not supported" in msg.lower()), msg

@@ -143,6 +143,88 @@ def order_timeout_stream(events: DataFrame, create_value: str,
     )
 
 
+def order_timeout_stream_event_time(events: DataFrame, create_value: str,
+                                    pay_value: str, within_s: int,
+                                    watermark: str = "5 seconds",
+                                    ) -> DataFrame:
+    """The EVENT-TIME-timer build of ``order_timeout_stream``: the
+    'timeout' row for an unpaid create fires when the WATERMARK passes
+    create + ``within_s`` — the reference's actual semantics
+    (OrderTimeout.scala:53 registers an event-time timer at
+    create+15min) — instead of the fallback's processing-time group
+    quiet. Under a fast historical replay the timeout channel is
+    therefore exact and immediate: no wall-clock wait, no early
+    emission (tests/test_golden_replay.py replays the reference's own
+    OrderLog.csv and gets all four channels, timeout included).
+
+    Implemented on ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout`` + ``setTimeoutTimestamp`` —
+    the stable API's real event-time timer. (Spark 4's
+    ``transformWithStateInPandas`` offers the same semantics with named
+    timers, but its Python↔JVM state protocol needs the ``protobuf``
+    runtime, which this image lacks — probed and recorded in
+    tests/test_kafka_gated.py; this build is semantically equivalent
+    for a single timer per key.)
+
+    The timer doubles as state eviction for resolved orders, so state
+    stays bounded on open-ended key spaces exactly like the fallback:
+    a resolved order's state lingers only until its original deadline
+    passes the watermark, then is silently dropped. Keys that never see
+    a create (e.g. stray pays) keep no state at all.
+
+    events: (user_id, ts timestamp, event_type). Output schema =
+    ORDER_RESULT_SCHEMA; pay_ts = -1 on the timeout channel.
+    """
+    create_v, pay_v = create_value, pay_value
+    out_cols = ["user_id", "create_ts", "pay_ts", "status"]
+
+    def handle(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            create_ts, done = state.get
+            state.remove()
+            if not done and create_ts is not None:
+                yield pd.DataFrame(
+                    [(user_id, create_ts, -1, "timeout")],
+                    columns=out_cols)
+            return
+        create_ts, done = state.get if state.exists else (None, False)
+        out: list[tuple[int, int, int, str]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                ts_s = int(ts.timestamp())
+                if et == create_v and create_ts is None:
+                    create_ts = ts_s
+                elif (et == pay_v and create_ts is not None and not done
+                      and ts_s >= create_ts):
+                    status = ("payed successfully"
+                              if ts_s - create_ts <= within_s
+                              else "payed but already timeout")
+                    out.append((user_id, create_ts, ts_s, status))
+                    done = True
+        if create_ts is not None:
+            state.update((create_ts, done))
+            # the reference's event-time timer: create + within, fired
+            # by watermark passage. A deadline the watermark has already
+            # passed (late create) is clamped 1 ms ahead so it fires in
+            # the next micro-batch — setTimeoutTimestamp rejects
+            # timestamps at/behind the watermark.
+            deadline_ms = (create_ts + within_s) * 1000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(handle, ORDER_RESULT_SCHEMA,
+                                _ORDER_STATE_SCHEMA, "append",
+                                GroupStateTimeout.EventTimeTimeout)
+    )
+
+
 BLACKLIST_OUT_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("ad_id", T.IntegerType()),
