@@ -248,25 +248,57 @@ def blacklist_stream(clicks: DataFrame, threshold: int) -> DataFrame:
 
     def handle(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        # Vectorized per micro-batch (no per-row Python state machine —
+        # this is the hottest stateful op): sorted by ts, the day column
+        # is monotone, so only the LEADING day segment can continue the
+        # carried (day, cnt, warned) state; every later segment starts
+        # from zero. Running counts are a per-day cumcount plus the
+        # carry; 'main' is a mask, 'warn' the first threshold-reaching
+        # row per day (suppressed for the carried day if already
+        # warned). Identical emissions, in ts order with main-before-
+        # warn on ties, to the former row loop.
+        import numpy as np
+
         user_id, ad_id = key
-        day, cnt, warned = state.get if state.exists else (None, 0, False)
-        out: list[tuple[int, int, int, int, str]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts in pdf["ts"]:
-                ts_s = int(ts.timestamp())
-                d = ts_s // 86400 * 86400
-                if day is None or d != day:
-                    day, cnt, warned = d, 0, False
-                cnt += 1
-                if cnt <= threshold:
-                    out.append((user_id, ad_id, day, ts_s, "main"))
-                if cnt >= threshold and not warned:
-                    out.append((user_id, ad_id, day, ts_s, "warn"))
-                    warned = True
-        state.update((day, cnt, warned))
-        yield pd.DataFrame(
-            out, columns=["user_id", "ad_id", "day_start", "ts_sec", "tag"])
+        day0, cnt0, warned0 = state.get if state.exists else (None, 0, False)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            yield pd.DataFrame(
+                columns=["user_id", "ad_id", "day_start", "ts_sec", "tag"])
+            return
+        pdf = pd.concat(chunks).sort_values("ts", kind="mergesort")
+        ts_s = pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        day = ts_s // 86400 * 86400
+        seq = pd.Series(1, index=range(len(day))).groupby(day).cumcount() \
+                .to_numpy() + 1
+        carry = np.where(day == day0, cnt0, 0) if day0 is not None \
+            else np.zeros(len(day), dtype="int64")
+        cnt = carry + seq
+        frames = []
+        main = cnt <= threshold
+        if main.any():
+            frames.append(pd.DataFrame({
+                "user_id": user_id, "ad_id": ad_id,
+                "day_start": day[main], "ts_sec": ts_s[main],
+                "tag": "main"}))
+        reach = pd.DataFrame({"day_start": day, "ts_sec": ts_s})[
+            cnt >= threshold].groupby("day_start", as_index=False).head(1)
+        if day0 is not None and warned0:
+            reach = reach[reach["day_start"] != day0]
+        if len(reach):
+            frames.append(reach.assign(user_id=user_id, ad_id=ad_id,
+                                       tag="warn"))
+        last_day, last_cnt = int(day[-1]), int(cnt[-1])
+        last_warned = (bool(warned0) if last_day == day0 else False) \
+            or bool((cnt[day == last_day] >= threshold).any())
+        state.update((last_day, last_cnt, last_warned))
+        cols = ["user_id", "ad_id", "day_start", "ts_sec", "tag"]
+        if frames:
+            out = pd.concat(frames)[cols].sort_values(
+                ["ts_sec", "tag"], kind="mergesort")
+        else:
+            out = pd.DataFrame(columns=cols)
+        yield out
 
     return (
         clicks.groupBy("user_id", "ad_id")
