@@ -799,3 +799,51 @@ def test_punct_and_fingerprint_fast_paths_match_regex(spark):
         (F.coalesce(punct_ratio("text"), F.lit(-1.0))
          == F.coalesce(regex_pr, F.lit(-1.0))).alias("pr_eq")).collect()
     assert all(r.fp_eq and r.pr_eq for r in chk), chk
+
+
+def test_scrub_pii_removes_planted_pii(spark):
+    """scrub_pii must strike every planted email / phone / IPv4 while
+    leaving clean text byte-identical (the registered pii_scan query
+    proves the negative on the clean corpus; this proves the positive)."""
+    from user_behavior_analysis_spark.functions.text import (
+        PII_PATTERNS, scrub_pii)
+    rows = [
+        ("contact me at jane.doe+spam@example.co.uk thanks", "email"),
+        ("call 555-867-5309 after five", "phone"),
+        ("server at 192.168.100.1 timed out", "ip"),
+        ("all three: a@b.io 123.456.7890 10.0.0.255 end", "multi"),
+        ("perfectly clean text with no identifiers", "clean"),
+    ]
+    df = spark.createDataFrame(rows, ["text", "kind"])
+    got = {r["kind"]: r["red"]
+           for r in df.select("kind",
+                              scrub_pii(F.col("text")).alias("red"))
+                      .collect()}
+    assert got["email"] == "contact me at  thanks"
+    assert got["phone"] == "call  after five"
+    assert got["ip"] == "server at  timed out"
+    assert got["multi"] == "all three:    end"
+    assert got["clean"] == "perfectly clean text with no identifiers"
+    assert set(PII_PATTERNS) == {"email", "phone", "ip"}
+
+
+def test_lexical_max_run_matches_pandas(spark):
+    """The codegen run-length aggregate (top-word frequency without a
+    shuffle) must agree with a plain pandas value_counts."""
+    texts = ["a b a c a b", "x", "z z z z", "one two two three three three",
+             "tie tie breaker breaker"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    max_run = F.expr(
+        "aggregate(array_sort(filter(split(lower(text), '\\\\s+'), "
+        "x -> x != '')), "
+        "named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
+        "'best', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)), "
+        "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, "
+        "CAST(1 AS BIGINT)))), "
+        "acc -> acc.best)")
+    got = [r[0] for r in df.select(max_run).collect()]
+    want = [max(pd.Series(t.split()).value_counts()) for t in texts]
+    assert got == want

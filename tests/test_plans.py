@@ -259,3 +259,30 @@ def test_pq_scoring_joins_on_cell_key(spark, sf_dir):
     # non-equi broadcast degenerated to a nested-loop scan of ALL codes
     assert re.search(r"BroadcastHashJoin \[cell#\d+\]", plan), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_boilerplate_df_join_is_shuffle(spark, sf_dir):
+    """The trigram document-frequency table is corpus-scaled: its join
+    back onto the instance stream must be shuffle-hash, never a
+    broadcast build that OOMs at 100x."""
+    plan = plan_of(spark, "boilerplate_ngrams", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_best_supplier_has_no_window_sort(spark, sf_dir):
+    """Q2's correlated max collapses to a map-side-combinable max_by:
+    the plan must contain no Window operator (a row_number plan would
+    sort every partkey group) and no fact-side SortMergeJoin."""
+    plan = plan_of(spark, "best_supplier_per_part", sf_dir)
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan or "max_by" in plan, plan
+
+
+def test_rebalance_sample_never_shuffles_the_fact(spark, sf_dir):
+    """domain_rebalance_sample gates the scan with broadcast counts:
+    the doc relation itself must reach the filter without a shuffle
+    join (broadcast joins only on the kept path)."""
+    plan = plan_of(spark, "domain_rebalance_sample", sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

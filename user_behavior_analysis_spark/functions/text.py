@@ -207,3 +207,25 @@ def detect_lang(text: Column | str, default: str = "und",
             best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
             best_score = F.when(is_better, score).otherwise(best_score)
     return F.when(best_score > 0, best_lang).otherwise(F.lit(default))
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+#: Java-regex AND RE2-compatible patterns (no backrefs, no lookaround),
+#: so the same strings drive Spark expressions and the DuckDB oracle.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_pii(text: Column | str, replacement: str = "") -> Column:
+    """Remove (or mask with ``replacement``) every PII_PATTERNS match —
+    emails, NANP-style phone numbers, IPv4 addresses. Stacked
+    ``regexp_replace`` calls, all JVM-side codegen; order matters
+    (emails first so user@10.0.0.1-style hosts scrub atomically)."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat in PII_PATTERNS.values():
+        col = F.regexp_replace(col, pat, replacement)
+    return col

@@ -3724,6 +3724,476 @@ def returns_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("rev").isNotNull()))
 
 
+# --- TPC-H Q9 re-shape: product-line profit by supplier nation and year -----
+
+_PRODUCT_PROFIT_ORACLE = """
+WITH line AS (
+  SELECT n_name AS nation,
+         CAST(year(l_shipdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+         - CAST(p_retailprice AS DECIMAL(12,2))
+           * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+)
+SELECT nation, o_year,
+       CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS profit
+FROM line GROUP BY nation, o_year
+"""
+
+
+@query("product_type_profit", _PRODUCT_PROFIT_ORACLE)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 re-shaped: profit on 'red' product lines by supplier
+    nation and ship year. The schema has no partsupp, so supply cost is
+    p_retailprice x quantity and the year comes from l_shipdate (no
+    orders join needed). All money math in exact DECIMAL(12,2) products,
+    the final sum normalized to double via VARCHAR.
+
+    100 TB shape: the name-filtered part, supplier, and nation are all
+    true dimensions and broadcast; lineitem never shuffles before the
+    single aggregate exchange, which carries |nations| x |years| groups
+    with map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    one = F.lit(1).cast(_D12)
+    amount = (_dec("l_extendedprice") * (one - _dec("l_discount"))
+              - _dec("p_retailprice") * _dec("l_quantity")).alias("amount")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .select(F.col("n_name").alias("nation"),
+                      F.year("l_shipdate").cast("int").alias("o_year"),
+                      amount)
+              .groupBy("nation", "o_year")
+              .agg(F.sum("amount").cast("string").cast("double")
+                    .alias("profit")))
+
+
+# --- TPC-H Q2 re-shape: best evidenced supplier per part --------------------
+
+_BEST_SUPPLIER_ORACLE = """
+WITH ranked AS (
+  SELECT p_partkey, p_brand, s_name, n_name AS nation, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_type = 'ECONOMY' AND p_size <= 25
+)
+SELECT p_partkey, p_brand, s_name, nation, s_acctbal
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("best_supplier_per_part", _BEST_SUPPLIER_ORACLE)
+def best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 re-shaped: for every ECONOMY part of size <= 25, the
+    evidenced supplier (has actually shipped it, per lineitem) with the
+    highest account balance — Q2's correlated-min-subquery, with
+    partsupp replaced by lineitem evidence and min supplycost by max
+    acctbal (tiebreak: lowest suppkey).
+
+    100 TB shape: the correlated subquery collapses into a SINGLE
+    map-side-combinable aggregate — ``max_by`` over a (acctbal,
+    -suppkey) ordering struct — so the fact pays exactly one exchange on
+    partkey and no window sort; duplicate (part, supplier) evidence
+    needs no distinct because argmax is duplicate-insensitive. Part,
+    supplier and nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    part = (load_table(spark, sf_dir, "part")
+            .where((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 25))
+            .select("p_partkey", "p_brand"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    joined = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+                .join(F.broadcast(nation),
+                      supp.s_nationkey == nation.n_nationkey))
+    ordering = F.struct(F.col("s_acctbal"), (-F.col("s_suppkey")).alias("nk"))
+    payload = F.struct("p_brand", "s_name", "nation", "s_acctbal")
+    best = (joined.groupBy("p_partkey")
+                  .agg(F.max_by(payload, ordering).alias("w")))
+    return best.select("p_partkey", "w.p_brand", "w.s_name", "w.nation",
+                       "w.s_acctbal")
+
+
+# --- TPC-H Q12 re-shape: returned volume by order priority class ------------
+
+_RETURNS_PRIORITY_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY ship_year
+"""
+
+
+@query("returns_by_priority", _RETURNS_PRIORITY_ORACLE)
+def returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: returned line items bucketed into high- vs
+    low-priority order classes per ship year (shipmode doesn't exist in
+    this schema; o_orderpriority plays its role, l_returnflag='R' plays
+    the receipt-late filter).
+
+    100 TB shape: the returnflag filter prunes lineitem in the scan,
+    the orderkey fact-fact join is pinned shuffle-hash (orders is
+    fact-scaled — the shipping_priority rule), and the conditional
+    counts collapse map-side to |years| groups."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_shipdate"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders.hint("shuffle_hash"),
+                    li.l_orderkey == orders.o_orderkey)
+              .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+              .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_cnt"),
+                   F.sum(F.when(high, 0).otherwise(1)).alias("low_cnt")))
+
+
+# --- TPC-H Q11 re-shape: parts holding an outsized share of traded value ----
+
+_IMPORTANT_PARTS_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS VARCHAR) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT SUM(part_value) AS total_value FROM pv
+)
+SELECT l_partkey, part_value
+FROM pv, tot
+WHERE part_value * 1500.0 > total_value
+"""
+
+
+@query("important_parts", _IMPORTANT_PARTS_ORACLE)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose share of total traded value exceeds
+    1/1500 — the scalar-subquery-threshold pattern. Per-part sums are
+    exact decimals normalized to double via VARCHAR; the threshold
+    compares ``part_value * 1500 > total`` in IEEE doubles where both
+    engines bit-agree, never a division.
+
+    100 TB shape: one fact exchange on partkey with map-side partials;
+    the grand total re-aggregates the |parts|-sized per-part frame (not
+    the fact) and joins back as a broadcast scalar. The per-part frame
+    is computed once — Spark reuses the shuffle for both branches."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    one = F.lit(1).cast(_D12)
+    vol = (_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("v")
+    pv = (li.select("l_partkey", vol)
+            .groupBy("l_partkey")
+            .agg(F.sum("v").cast("string").cast("double")
+                  .alias("part_value")))
+    tot = pv.agg(F.sum("part_value").alias("total_value"))
+    return (pv.join(F.broadcast(tot))
+              .where(F.col("part_value") * 1500.0 > F.col("total_value"))
+              .select("l_partkey", "part_value"))
+
+
+# --- TPC-H Q20 re-shape: suppliers dominating a part's supply ---------------
+
+_DOMINANT_SUPPLIER_ORACLE = """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%blue%'
+  GROUP BY l_partkey, l_suppkey
+), tq AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty FROM sq GROUP BY l_partkey
+), dom AS (
+  SELECT sq.l_suppkey FROM sq JOIN tq ON sq.l_partkey = tq.l_partkey
+  WHERE 8 * sq.supp_qty > tq.part_qty
+)
+SELECT s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT) AS dominated_parts
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+@query("dominant_suppliers", _DOMINANT_SUPPLIER_ORACLE)
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 re-shaped: suppliers who shipped an outsized share (more
+    than 1/8) of a 'blue' part's total traded quantity, with how many parts each
+    dominates. The excess-stock subquery (ps_availqty > 0.5 * demand)
+    becomes a supplier-share gate evaluated by cross-multiplication
+    (8*supp_qty > part_qty) on exactly-summed integral quantities.
+
+    100 TB shape: the name filter broadcasts into the fact scan; the
+    (partkey, suppkey) aggregate is the only fact exchange and the
+    per-part total re-aggregates that output — hash-partitioned by
+    (partkey, suppkey), re-grouping by partkey is a narrow second pass
+    over the far smaller aggregated frame, joined back shuffle-hash
+    (both sides |parts|-scaled, neither may broadcast at 100x)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_name").like("%blue%"))
+            .select("p_partkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    sq = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("l_quantity").alias("supp_qty")))
+    tq = sq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dom = (sq.join(tq.hint("shuffle_hash"), "l_partkey")
+             .where(F.lit(8) * F.col("supp_qty") > F.col("part_qty"))
+             .select("l_suppkey"))
+    return (dom.join(F.broadcast(supp), dom.l_suppkey == supp.s_suppkey)
+               .groupBy("s_suppkey", "s_name")
+               .agg(F.count(F.lit(1)).alias("dominated_parts")))
+
+
+# --- Curation: boilerplate n-gram contamination per source ------------------
+
+_BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS t
+  FROM documents
+), ng AS (
+  SELECT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+), df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS df FROM ng GROUP BY g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS ngrams,
+       CAST(SUM(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS boilerplate,
+       CAST(1000 * SUM(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS bp_permille
+FROM ng JOIN df ON ng.g = df.g
+GROUP BY source
+"""
+
+
+@query("boilerplate_ngrams", _BOILERPLATE_ORACLE)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate contamination per source: share of each source's
+    word trigrams that are corpus-wide boilerplate (trigram appears in
+    >= 5 distinct docs) — the header/footer/navigation detector every
+    web-corpus curation pipeline runs before training.
+
+    100 TB shape: trigrams are generated map-side (``transform`` over
+    the token array — no UDF); document frequency is one exchange on
+    the trigram key with partial aggregation, and the df table joins
+    BACK to the instance stream pinned shuffle-hash — the trigram
+    vocabulary is corpus-scaled and must never become a broadcast
+    build. Per-source rollup carries |sources| groups."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    ngrams = F.expr(
+        "CASE WHEN size(t) >= 3 THEN "
+        "transform(sequence(0, size(t) - 3), "
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) "
+        "ELSE array() END")
+    inst = (docs.select("doc_id", "source", toks.alias("t"))
+                .select("doc_id", "source", F.explode(ngrams).alias("g")))
+    df_tbl = (inst.groupBy("g")
+                  .agg(F.countDistinct("doc_id").alias("df")))
+    joined = inst.join(df_tbl.hint("shuffle_hash"), "g")
+    bp = F.sum(F.when(F.col("df") >= 5, 1).otherwise(0))
+    return (joined.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("ngrams"),
+                       bp.alias("boilerplate"))
+                  .select("source", "ngrams", "boilerplate",
+                          F.expr("1000 * boilerplate div ngrams")
+                           .alias("bp_permille")))
+
+
+# --- Curation: lexical diversity per source ---------------------------------
+
+_LEXDIV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+), wf AS (
+  SELECT doc_id, source, w, COUNT(*) AS f FROM toks GROUP BY doc_id, source, w
+), per_doc AS (
+  SELECT doc_id, source, SUM(f) AS n_tokens, COUNT(*) AS n_distinct,
+         MAX(f) AS max_f
+  FROM wf GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(1000 * SUM(n_distinct) // SUM(n_tokens) AS BIGINT)
+         AS ttr_permille,
+       CAST(1000 * SUM(max_f) // SUM(n_tokens) AS BIGINT) AS dom_permille
+FROM per_doc GROUP BY source
+"""
+
+
+@query("lexical_diversity", _LEXDIV_ORACLE)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per source: pooled type-token
+    ratio and top-word dominance, in exact integer per-mille (a low TTR
+    or high dominance flags TEMPLATED/spammy sources before training).
+
+    100 TB shape: per-doc stats are computed INSIDE the row — token
+    count, distinct count (array_distinct) and top-word frequency (a
+    run-length ``aggregate`` over the sorted token array) are all
+    whole-stage-codegen array expressions, so the only exchange is the
+    final |sources|-group rollup. The oracle pays the honest
+    unnest+groupby plan instead, making the agreement a cross-check of
+    two independent algorithms."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_doc = docs.select(
+        "source",
+        F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+         .alias("t"))
+    max_run = F.expr(
+        "aggregate(array_sort(t), "
+        "named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
+        "'best', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)), "
+        "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, "
+        "CAST(1 AS BIGINT)))), "
+        "acc -> acc.best)")
+    stats = per_doc.select(
+        "source",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        max_run.alias("max_f"))
+    return (stats.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("docs"),
+                      F.sum("n_tokens").alias("tokens"),
+                      F.expr("1000 * sum(n_distinct) div sum(n_tokens)")
+                       .alias("ttr_permille"),
+                      F.expr("1000 * sum(max_f) div sum(n_tokens)")
+                       .alias("dom_permille")))
+
+
+# --- Curation: rebalance the source mix by deterministic downsampling -------
+
+_REBALANCE_ORACLE = """
+WITH cnt AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), m AS (
+  SELECT MIN(n) AS min_n FROM cnt
+), kept AS (
+  SELECT d.source FROM documents d
+  JOIN cnt ON d.source = cnt.source CROSS JOIN m
+  WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DECIMAL(19,0))
+        * CAST(cnt.n AS DECIMAL(19,0))
+        < CAST(1152921504606846976 AS DECIMAL(19,0))
+        * CAST(m.min_n AS DECIMAL(19,0))
+)
+SELECT cnt.source, CAST(cnt.n AS BIGINT) AS orig_docs,
+       CAST(COUNT(k.source) AS BIGINT) AS kept_docs
+FROM cnt LEFT JOIN kept k ON cnt.source = k.source
+GROUP BY cnt.source, cnt.n
+"""
+
+
+@query("domain_rebalance_sample", _REBALANCE_ORACLE)
+def domain_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance a skewed source mix to uniform by deterministic
+    hash-gated downsampling: every source keeps ~min_n docs, membership
+    decided by md5(doc_id) alone — reproducible across runs, engines
+    and partitionings, no RNG state. The acceptance test
+    ``u * n_source < 2^60 * min_n`` is exact DECIMAL(38,0)
+    cross-multiplication (u is the first 15 md5 hex digits, so
+    u < 16^15 = 2^60); no float rate is ever computed.
+
+    100 TB shape: per-source counts are one tiny rollup broadcast back
+    onto the scan; the gate is a map-side filter — rebalancing a
+    petabyte corpus costs one pass and no fact shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    min_n = cnt.agg(F.min("n").alias("min_n"))
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("decimal(19,0)")
+    p60 = F.lit(1152921504606846976).cast("decimal(19,0)")
+    kept = (docs.join(F.broadcast(cnt), "source")
+                .join(F.broadcast(min_n))
+                .where(u * F.col("n").cast("decimal(19,0)")
+                       < p60 * F.col("min_n").cast("decimal(19,0)"))
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("kept_docs")))
+    return (cnt.join(kept, "source", "left")
+               .select("source", F.col("n").alias("orig_docs"),
+                       F.coalesce("kept_docs", F.lit(0).cast("long"))
+                        .alias("kept_docs")))
+
+
+# --- Curation: PII scan per source ------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+_PII_ORACLE = f"""
+SELECT source,
+       CAST(SUM(CASE WHEN regexp_matches(text, '{_PII_EMAIL}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS email_docs,
+       CAST(SUM(CASE WHEN regexp_matches(text, '{_PII_PHONE}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS phone_docs,
+       CAST(SUM(CASE WHEN regexp_matches(text, '{_PII_IPV4}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ip_docs,
+       CAST(SUM(length(text) - length(
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '', 'g'), '{_PII_PHONE}', '', 'g'),
+               '{_PII_IPV4}', '', 'g'))) AS BIGINT) AS redacted_chars
+FROM documents GROUP BY source
+"""
+
+
+@query("pii_scan", _PII_ORACLE)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report per source: docs containing emails / phone
+    numbers / IPv4 addresses, and how many characters scrubbing would
+    remove. Patterns live in ``functions.text.scrub_pii`` (the actual
+    scrubber, unit-tested on planted PII — this synthetic corpus is
+    clean, so here the report proves the negative corpus-wide).
+
+    100 TB shape: pure scan — three codegen'd regexes per row, one
+    |sources|-group rollup, no UDF, no shuffle of text."""
+    from .functions.text import PII_PATTERNS, scrub_pii
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    flags = [
+        F.sum(F.when(F.regexp_like("text", F.lit(pat)), 1).otherwise(0))
+         .alias(f"{name}_docs")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = scrub_pii(F.col("text"))
+    return (docs.groupBy("source")
+                .agg(*flags,
+                     F.sum(F.length("text") - F.length(redacted))
+                      .alias("redacted_chars")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
