@@ -286,3 +286,29 @@ def test_rebalance_sample_never_shuffles_the_fact(spark, sf_dir):
     plan = plan_of(spark, "domain_rebalance_sample", sf_dir)
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_training_shards_prefix_sum_is_two_phase(spark, sf_dir):
+    """The global running sum must NOT funnel the corpus through one
+    partition: the doc-level window is partitioned by bucket, and the
+    only single-partition exchange feeds the 16-row bucket-total scan."""
+    plan = plan_of(spark, "training_shards", sf_dir)
+    assert "windowspecdefinition(bucket" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_session_paths_reuses_user_partitioning(spark, sf_dir):
+    """Sessionization (lag + cumsum windows) and the per-session
+    collect_list must share ONE user_id exchange — hashpartitioning on
+    user_id satisfies the (user_id, sid) aggregate's distribution."""
+    plan = plan_of(spark, "session_paths", sf_dir)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_substring_containment_joins_stay_shuffle(spark, sf_dir):
+    """Every relation in the containment pipeline is corpus-scaled
+    (fingerprints, df table, sizes): no join may become a broadcast
+    build that OOMs at 100x."""
+    plan = plan_of(spark, "substring_containment", sf_dir)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan

@@ -4194,6 +4194,223 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("redacted_chars")))
 
 
+# --- Dedup: substring-level containment via winnowing fingerprints ----------
+
+_SUBSTR_CONTAIN_ORACLE = f"""
+WITH fp AS ({_ROLLING_FP_ORACLE}
+), df AS (
+  SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp
+), kept AS (
+  SELECT fp.doc_id, fp.fp FROM fp JOIN df ON fp.fp = df.fp
+  WHERE df.df <= 1000
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+       CAST(1000 * p.shared // LEAST(sa.n, sb.n) AS BIGINT)
+         AS containment_permille
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.shared >= 3
+"""
+
+
+@query("substring_containment", _SUBSTR_CONTAIN_ORACLE)
+def substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup candidates: document pairs sharing >= 3
+    winnowing fingerprints, scored by containment (shared / smaller
+    doc's fingerprint set, exact integer per-mille). Catches quote /
+    excerpt / template containment that whole-doc MinHash misses —
+    any shared token run of >= k+w-1 tokens yields a shared
+    fingerprint, so long verbatim overlaps score high even between
+    docs of very different size.
+
+    100 TB shape: the inverted-index self-join is candidate-bucketed by
+    fingerprint, never all-pairs; fingerprints appearing in > 1000 docs
+    (boilerplate) are dropped BEFORE the self-join, capping any
+    bucket's pair fan-out exactly like dedup_minhash_lsh's max_bucket;
+    both the df gate and the sizes joins are doc-scaled and pinned
+    shuffle-hash. The kept fingerprint relation feeds FOUR consumers
+    (self-join x2, sizes x2), so it is materialized once
+    (localCheckpoint) instead of re-running the winnow scan per
+    consumer."""
+    from .functions.text import tokens, winnow_fingerprints_expr
+    fps = (load_table(spark, sf_dir, "documents")
+           .withColumn("toks", tokens("text"))
+           .select("doc_id",
+                   F.explode(F.expr(winnow_fingerprints_expr(
+                       "toks", _WINNOW_K, _WINNOW_W))).alias("fp")))
+    df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    kept = (fps.join(df_tbl.hint("shuffle_hash"), "fp")
+               .where(F.col("df") <= 1000)
+               .select("doc_id", "fp")
+               .localCheckpoint(eager=True))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.hint("shuffle_hash").alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("shared"))
+              .where(F.col("shared") >= 3))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a") \
+              .withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b") \
+              .withColumnRenamed("n", "nb")
+    return (pairs.join(sa.hint("shuffle_hash"), "doc_a")
+                 .join(sb.hint("shuffle_hash"), "doc_b")
+                 .select("doc_a", "doc_b", "shared",
+                         F.expr("1000 * shared div least(na, nb)")
+                          .alias("containment_permille")))
+
+
+# --- Training prep: token-budget sharding by distributed prefix sum ---------
+
+_SHARD_BUDGET = 4000
+
+_TRAINING_SHARDS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), cum AS (
+  SELECT doc_id, tok,
+         SUM(tok) OVER (ORDER BY key, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_end
+  FROM d
+)
+SELECT CAST((cum_end - tok) // {_SHARD_BUDGET} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(tok) AS BIGINT) AS tokens
+FROM cum GROUP BY shard
+"""
+
+
+@query("training_shards", _TRAINING_SHARDS_ORACLE)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into ~4000-token training shards in a
+    deterministic, engine-independent order (md5 of doc_id): each doc's
+    shard is its global token prefix-sum div the budget — the standard
+    "fill shards to a token budget" step before writing tokenized
+    training data.
+
+    100 TB shape: a naive global running sum would funnel the corpus
+    through ONE partition. Instead the prefix sum is two-phase: docs
+    hash into 16 ordered buckets by their key's first hex digit,
+    per-bucket token totals (16 rows) get a tiny single-partition
+    prefix scan, and each doc's global offset = its bucket's offset +
+    a within-bucket running sum — so the heavy window runs partitioned
+    by bucket. The oracle computes the same numbers with the naive
+    single-window form, making the agreement an algebraic cross-check
+    of the decomposition."""
+    from pyspark.sql import Window
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.md5(F.col("doc_id").cast("string")).alias("key"),
+                    F.size(F.expr(
+                        r"filter(split(trim(lower(text)), '\\s+'), "
+                        r"x -> x != '')")).cast("long").alias("tok"))
+            .withColumn("bucket",
+                        F.conv(F.substring("key", 1, 1), 16, 10)
+                         .cast("int")))
+    btot = docs.groupBy("bucket").agg(F.sum("tok").alias("btok"))
+    wb = Window.orderBy("bucket") \
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = btot.select(
+        "bucket", (F.sum("btok").over(wb) - F.col("btok")).alias("offset"))
+    win = Window.partitionBy("bucket").orderBy("key", "doc_id") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (docs.join(F.broadcast(offsets), "bucket")
+               .withColumn("cum_end",
+                           F.col("offset") + F.sum("tok").over(win)))
+    return (cum.select(F.expr(
+                f"CAST((cum_end - tok) div {_SHARD_BUDGET} AS BIGINT)")
+                 .alias("shard"), "tok")
+               .groupBy("shard")
+               .agg(F.count(F.lit(1)).alias("docs"),
+                    F.sum("tok").alias("tokens")))
+
+
+# --- Behavior: top session event-type paths ---------------------------------
+
+_SESSION_PATHS_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         event_id, event_type
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN ts_sec - LAG(ts_sec) OVER
+                   (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
+                 OR LAG(ts_sec) OVER
+                   (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+            THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), seq AS (
+  SELECT user_id, sid, list(event_type ORDER BY ts_sec, event_id) AS types
+  FROM s GROUP BY user_id, sid
+), tri AS (
+  SELECT unnest(CASE WHEN len(types) >= 3 THEN
+    list_transform(generate_series(1, len(types) - 2),
+                   i -> types[i] || '>' || types[i+1] || '>' || types[i+2])
+    ELSE [] END) AS path
+  FROM seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tri GROUP BY path
+ORDER BY cnt DESC, path LIMIT 20
+"""
+
+
+@query("session_paths", _SESSION_PATHS_ORACLE)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event-type paths inside 30-minute-gap sessions
+    — the classic navigation-path mining view over clickstream data
+    (which 'view -> cart -> purchase'-style flows dominate?).
+
+    100 TB shape: sessionization is the gap-break/cumsum pattern — one
+    shuffle on user_id, linear per partition; the per-session sequence
+    is assembled with collect_list + array_sort INSIDE the same
+    user_id partitioning (struct sort on (ts, event_id) makes the
+    order total and engine-independent), trigram paths explode
+    map-side, and the final count-rank carries |distinct paths|
+    groups. No state, no UDF, deterministic tiebreak on the limit."""
+    from pyspark.sql import Window
+    e = (load_table(spark, sf_dir, "events")
+         .selectExpr("user_id", "CAST(ts AS LONG) AS ts_sec",
+                     "event_id", "event_type"))
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    sid = (e.withColumn("prev", F.lag("ts_sec").over(w))
+            .withColumn("brk", F.when(F.col("prev").isNull()
+                                      | (F.col("ts_sec") - F.col("prev")
+                                         > 1800), 1).otherwise(0))
+            .withColumn("sid", F.sum("brk").over(w)))
+    seq = (sid.groupBy("user_id", "sid")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("ts_sec", "event_id", "event_type")))
+                   .alias("evs"))
+              .select(F.expr("transform(evs, x -> x.event_type)")
+                       .alias("types")))
+    paths = seq.select(F.explode(F.expr(
+        "CASE WHEN size(types) >= 3 THEN "
+        "transform(sequence(0, size(types) - 3), "
+        "i -> concat_ws('>', types[i], types[i+1], types[i+2])) "
+        "ELSE array() END")).alias("path"))
+    return (paths.groupBy("path")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .orderBy(F.col("cnt").desc(), "path")
+                 .limit(20))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
