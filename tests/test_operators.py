@@ -847,3 +847,32 @@ def test_lexical_max_run_matches_pandas(spark):
     got = [r[0] for r in df.select(max_run).collect()]
     want = [max(pd.Series(t.split()).value_counts()) for t in texts]
     assert got == want
+
+
+def test_optimized_layout_prunes_and_sorts(spark, tmp_path):
+    """write_optimized_layout must produce (a) one file per partition
+    dir, (b) partition-pruned scans, (c) a ts pushed filter, and
+    (d) rows sorted by ts inside every file (tight row-group stats)."""
+    import glob
+    import pyarrow.parquet as pq
+    from user_behavior_analysis_spark.sinks import write_optimized_layout
+    from user_behavior_analysis_spark.sources import load_table
+    ev = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .selectExpr("event_id", "event_type", "CAST(ts AS LONG) AS ts_sec")
+    out = str(tmp_path / "opt")
+    write_optimized_layout(ev, out, ("event_type",), ("ts_sec",))
+    dirs = glob.glob(out + "/event_type=*")
+    assert dirs, "no partition dirs written"
+    for d in dirs:
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1, (d, files)
+        col = pq.read_table(files[0], columns=["ts_sec"])["ts_sec"] \
+                .to_pylist()
+        assert col == sorted(col), f"{files[0]} not sorted on ts_sec"
+    rd = (spark.read.parquet(out)
+          .where((F.col("event_type") == "view") & (F.col("ts_sec") > 0)))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in \
+        plan.split("PartitionFilters:")[1].split("]")[0], plan
+    assert "PushedFilters: [" in plan and "ts_sec" in \
+        plan.split("PushedFilters:")[1].split("]")[0], plan
