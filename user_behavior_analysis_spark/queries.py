@@ -4411,6 +4411,76 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .limit(20))
 
 
+# --- Multimodal: codec-free byte-histogram features per source --------------
+
+_BYTE_HIST_ORACLE = """
+WITH ch AS (
+  SELECT source AS grp,
+         ord(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin
+  FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
+)
+SELECT grp, CAST(bin AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ch GROUP BY grp, bin
+"""
+
+
+@query("media_byte_histogram", _BYTE_HIST_ORACLE)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin byte-value histogram of every source's media payloads —
+    real (non-stubbed) multimodal feature extraction: numpy bincount
+    over whole Arrow batches inside ``mapInPandas``, payloads
+    synthesized as utf-8 bytes of text as in media_metadata. The
+    Python stage emits per-batch PARTIAL histograms (<= groups x 16
+    rows per batch), so the only shuffle carries partials, never
+    payload bytes. The oracle re-derives the same counts char-by-char
+    in SQL (ASCII corpus: codepoint == byte).
+
+    100 TB shape: map-side combine at the Arrow boundary; final
+    aggregate carries |sources| x 16 groups."""
+    from .operators.multimodal import byte_histograms
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.encode("text", "UTF-8").alias("payload"))
+    return byte_histograms(docs, "source", "payload")
+
+
+# --- Multimodal: aspect-preserving resize schedule --------------------------
+
+_RESIZE_ORACLE = """
+WITH meta AS (
+  SELECT doc_id,
+         16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 1024
+           AS width,
+         16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 1024
+           AS height
+  FROM documents
+)
+SELECT doc_id, CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST((224 * width) // greatest(width, height) AS INTEGER) AS out_w,
+       CAST((224 * height) // greatest(width, height) AS INTEGER) AS out_h
+FROM meta
+"""
+
+
+@query("media_resize_plan", _RESIZE_ORACLE)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize schedule for every media object: decoded (width, height)
+    — the deterministic fake decoder, as in media_metadata — mapped to
+    aspect-preserving target dims with the longer edge at 224, in pure
+    integer division (no float scale factor an engine could round
+    differently). The pixel work is stubbed with the codec; the
+    schedule the GPU preprocessing stage consumes is real.
+
+    100 TB shape: decode+plan in one mapInPandas pass, metadata-only
+    output (blob pruned), zero shuffles."""
+    from .operators.multimodal import extract_media_meta, resize_dims
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    meta = extract_media_meta(docs, "doc_id", "payload", media_type="fake")
+    return meta.select("doc_id", "width", "height",
+                       *resize_dims("width", "height", target=224))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
