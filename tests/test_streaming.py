@@ -628,3 +628,36 @@ def test_doc_repetition_stream_parity(spark, sf_dir, tmp_path_factory):
     got = _sorted(run_stream(spark, repetition_gate(src), "append",
                              "doc_repetition_stream"))
     pd.testing.assert_frame_equal(batch, got)
+
+
+def test_curation_transform_stream_parity(spark, sf_dir, tmp_path):
+    """The curation scalar layer (PII scrub, token count, lang guess)
+    is mode-agnostic: the SAME column expressions applied to a document
+    stream must produce exactly the batch result — stateless transforms
+    need no watermark, no state store, and no mode-specific tail."""
+    from user_behavior_analysis_spark.functions.text import (
+        detect_lang, scrub_pii, token_count)
+
+    def curate(df):
+        return df.select(
+            "doc_id",
+            F.length(scrub_pii(F.col("text"))).alias("scrubbed_len"),
+            token_count("text").alias("n_tokens"),
+            detect_lang("text").alias("lang_guess"))
+
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    d = tmp_path / "docs_curate"
+    d.mkdir()
+    step = (len(docs) + N_SPLITS - 1) // N_SPLITS
+    for i in range(N_SPLITS):
+        part = docs.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(d / f"part-{i:03d}.parquet", index=False)
+    schema = spark.read.parquet(str(d)).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = run_stream(spark, curate(src), "append", "curate_stream")
+    batch = curate(load_table(spark, sf_dir, "documents")).toPandas()
+    got = out.sort_values("doc_id", ignore_index=True)
+    want = batch.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
