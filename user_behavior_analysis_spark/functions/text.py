@@ -193,20 +193,31 @@ def lang_scores(text: Column | str,
     return out
 
 
+def _let_col(binding: Column, fn) -> Column:
+    """Column-level let-binding (see ``let_expr``): evaluate ``binding``
+    once, pass it to ``fn`` as a bound lambda variable. Higher-order
+    lambdas run interpreted (no codegen CSE), so without this every
+    reference re-evaluates the whole sub-tree."""
+    return F.transform(F.array(binding), fn).getItem(0)
+
+
 def detect_lang(text: Column | str, default: str = "und",
                 toks: Column | None = None) -> Column:
     """argmax over lang_scores with deterministic tiebreak (lang order
-    as declared); all-zero → ``default``."""
+    as declared); all-zero → ``default``.
+
+    The scores array and its max are let-bound so each per-language
+    marker filter runs exactly ONCE per row — the naive when-chain
+    argmax re-evaluated every interpreted filter O(langs) times and
+    dominated document_profile's runtime."""
     scores = lang_scores(text, toks=toks)
-    best_lang, best_score = None, None
-    for lang, score in scores.items():
-        if best_lang is None:
-            best_lang, best_score = F.lit(lang), score
-        else:
-            is_better = score > best_score
-            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(is_better, score).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit(default))
+    scores_arr = F.array(*scores.values())
+    langs_arr = F.array(*[F.lit(lang) for lang in scores])
+    return _let_col(scores_arr, lambda sc: _let_col(
+        F.array_max(sc), lambda mx:
+        F.when(mx > 0, F.element_at(
+            langs_arr, F.array_position(sc, mx).cast("int")))
+         .otherwise(F.lit(default))))
 
 
 # --- PII scrubbing ----------------------------------------------------------
