@@ -4481,6 +4481,109 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                        *resize_dims("width", "height", target=224))
 
 
+# --- Curation: the full prep funnel as one query ----------------------------
+
+_CURATION_FUNNEL_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id, source,
+    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+    CASE WHEN length(text) > 0 THEN
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        / length(text)
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0 THEN
+      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        t -> list_contains(['the','a','an','of','and','to','in','is','it',
+                            'for'], t)))
+        AS DOUBLE) / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+    ELSE 0.0 END AS stopword_ratio
+  FROM documents
+), q AS (
+  SELECT doc_id, source, fp FROM m
+  WHERE n_tokens >= 5 AND n_tokens <= 100000
+    AND punct_ratio <= 0.20 AND stopword_ratio >= 0.01
+), d AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+  FROM q GROUP BY fp
+), cnt AS (
+  SELECT source, COUNT(*) AS n FROM d GROUP BY source
+), mn AS (
+  SELECT MIN(n) AS min_n FROM cnt
+), b AS (
+  SELECT d.source FROM d JOIN cnt ON d.source = cnt.source CROSS JOIN mn
+  WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DECIMAL(19,0))
+        * CAST(cnt.n AS DECIMAL(19,0))
+        < CAST(1152921504606846976 AS DECIMAL(19,0))
+        * CAST(mn.min_n AS DECIMAL(19,0))
+)
+SELECT r.source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST((SELECT COUNT(*) FROM q WHERE q.source = r.source) AS BIGINT)
+         AS n_quality,
+       CAST((SELECT COUNT(*) FROM d WHERE d.source = r.source) AS BIGINT)
+         AS n_dedup,
+       CAST((SELECT COUNT(*) FROM b WHERE b.source = r.source) AS BIGINT)
+         AS n_balanced
+FROM documents r GROUP BY r.source
+"""
+
+
+@query("curation_pipeline", _CURATION_FUNNEL_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep funnel as ONE query — per source:
+    raw docs → Gopher-style quality gate → exact dedup (min doc_id per
+    normalized-text fingerprint) → md5-gated uniform source rebalance.
+    The per-stage counts are what a curation run reports to its
+    operator ("where did my tokens go?").
+
+    100 TB shape: one scan computes fingerprint + quality metrics;
+    dedup is a single fp exchange whose min(struct) carries the
+    surviving doc's source (no join-back); the rebalance gate
+    broadcasts two tiny rollups; the funnel assembles four
+    |sources|-sized frames with broadcast outer joins. Stage costs are
+    additive, not multiplicative — the scan is paid once."""
+    from .functions.text import (fingerprint, punct_ratio, stopword_ratio,
+                                 tokens)
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("toks", tokens("text"))
+    t = F.col("toks")
+    m = docs.select(
+        "doc_id", "source",
+        fingerprint("text", toks=t).alias("fp"),
+        F.size(t).alias("n_tokens"),
+        punct_ratio("text").alias("pr"),
+        stopword_ratio("text", toks=t).alias("sr"))
+    raw = m.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    q = m.where((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000)
+                & (F.col("pr") <= 0.20) & (F.col("sr") >= 0.01)) \
+         .select("doc_id", "source", "fp")
+    nq = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    d = (q.groupBy("fp")
+          .agg(F.min(F.struct("doc_id", "source")).alias("w"))
+          .select(F.col("w.doc_id").alias("doc_id"),
+                  F.col("w.source").alias("source")))
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
+    mn = nd.agg(F.min("n_dedup").alias("min_n"))
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("decimal(19,0)")
+    p60 = F.lit(1152921504606846976).cast("decimal(19,0)")
+    nb = (d.join(F.broadcast(nd), "source")
+           .join(F.broadcast(mn))
+           .where(u * F.col("n_dedup").cast("decimal(19,0)")
+                  < p60 * F.col("min_n").cast("decimal(19,0)"))
+           .groupBy("source").agg(F.count(F.lit(1)).alias("n_balanced")))
+    zero = F.lit(0).cast("long")
+    return (raw.join(nq, "source", "left")
+               .join(nd, "source", "left")
+               .join(nb, "source", "left")
+               .select("source", "n_raw",
+                       F.coalesce("n_quality", zero).alias("n_quality"),
+                       F.coalesce("n_dedup", zero).alias("n_dedup"),
+                       F.coalesce("n_balanced", zero).alias("n_balanced")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
