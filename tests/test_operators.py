@@ -921,3 +921,41 @@ def test_resize_dims_integer_exact(spark):
         assert r["out_w"] == (224 * w) // max(w, h)
         assert r["out_h"] == (224 * h) // max(w, h)
         assert max(r["out_w"], r["out_h"]) == 224
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """read_jsonl must (a) round-trip write_jsonl output losslessly,
+    and (b) capture malformed lines in the corrupt column with data
+    fields NULL — quarantine, not job death, not silent drop."""
+    from pyspark.sql import types as T
+    from user_behavior_analysis_spark.sinks import write_jsonl
+    from user_behavior_analysis_spark.sources import (jsonl_quarantine,
+                                                      read_jsonl)
+    from user_behavior_analysis_spark.sources import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "lang", "source")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, partition_by=("lang",), compression="gzip")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType())])
+    back, bad = jsonl_quarantine(read_jsonl(spark, out, schema))
+    assert bad.count() == 0
+    a = docs.select("doc_id", "text", "source").toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = back.select("doc_id", "text", "source").toPandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    # dirty file: one good line, one malformed, one schema-violating
+    dirty = tmp_path / "dirty"
+    dirty.mkdir()
+    (dirty / "part-000.json").write_text(
+        '{"doc_id": 1, "text": "ok", "source": "s"}\n'
+        '{"doc_id": broken!!\n'
+        '{"doc_id": "not_a_number", "text": "x", "source": "s"}\n')
+    clean, quarantined = jsonl_quarantine(
+        read_jsonl(spark, str(dirty), schema))
+    assert clean.count() == 1
+    qn = quarantined.toPandas()["_corrupt_record"].tolist()
+    assert len(qn) == 2 and any("broken" in s for s in qn)

@@ -154,3 +154,16 @@ def write_optimized_layout(df: DataFrame, path: str,
     (df.repartition(*parts, file_slot)
        .sortWithinPartitions(*list(partition_by) + list(sort_by))
        .write.mode(mode).partitionBy(*partition_by).parquet(path))
+
+
+def write_jsonl(df: DataFrame, path: str,
+                partition_by: tuple[str, ...] = (),
+                compression: str = "gzip",
+                mode: str = "overwrite") -> None:
+    """JSON-lines writer (LLM-corpus interchange). Compressed by
+    default — JSONL is the one format where the 5-10x gzip ratio on
+    text is nearly free against the decode cost downstream."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)

@@ -123,3 +123,42 @@ def simulated_marketing_stream(spark: SparkSession,
         channels[(F.xxhash64("value", F.lit(2)) % 4 + 4) % 4].alias("channel"),
         F.col("timestamp").alias("ts"),
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType,
+               corrupt_col: str = "_corrupt_record",
+               streaming: bool = False) -> DataFrame:
+    """JSON-lines corpus reader — the interchange format LLM datasets
+    actually ship in. Explicit schema (never inferSchema: inference is
+    an extra full scan at 100 TB and non-deterministic under dirty
+    data) + PERMISSIVE corrupt-record capture: malformed lines land in
+    ``corrupt_col`` with every data field NULL, so the caller chooses
+    quarantine vs drop instead of the job dying at row 4 billion.
+
+    Returns the frame WITH the corrupt column; ``jsonl_quarantine``
+    splits it.
+    """
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField(corrupt_col, T.StringType())])
+    reader = (spark.readStream if streaming else spark.read)
+    return (reader.schema(full)
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", corrupt_col)
+                  .json(path))
+
+
+def jsonl_quarantine(df: DataFrame, corrupt_col: str = "_corrupt_record"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) split of a ``read_jsonl`` frame. Clean rows
+    drop the corrupt column; quarantined rows keep ONLY the raw line
+    for repair/re-parse.
+
+    The frame is cached first: Spark refuses plans whose scan
+    references ONLY the corrupt column (QUERY_ONLY_CORRUPT_RECORD_
+    COLUMN — the parser never materializes it alone), and the split
+    reads the input twice anyway, so the cache is both the documented
+    workaround and the cheaper plan."""
+    df = df.cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, bad
