@@ -661,3 +661,41 @@ def test_curation_transform_stream_parity(spark, sf_dir, tmp_path):
     got = out.sort_values("doc_id", ignore_index=True)
     want = batch.sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_upsert_sink_maintains_serving_table(spark, sf_dir, split_events_dir,
+                                             tmp_path):
+    """Update-mode windowed counts + the partition-scoped upsert sink
+    must converge to exactly the batch aggregate — including keys that
+    stopped changing in later micro-batches (a blind dynamic overwrite
+    would drop them from rewritten partitions)."""
+    from user_behavior_analysis_spark.sinks import upsert_partitioned
+    out = str(tmp_path / "serving")
+    src = stream_events(spark, split_events_dir)
+    agg = (src.withWatermark("ts", "5 seconds")
+              .groupBy(F.window("ts", "1 hour"), "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .select(F.col("window.start").cast("long")
+                       .alias("window_start"),
+                      "event_type", "cnt"))
+    q = (agg.writeStream.outputMode("update")
+            .foreachBatch(lambda b, _: upsert_partitioned(
+                b, out, ("window_start", "event_type"), "window_start"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # partition-dir values come back through partition-type inference
+    # (int32 here); normalize to the logical long
+    got = (spark.read.parquet(out)
+           .withColumn("window_start", F.col("window_start").cast("long"))
+           .toPandas()
+           .sort_values(["window_start", "event_type"], ignore_index=True))
+    want = (load_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").cast("long")
+                     .alias("window_start"), "event_type", "cnt")
+            .toPandas()
+            .sort_values(["window_start", "event_type"],
+                         ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[["window_start", "event_type", "cnt"]], want)

@@ -167,3 +167,42 @@ def write_jsonl(df: DataFrame, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def upsert_partitioned(batch_df: DataFrame, path: str,
+                       keys: tuple[str, ...],
+                       partition_col: str) -> None:
+    """Key-level upsert into a partitioned parquet serving table — the
+    foreachBatch tail that turns an update-mode streaming aggregate
+    into a continuously-maintained materialized view without a table
+    format.
+
+    Update mode emits only CHANGED keys, so blind dynamic-partition
+    overwrite would drop a partition's unchanged keys. This does the
+    classic partition-scoped merge instead (what MERGE INTO lowers to):
+    read ONLY the touched partitions, anti-join out the keys the batch
+    replaces, union the batch, rewrite just those partitions
+    (``partitionOverwriteMode=dynamic``).
+
+    The touched-partition collect is bounded by |partitions per
+    micro-batch| (windows in flight), not data size. At 100 TB the cost
+    per trigger is proportional to the hot partitions — the cold ones
+    are never read or written.
+    """
+    spark = batch_df.sparkSession
+    touched = [r[0] for r in
+               batch_df.select(partition_col).distinct().collect()]
+    if not touched:
+        return
+    batch_df = batch_df.localCheckpoint(eager=True)  # plan reused 2x
+    try:
+        existing = (spark.read.parquet(path)
+                    .where(F.col(partition_col).isin(touched)))
+        keep = existing.join(batch_df.select(*keys).distinct(),
+                             list(keys), "left_anti")
+        merged = batch_df.unionByName(keep)
+    except Exception:  # first batch: nothing to merge yet
+        merged = batch_df
+    (merged.repartition(F.col(partition_col)).write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy(partition_col).parquet(path))
