@@ -959,3 +959,27 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     assert clean.count() == 1
     qn = quarantined.toPandas()["_corrupt_record"].tolist()
     assert len(qn) == 2 and any("broken" in s for s in qn)
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-min's one-sided guarantee: for EVERY token, the sketch
+    estimate must be >= the exact count (hash collisions only add)."""
+    from user_behavior_analysis_spark.functions.text import tokens
+    from user_behavior_analysis_spark.queries import (_CMS_D, _CMS_W)
+    inst = (load_table(spark, sf_dir, "documents")
+            .select(F.explode(tokens("text")).alias("tok"))
+            .where(F.col("tok") != ""))
+    exact = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("seed"), F.col("tok"))), 1, 15),
+        16, 10).cast("long") % _CMS_W).alias("bucket")
+    sketch = (inst.crossJoin(F.broadcast(seeds)).select("seed", bucket)
+                  .groupBy("seed", "bucket")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    est = (exact.select("tok", "tf").crossJoin(F.broadcast(seeds))
+                .select("tok", "tf", "seed", bucket)
+                .join(F.broadcast(sketch), ["seed", "bucket"])
+                .groupBy("tok", "tf").agg(F.min("cnt").alias("est")))
+    bad = est.where(F.col("est") < F.col("tf"))
+    assert bad.isEmpty(), bad.limit(5).collect()

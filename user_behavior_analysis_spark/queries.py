@@ -4584,6 +4584,79 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.coalesce("n_balanced", zero).alias("n_balanced")))
 
 
+# --- Sketch: count-min heavy hitters ----------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+_CMS_ORACLE = rf"""
+WITH inst AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), tok AS (
+  SELECT tok FROM inst WHERE tok <> ''
+), seeds AS (
+  SELECT unnest(range(0, {_CMS_D})) AS seed
+), sketch AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(seed || '|' || tok), 1, 15)) AS BIGINT)
+           % {_CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM tok CROSS JOIN seeds GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT tok FROM tok
+), est AS (
+  SELECT cand.tok, MIN(sketch.cnt) AS est
+  FROM cand CROSS JOIN seeds
+  JOIN sketch ON sketch.seed = seeds.seed
+   AND sketch.bucket = CAST(('0x' || substr(md5(seeds.seed || '|' || cand.tok),
+                             1, 15)) AS BIGINT) % {_CMS_W}
+  GROUP BY cand.tok
+)
+SELECT tok, CAST(est AS BIGINT) AS est,
+       CAST(ROW_NUMBER() OVER (ORDER BY est DESC, tok) AS INTEGER) AS rn
+FROM est QUALIFY rn <= 20
+"""
+
+
+@query("heavy_hitters_cms", _CMS_ORACLE)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens by COUNT-MIN SKETCH estimate — the sketch
+    every streaming heavy-hitter pipeline actually maintains when the
+    vocabulary doesn't fit anywhere. d=4 md5-derived hash rows x w=256
+    buckets; estimate = min over rows of the bucket count (one-sided:
+    never under-counts, `test_cms_never_undercounts`). Deterministic
+    hashing makes the whole sketch SQL-reproducible, so unlike library
+    CMS implementations this one is hash-oracled end to end.
+
+    100 TB shape: the sketch build is the whole point — partial
+    aggregation collapses every task's token stream to <= d x w
+    partial rows, so the sketch exchange carries AT MOST d x w x tasks
+    rows regardless of corpus size (vs the exact top-k's
+    |vocabulary|-sized shuffle). The 1,024-row sketch then broadcasts
+    to score candidates map-side."""
+    from .functions.text import tokens
+    inst = (load_table(spark, sf_dir, "documents")
+            .select(F.explode(tokens("text")).alias("tok"))
+            .where(F.col("tok") != ""))
+    seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("seed"), F.col("tok"))), 1, 15),
+        16, 10).cast("long") % _CMS_W).alias("bucket")
+    sketch = (inst.crossJoin(F.broadcast(seeds))
+                  .select("seed", bucket)
+                  .groupBy("seed", "bucket")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    cand = inst.distinct()
+    scored = (cand.crossJoin(F.broadcast(seeds))
+                  .select("tok", "seed", bucket)
+                  .join(F.broadcast(sketch), ["seed", "bucket"])
+                  .groupBy("tok").agg(F.min("cnt").alias("est")))
+    from pyspark.sql import Window as _W
+    w = _W.orderBy(F.col("est").desc(), "tok")
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= 20))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
