@@ -963,21 +963,29 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
 
 def test_cms_never_undercounts(spark, sf_dir):
     """Count-min's one-sided guarantee: for EVERY token, the sketch
-    estimate must be >= the exact count (hash collisions only add)."""
+    estimate must be >= the exact count (hash collisions only add).
+    Rebuilds the query's exact sketch construction (KM double hashing)
+    and joins it against exact term frequencies."""
     from user_behavior_analysis_spark.functions.text import tokens
-    from user_behavior_analysis_spark.queries import (_CMS_D, _CMS_W)
+    from user_behavior_analysis_spark.queries import (_CMS_D, _CMS_W,
+                                                      _MINHASH_P)
     inst = (load_table(spark, sf_dir, "documents")
             .select(F.explode(tokens("text")).alias("tok"))
-            .where(F.col("tok") != ""))
-    exact = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+            .where(F.col("tok") != "")
+            .select("tok",
+                    (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                      .cast("long") % _MINHASH_P).alias("h1"),
+                    (F.conv(F.substring(F.md5("tok"), 16, 15), 16, 10)
+                      .cast("long") % _MINHASH_P).alias("h2")))
+    exact = inst.groupBy("tok", "h1", "h2") \
+                .agg(F.count(F.lit(1)).alias("tf"))
     seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat_ws("|", F.col("seed"), F.col("tok"))), 1, 15),
-        16, 10).cast("long") % _CMS_W).alias("bucket")
+    bucket = ((F.col("h1") + F.col("seed") * F.col("h2"))
+              % _MINHASH_P % _CMS_W).alias("bucket")
     sketch = (inst.crossJoin(F.broadcast(seeds)).select("seed", bucket)
                   .groupBy("seed", "bucket")
                   .agg(F.count(F.lit(1)).alias("cnt")))
-    est = (exact.select("tok", "tf").crossJoin(F.broadcast(seeds))
+    est = (exact.crossJoin(F.broadcast(seeds))
                 .select("tok", "tf", "seed", bucket)
                 .join(F.broadcast(sketch), ["seed", "bucket"])
                 .groupBy("tok", "tf").agg(F.min("cnt").alias("est")))

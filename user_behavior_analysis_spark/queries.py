@@ -4593,23 +4593,26 @@ WITH inst AS (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
   FROM documents
 ), tok AS (
-  SELECT tok FROM inst WHERE tok <> ''
+  SELECT tok,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+           % {_MINHASH_P} AS h1,
+         CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT)
+           % {_MINHASH_P} AS h2
+  FROM inst WHERE tok <> ''
 ), seeds AS (
   SELECT unnest(range(0, {_CMS_D})) AS seed
 ), sketch AS (
-  SELECT seed,
-         CAST(('0x' || substr(md5(seed || '|' || tok), 1, 15)) AS BIGINT)
-           % {_CMS_W} AS bucket,
+  SELECT seed, (h1 + seed * h2) % {_MINHASH_P} % {_CMS_W} AS bucket,
          COUNT(*) AS cnt
   FROM tok CROSS JOIN seeds GROUP BY 1, 2
 ), cand AS (
-  SELECT DISTINCT tok FROM tok
+  SELECT DISTINCT tok, h1, h2 FROM tok
 ), est AS (
   SELECT cand.tok, MIN(sketch.cnt) AS est
   FROM cand CROSS JOIN seeds
   JOIN sketch ON sketch.seed = seeds.seed
-   AND sketch.bucket = CAST(('0x' || substr(md5(seeds.seed || '|' || cand.tok),
-                             1, 15)) AS BIGINT) % {_CMS_W}
+   AND sketch.bucket
+       = (cand.h1 + seeds.seed * cand.h2) % {_MINHASH_P} % {_CMS_W}
   GROUP BY cand.tok
 )
 SELECT tok, CAST(est AS BIGINT) AS est,
@@ -4622,8 +4625,10 @@ FROM est QUALIFY rn <= 20
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus tokens by COUNT-MIN SKETCH estimate — the sketch
     every streaming heavy-hitter pipeline actually maintains when the
-    vocabulary doesn't fit anywhere. d=4 md5-derived hash rows x w=256
-    buckets; estimate = min over rows of the bucket count (one-sided:
+    vocabulary doesn't fit anywhere. d=4 hash rows x w=256 buckets, all
+    four row-hashes derived from ONE md5 via Kirsch-Mitzenmacher double
+    hashing (h1 + seed*h2 mod P — the minhash trick reused, 4x fewer
+    digests); estimate = min over rows of the bucket count (one-sided:
     never under-counts, `test_cms_never_undercounts`). Deterministic
     hashing makes the whole sketch SQL-reproducible, so unlike library
     CMS implementations this one is hash-oracled end to end.
@@ -4637,11 +4642,15 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import tokens
     inst = (load_table(spark, sf_dir, "documents")
             .select(F.explode(tokens("text")).alias("tok"))
-            .where(F.col("tok") != ""))
+            .where(F.col("tok") != "")
+            .select("tok",
+                    (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                      .cast("long") % _MINHASH_P).alias("h1"),
+                    (F.conv(F.substring(F.md5("tok"), 16, 15), 16, 10)
+                      .cast("long") % _MINHASH_P).alias("h2")))
     seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat_ws("|", F.col("seed"), F.col("tok"))), 1, 15),
-        16, 10).cast("long") % _CMS_W).alias("bucket")
+    bucket = ((F.col("h1") + F.col("seed") * F.col("h2"))
+              % _MINHASH_P % _CMS_W).alias("bucket")
     sketch = (inst.crossJoin(F.broadcast(seeds))
                   .select("seed", bucket)
                   .groupBy("seed", "bucket")
