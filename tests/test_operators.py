@@ -991,3 +991,27 @@ def test_cms_never_undercounts(spark, sf_dir):
                 .groupBy("tok", "tf").agg(F.min("cnt").alias("est")))
     bad = est.where(F.col("est") < F.col("tf"))
     assert bad.isEmpty(), bad.limit(5).collect()
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """distributed_rank + ntile_from_rank must reproduce SQL NTILE
+    bit-for-bit on data with heavy ties and uneven tile sizes."""
+    import random
+    from pyspark.sql import Window
+    from user_behavior_analysis_spark.operators.rank import (
+        distributed_rank, ntile_from_rank)
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(-50, 50) + rnd.choice([0, 0, 0, 5000]))
+            for i in range(997)]  # 997 % 4 != 0: uneven tiles
+    df = spark.createDataFrame(rows, ["id", "v"])
+    for n in (2, 4, 7):
+        got = distributed_rank(df, F.col("v"), "id", out="rk")
+        got = got.withColumn(
+            "t", ntile_from_rank(F.col("rk"), F.lit(len(rows)), n))
+        want = df.withColumn(
+            "t", F.ntile(n).over(Window.orderBy("v", "id")))
+        a = got.select("id", "t").toPandas().sort_values(
+            "id", ignore_index=True)
+        b = want.select("id", "t").toPandas().sort_values(
+            "id", ignore_index=True)
+        assert a.equals(b), f"ntile({n}) mismatch"

@@ -312,3 +312,11 @@ def test_substring_containment_joins_stay_shuffle(spark, sf_dir):
     plan = plan_of(spark, "substring_containment", sf_dir)
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_rfm_heavy_windows_are_bucket_partitioned(spark, sf_dir):
+    """All three quartile ranks must come from bucket-PARTITIONED
+    windows (distributed_rank); only the tiny |buckets|-row prefix
+    scans may run single-partition."""
+    plan = plan_of(spark, "rfm_segments", sf_dir)
+    assert plan.count("row_number() windowspecdefinition(_bk") == 3, plan

@@ -4666,6 +4666,69 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .where(F.col("rn") <= 20))
 
 
+# --- Behavior: RFM customer segmentation (distributed ntile) ----------------
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         CAST(MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+              AS BIGINT) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, last_day, frequency, monetary,
+       CAST(NTILE(4) OVER (ORDER BY last_day DESC, custkey) AS INTEGER)
+         AS r_quart,
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS INTEGER)
+         AS f_quart,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS INTEGER)
+         AS m_quart
+FROM base
+"""
+
+
+@query("rfm_segments", _RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — every customer's recency / frequency /
+    monetary quartile (1 = best), the workhorse behavioral marketing
+    view. The interesting part is HOW the quartiles are computed: SQL
+    NTILE with no PARTITION BY is a single-task global sort, so each
+    quartile here comes from ``operators.rank.distributed_rank`` — a
+    bucket-histogram prefix-sum rank whose heavy window is partitioned
+    by the metric's coarse bucket — plus an exact integer NTILE
+    reconstruction. The oracle runs the real single-window NTILE: two
+    independent algorithms, bit-identical integers.
+
+    100 TB shape: three bucket-partitioned windows over the customer
+    frame (checkpointed once); the only single-partition work is three
+    |buckets|-row prefix scans. Monetary's sort key is the exact
+    decimal sum normalized to double (engine-identical), negated for
+    descending order."""
+    from .operators.rank import distributed_rank, ntile_from_rank
+    orders = load_table(spark, sf_dir, "orders")
+    base = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+                  .agg(F.expr("CAST(max(CAST(o_orderdate AS LONG) div 86400)"
+                              " AS BIGINT)").alias("last_day"),
+                       F.count(F.lit(1)).alias("frequency"),
+                       F.sum(_dec("o_totalprice")).cast("string")
+                        .cast("double").alias("monetary"))
+                  .localCheckpoint(eager=True))
+    total = base.agg(F.count(F.lit(1)).alias("_total"))
+    out = base
+    for metric, col in (("r_quart", F.col("last_day")),
+                        ("f_quart", F.col("frequency")),
+                        ("m_quart", F.col("monetary"))):
+        out = distributed_rank(out, -col, "custkey", out="_rk")
+        out = (out.join(F.broadcast(total))
+                  .withColumn(metric,
+                              ntile_from_rank(F.col("_rk"), F.col("_total"),
+                                              4))
+                  .drop("_rk", "_total"))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
