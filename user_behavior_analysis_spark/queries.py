@@ -4729,6 +4729,86 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- Behavior: hash-assigned A/B conversion readout -------------------------
+
+_AB_TEST_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM events WHERE event_type IN ('view', 'purchase')
+), fv AS (
+  SELECT user_id, variant,
+         MIN(CASE WHEN event_type = 'view' THEN ts_sec END) AS first_view
+  FROM e GROUP BY user_id, variant
+), conv AS (
+  SELECT e.user_id, e.variant, fv.first_view,
+         MIN(e.ts_sec) AS convert_ts
+  FROM e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+    AND e.ts_sec >= fv.first_view
+  GROUP BY e.user_id, e.variant, fv.first_view
+)
+SELECT fv.variant,
+       CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(COUNT(conv.user_id) AS BIGINT) AS converters,
+       CAST(1000 * COUNT(conv.user_id) // COUNT(*) AS BIGINT)
+         AS conv_permille,
+       CAST(COALESCE(SUM(conv.convert_ts - conv.first_view), 0)
+            // GREATEST(COUNT(conv.user_id), 1) AS BIGINT) AS avg_tts_sec
+FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
+WHERE fv.first_view IS NOT NULL
+GROUP BY fv.variant
+"""
+
+
+@query("ab_test_conversion", _AB_TEST_ORACLE)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash into variants by
+    md5(user_id) % 2 (deterministic, engine-independent assignment —
+    the same gate a real experimentation platform uses), conversion =
+    a purchase at-or-after the user's first view, reported per variant
+    as exact integer rate-per-mille and mean time-to-convert seconds
+    (sum-div, never a float mean).
+
+    100 TB shape: one shuffle on user_id serves the first-view window,
+    the conversion filter, AND the per-user aggregate (same
+    partitioning reuse as session_paths); the variant rollup carries 2
+    groups. The oracle recomputes conversion with explicit
+    subquery joins instead of the window — independent formulations."""
+    from pyspark.sql import Window as _W
+    e = (load_table(spark, sf_dir, "events")
+         .where(F.col("event_type").isin("view", "purchase"))
+         .selectExpr("user_id", "event_type", "CAST(ts AS LONG) AS ts_sec"))
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+    w = _W.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view",
+                      F.col("ts_sec"))).over(w)
+    per_user = (e.withColumn("first_view", fv)
+                 .where(F.col("first_view").isNotNull())
+                 .groupBy("user_id", "first_view")
+                 .agg(F.min(F.when((F.col("event_type") == "purchase")
+                                   & (F.col("ts_sec")
+                                      >= F.col("first_view")),
+                                   F.col("ts_sec"))).alias("convert_ts"))
+                 .withColumn("variant", variant))
+    conv = F.sum(F.when(F.col("convert_ts").isNotNull(), 1).otherwise(0))
+    tts = F.sum(F.when(F.col("convert_ts").isNotNull(),
+                       F.col("convert_ts") - F.col("first_view"))
+                 .otherwise(0))
+    return (per_user.groupBy("variant")
+            .agg(F.count(F.lit(1)).alias("users"),
+                 conv.alias("converters"),
+                 tts.alias("_tts"))
+            .select("variant", "users", "converters",
+                    F.expr("1000 * converters div users")
+                     .alias("conv_permille"),
+                    F.expr("_tts div greatest(converters, 1)")
+                     .alias("avg_tts_sec")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
