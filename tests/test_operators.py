@@ -1015,3 +1015,26 @@ def test_distributed_ntile_matches_window_ntile(spark):
         b = want.select("id", "t").toPandas().sort_values(
             "id", ignore_index=True)
         assert a.equals(b), f"ntile({n}) mismatch"
+
+
+@pytest.mark.parametrize("name", [
+    "training_shards", "rfm_segments", "heavy_hitters_cms",
+    "session_paths", "stratified_split_sample", "ab_test_conversion"])
+def test_partitioning_invariance(spark, name):
+    """Ranking/hash/prefix-sum queries must produce IDENTICAL results
+    under different physical parallelism — a result that changes with
+    spark.sql.shuffle.partitions is nondeterministic at 100 TB by
+    construction. Runs each query at 7 and 31 shuffle partitions."""
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for parts in ("7", "31"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            pdf = QUERIES[name](spark, sf).toPandas()
+            cols = sorted(pdf.columns)
+            outs.append(pdf[cols].sort_values(by=cols,
+                                              ignore_index=True))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
