@@ -699,3 +699,46 @@ def test_upsert_sink_maintains_serving_table(spark, sf_dir, split_events_dir,
                          ignore_index=True))
     pd.testing.assert_frame_equal(
         got[["window_start", "event_type", "cnt"]], want)
+
+
+def test_session_paths_stream_parity(spark, sf_dir, split_events_dir,
+                                     tmp_path):
+    """Streaming twin of session_paths: session_window(gap=30min)
+    defines the SAME session boundaries as the batch lag/cumsum
+    formulation, so per-session path trigrams aggregated after the
+    sessions close must reproduce the batch query's pre-limit path
+    counts exactly. A far-future sentinel event (dummy user) flushes
+    the watermark past every real session — the standard trick to
+    close tail sessions in a finite replay."""
+    import glob
+    import shutil
+    d = tmp_path / "events_flush"
+    d.mkdir()
+    for f in sorted(glob.glob(split_events_dir + "/*.parquet")):
+        shutil.copy(f, d / pathlib.Path(f).name)
+    last = pd.read_parquet(sorted(glob.glob(split_events_dir
+                                            + "/*.parquet"))[-1]).tail(1)
+    sentinel = last.copy()
+    sentinel["user_id"] = -1
+    sentinel["ts"] = sentinel["ts"] + pd.Timedelta(days=100)
+    sentinel.to_parquet(d / "part-zzz-flush.parquet", index=False)
+    src = stream_events(spark, str(d)).where(F.col("user_id") >= 0)
+    seq = (src.withWatermark("ts", "5 seconds")
+              .groupBy("user_id", F.session_window("ts", "30 minutes"))
+              .agg(F.array_sort(F.collect_list(F.struct(
+                  F.col("ts").cast("long").alias("ts_sec"),
+                  "event_id", "event_type"))).alias("evs"))
+              .select(F.expr("transform(evs, x -> x.event_type)")
+                       .alias("types")))
+    paths = (seq.select(F.explode(F.expr(
+        "CASE WHEN size(types) >= 3 THEN "
+        "transform(sequence(0, size(types) - 3), "
+        "i -> concat_ws('>', types[i], types[i+1], types[i+2])) "
+        "ELSE array() END")).alias("path")))
+    out = run_stream(spark, paths, "append", "sess_paths_stream")
+    got = out.groupby("path").size().reset_index(name="cnt")
+    from user_behavior_analysis_spark.queries import QUERIES
+    want_top = QUERIES["session_paths"](spark, sf_dir).toPandas()
+    merged = want_top.merge(got, on="path", suffixes=("_batch", "_stream"))
+    assert len(merged) == len(want_top), (want_top, got)
+    assert (merged["cnt_batch"] == merged["cnt_stream"]).all(), merged
