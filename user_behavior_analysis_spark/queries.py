@@ -4809,6 +4809,162 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("avg_tts_sec")))
 
 
+# --- Pipeline: declarative data-quality report over the star schema ---------
+
+_DQ_ORACLE = """
+SELECT 'orders_custkey_fk' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS violations
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem_pk_unique',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber) g WHERE n > 1
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                     OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_ts_not_null',
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+"""
+
+
+@query("data_quality_report", _DQ_ORACLE)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over the star schema — the pre-flight
+    check a pipeline runs before publishing a dataset version: two
+    referential-integrity rules (anti-join counts), a composite-key
+    uniqueness rule (excess-row count), two domain rules, one
+    not-null rule. One row per rule with its violation count; a clean
+    corpus reports six zeros, and the report shape is what a CI gate
+    consumes.
+
+    100 TB shape: FK checks are LEFT ANTI joins — the dimension side
+    broadcasts when it is a true dim (customer) and pins shuffle-hash
+    when fact-scaled (orders, the shipping_priority rule); uniqueness
+    is one composite-key aggregate with map-side partials; domain and
+    null rules fold into single scans with tiny rollups. The six rule
+    frames union into one report."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def rule(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(F.lit(name).alias("rule"),
+                          F.col("violations").cast("long")
+                           .alias("violations"))
+
+    fk_orders = (orders.join(F.broadcast(cust),
+                             orders.o_custkey == cust.c_custkey,
+                             "left_anti")
+                 .agg(F.count(F.lit(1)).alias("violations")))
+    fk_line = (li.join(orders.select("o_orderkey").hint("shuffle_hash"),
+                       li.l_orderkey == orders.o_orderkey, "left_anti")
+               .agg(F.count(F.lit(1)).alias("violations")))
+    pk = (li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                  .alias("violations")))
+    price = orders.agg(F.sum(
+        F.when(F.col("o_totalprice").isNull()
+               | (F.col("o_totalprice") <= 0), 1).otherwise(0))
+        .alias("violations"))
+    disc = li.agg(F.sum(
+        F.when(F.col("l_discount").isNull()
+               | (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+         .otherwise(0)).alias("violations"))
+    ts_null = ev.agg(F.sum(
+        F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("violations"))
+
+    return (rule("orders_custkey_fk", fk_orders)
+            .unionByName(rule("lineitem_orderkey_fk", fk_line))
+            .unionByName(rule("lineitem_pk_unique", pk))
+            .unionByName(rule("orders_totalprice_positive", price))
+            .unionByName(rule("lineitem_discount_range", disc))
+            .unionByName(rule("events_ts_not_null", ts_null)))
+
+
+# --- OLAP: exact integer least-squares revenue trend per nation -------------
+
+_TREND_ORACLE = """
+WITH yr AS (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), mom AS (
+  SELECT nation, COUNT(*) AS n, SUM(x) AS sx, SUM(cents) AS sy,
+         SUM(x * cents) AS sxy, SUM(x * x) AS sxx
+  FROM yr GROUP BY nation
+)
+SELECT nation, CAST(n AS BIGINT) AS n_years,
+       CAST((n * sxy - sx * sy) * 1000
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_millicents
+FROM mom WHERE n >= 2
+"""
+
+
+@query("revenue_trend", _TREND_ORACLE)
+def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: ordinary-least-squares slope of yearly
+    revenue, computed ENTIRELY in integer arithmetic — revenue as
+    rounded cents, the OLS closed form (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2)
+    as a scaled integer division. A float regression is not
+    reproducible across partial-aggregation orders; this one is
+    bit-exact on any partitioning and therefore oracle-able.
+
+    100 TB shape: the yearly rollup carries |nations| x |years| groups
+    off one fact exchange (customer/nation broadcast into the scan);
+    the moment sums then reduce |nations| x |years| rows — the
+    regression itself costs nothing at any scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    yr = (orders.join(F.broadcast(cust),
+                      orders.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+                .groupBy("nation",
+                         (F.year("o_orderdate") - 1995).cast("long")
+                          .alias("x"))
+                .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                            .cast("long")).alias("cents")))
+    mom = (yr.groupBy("nation")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("x").alias("sx"),
+                  F.sum("cents").alias("sy"),
+                  F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    return (mom.where(F.col("n") >= 2)
+               .select("nation", F.col("n").alias("n_years"),
+                       F.expr("(n * sxy - sx * sy) * 1000 "
+                              "div (n * sxx - sx * sx)")
+                        .alias("slope_millicents")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
