@@ -742,3 +742,51 @@ def test_session_paths_stream_parity(spark, sf_dir, split_events_dir,
     merged = want_top.merge(got, on="path", suffixes=("_batch", "_stream"))
     assert len(merged) == len(want_top), (want_top, got)
     assert (merged["cnt_batch"] == merged["cnt_stream"]).all(), merged
+
+
+def test_cms_sketch_stream_parity(spark, sf_dir, tmp_path):
+    """The count-min sketch is THE streaming sketch: built as an
+    update-mode streaming aggregate over a replayed document stream,
+    its final (seed, bucket) counts must equal the batch-built sketch
+    exactly — counts are associative, so incremental maintenance is
+    free and the estimates are identical by construction."""
+    from user_behavior_analysis_spark.functions.text import tokens
+    from user_behavior_analysis_spark.queries import (_CMS_D, _CMS_W,
+                                                      _MINHASH_P)
+
+    def sketch_of(df):
+        inst = (df.select(F.explode(tokens("text")).alias("tok"))
+                  .where(F.col("tok") != "")
+                  .select(
+                      (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                        .cast("long") % _MINHASH_P).alias("h1"),
+                      (F.conv(F.substring(F.md5("tok"), 16, 15), 16, 10)
+                        .cast("long") % _MINHASH_P).alias("h2")))
+        seeds = spark.range(_CMS_D).select(
+            F.col("id").cast("int").alias("seed"))
+        bucket = ((F.col("h1") + F.col("seed") * F.col("h2"))
+                  % _MINHASH_P % _CMS_W).alias("bucket")
+        return (inst.crossJoin(F.broadcast(seeds)).select("seed", bucket)
+                    .groupBy("seed", "bucket")
+                    .agg(F.count(F.lit(1)).alias("cnt")))
+
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    d = tmp_path / "docs_cms"
+    d.mkdir()
+    step = (len(docs) + N_SPLITS - 1) // N_SPLITS
+    for i in range(N_SPLITS):
+        part = docs.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(d / f"part-{i:03d}.parquet", index=False)
+    schema = spark.read.parquet(str(d)).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    got = run_stream(spark, sketch_of(src), "update", "cms_stream")
+    # update mode re-emits a (seed, bucket) row each time it changes:
+    # the LAST emission per key is the final count
+    got = (got.groupby(["seed", "bucket"]).last().reset_index()
+              .sort_values(["seed", "bucket"], ignore_index=True))
+    want = (sketch_of(load_table(spark, sf_dir, "documents")).toPandas()
+            .sort_values(["seed", "bucket"], ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[["seed", "bucket", "cnt"]], want[["seed", "bucket", "cnt"]])
