@@ -610,12 +610,16 @@ h AS (
   FROM h GROUP BY doc_id
 ), buckets AS (
   {_band_selects}
+), bn AS (
+  SELECT band, bh, COUNT(*) AS n FROM buckets GROUP BY band, bh
+), small AS (
+  SELECT buckets.* FROM buckets JOIN bn USING (band, bh) WHERE bn.n <= 1000
 )"""
 
 _MINHASH_ORACLE = f"""
 WITH {_LSH_CTES}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM buckets a JOIN buckets b
+FROM small a JOIN small b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """
 
@@ -634,7 +638,7 @@ _CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_LSH_CTES},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b
+  FROM small a JOIN small b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ), edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -675,7 +679,7 @@ _PIPELINE_ORACLE = f"""
 WITH RECURSIVE {_LSH_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b
+  FROM small a JOIN small b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
@@ -819,10 +823,14 @@ WITH tk AS (
          (simhash >> (CAST(t.range AS INTEGER) * {_SIMHASH_BAND_W}))
            & {(1 << _SIMHASH_BAND_W) - 1} AS bb
   FROM s CROSS JOIN range({_SIMHASH_BANDS}) t
+), bkn AS (
+  SELECT band, bb, COUNT(*) AS n FROM bk GROUP BY band, bb
+), bks AS (
+  SELECT bk.* FROM bk JOIN bkn USING (band, bb) WHERE bkn.n <= 1000
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM bk a JOIN bk b
+FROM bks a JOIN bks b
   ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
