@@ -320,3 +320,45 @@ def test_rfm_heavy_windows_are_bucket_partitioned(spark, sf_dir):
     scans may run single-partition."""
     plan = plan_of(spark, "rfm_segments", sf_dir)
     assert plan.count("row_number() windowspecdefinition(_bk") == 3, plan
+
+
+def test_revenue_trend_broadcasts_all_dims(spark, sf_dir):
+    """Q9-style trend: customer and nation broadcast into the fact
+    scan; no fact-fact join exists, so no shuffle join may appear."""
+    plan = plan_of(spark, "revenue_trend", sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_data_quality_fk_join_shapes(spark, sf_dir):
+    """FK checks: the customer dim anti-join broadcasts; the orders
+    (fact-scaled) anti-join is pinned shuffle-hash — a broadcast there
+    OOMs at 100x (the shipping_priority rule)."""
+    plan = plan_of(spark, "data_quality_report", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_ab_test_single_user_exchange(spark, sf_dir):
+    """First-view window, conversion filter, and per-user aggregate
+    must share ONE user_id exchange."""
+    plan = plan_of(spark, "ab_test_conversion", sf_dir)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_curation_pipeline_no_sort_merge(spark, sf_dir):
+    """The funnel's assembly joins are |sources|-sized (broadcast) and
+    the dedup stage is an aggregate, not a join — no sort-merge join
+    may appear anywhere in the pipeline."""
+    plan = plan_of(spark, "curation_pipeline", sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_byte_histogram_shuffles_partials_only(spark, sf_dir):
+    """The Python stage pre-aggregates: the only exchange after
+    MapInPandas carries (grp, bin) partials, never payload bytes."""
+    plan = plan_of(spark, "media_byte_histogram", sf_dir)
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning(grp") == 1, plan
+    assert plan.count("Exchange") == 1, plan
