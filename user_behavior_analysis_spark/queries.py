@@ -4973,6 +4973,56 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("slope_millicents")))
 
 
+# --- Text: language-ID evaluation against corpus labels ---------------------
+
+_LANG_CONFUSION_ORACLE = r"""
+WITH t AS (
+  SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), scores AS (
+  SELECT lang,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+  FROM t
+), guess AS (
+  SELECT lang,
+    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+              AND s_en >= s_zh THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END AS lang_guess
+  FROM scores
+)
+SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+FROM guess GROUP BY lang, lang_guess
+"""
+
+
+@query("lang_id_confusion", _LANG_CONFUSION_ORACLE)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram-marker language detector against
+    the corpus's labeled ``lang`` column — the eval loop every
+    classifier-driven curation stage needs (label vs prediction counts;
+    the diagonal is accuracy, off-diagonal cells say WHICH languages
+    bleed into each other).
+
+    100 TB shape: detection is the let-bound scan expression from
+    document_profile; the rollup carries |langs|^2 groups."""
+    from .functions.text import detect_lang, tokens
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("toks", tokens("text"))
+    return (docs.select("lang",
+                        detect_lang("text", toks=F.col("toks"))
+                         .alias("lang_guess"))
+                .groupBy("lang", "lang_guess")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
