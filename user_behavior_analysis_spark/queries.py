@@ -5023,6 +5023,47 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n")))
 
 
+# --- Text: tokenizer fertility per language ---------------------------------
+
+_FERTILITY_ORACLE = r"""
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+       AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+       AS BIGINT) AS bpe_tokens,
+  CAST(1000 * SUM(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+       // SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+       AS BIGINT) AS fertility_permille
+FROM documents GROUP BY lang
+"""
+
+
+@query("tokenizer_fertility", _FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-style pre-tokens per
+    whitespace word, in exact integer per-mille — the budgeting number
+    (how many MODEL tokens a corpus slice really costs) and a standard
+    tokenizer-quality diagnostic across languages.
+
+    100 TB shape: both counts are codegen'd regexp_count scans; one
+    |langs|-group rollup. The ratio is pooled (sum/sum), never an
+    average of per-doc floats."""
+    from .functions.text import bpe_token_count, tokens
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("docs"),
+                     F.sum(F.size(tokens("text")).cast("long"))
+                      .alias("ws_tokens"),
+                     F.sum(bpe_token_count("text").cast("long"))
+                      .alias("bpe_tokens"))
+                .select("lang", "docs", "ws_tokens", "bpe_tokens",
+                        F.expr("1000 * bpe_tokens div ws_tokens")
+                         .alias("fertility_permille")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
