@@ -1038,3 +1038,26 @@ def test_partitioning_invariance(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_ntile_formula_property():
+    """Pure-math property: the ntile_from_rank formula (first total%n
+    tiles get floor(total/n)+1 rows) partitions ranks 1..total into
+    exactly NTILE(n)'s tile sizes for every (total, n)."""
+    for total in list(range(1, 200)) + [997, 5000]:
+        for n in (2, 3, 4, 7, 10):
+            q, r = divmod(total, n)
+            big = q + 1
+            cut = r * big
+            tiles = [
+                -(-rank // big) if rank <= cut
+                else r + -(-(rank - cut) // max(q, 1))
+                for rank in range(1, total + 1)
+            ]
+            # sizes: first r tiles have q+1 rows, the rest q (when q>0)
+            from collections import Counter
+            sizes = Counter(tiles)
+            want = {t: (big if t <= r else q) for t in range(1, n + 1)
+                    if (big if t <= r else q) > 0}
+            assert dict(sizes) == want, (total, n, sizes, want)
+            assert tiles == sorted(tiles)

@@ -362,3 +362,15 @@ def test_byte_histogram_shuffles_partials_only(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange hashpartitioning(grp") == 1, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_important_parts_reuses_partkey_shuffle(spark, sf_dir):
+    """The grand-total branch must reuse the per-part aggregate's
+    shuffle, not rescan lineitem: AQE dedupes the identical exchanges
+    at runtime, so the EXECUTED final plan shows a ReusedExchange."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    df = QUERIES["important_parts"](spark, sf_dir)
+    df._jdf.queryExecution().executedPlan().execute().count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
