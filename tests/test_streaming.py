@@ -790,3 +790,57 @@ def test_cms_sketch_stream_parity(spark, sf_dir, tmp_path):
             .sort_values(["seed", "bucket"], ignore_index=True))
     pd.testing.assert_frame_equal(
         got[["seed", "bucket", "cnt"]], want[["seed", "bucket", "cnt"]])
+
+
+def test_late_row_router_side_output(spark, sf_dir, tmp_path):
+    """W5 upgrade: the LateRowRouter must send EXACTLY the rows whose
+    event time is below the prior batches' max-ts-minus-delay to the
+    late channel, and everything else to the main channel — Flink's
+    allowedLateness side output at micro-batch granularity. Built by
+    replaying time-sorted batches with one file deliberately shuffled
+    out of order."""
+    from user_behavior_analysis_spark.streaming.jobs import LateRowRouter
+    ev = (load_table(spark, sf_dir, "events")
+          .selectExpr("event_id", "CAST(ts AS LONG) AS ts_sec")
+          .orderBy("ts_sec").toPandas())
+    d = tmp_path / "late_events"
+    d.mkdir()
+    step = (len(ev) + 4) // 5
+    chunks = [ev.iloc[i * step:(i + 1) * step] for i in range(5)]
+    # swap chunks 2 and 3: chunk 2's rows arrive AFTER chunk 3 raised
+    # the watermark, making most of them late
+    order = [chunks[0], chunks[1], chunks[3], chunks[2], chunks[4]]
+    for i, part in enumerate(order):
+        if len(part):
+            part.to_parquet(d / f"part-{i:03d}.parquet", index=False)
+    DELAY = 60
+    main_rows, late_rows = [], []
+    router = LateRowRouter(
+        "ts_sec", DELAY,
+        on_main=lambda df, _: main_rows.extend(
+            r["event_id"] for r in df.select("event_id").collect()),
+        on_late=lambda df, _: late_rows.extend(
+            r["event_id"] for r in df.select("event_id").collect()))
+    schema = spark.read.parquet(str(d)).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (src.writeStream.foreachBatch(router)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # reference routing, replayed in pandas with the same contract
+    wm = None
+    want_main, want_late = [], []
+    for part in order:
+        if not len(part):
+            continue
+        for _, r in part.iterrows():
+            if wm is not None and r["ts_sec"] < wm:
+                want_late.append(r["event_id"])
+            else:
+                want_main.append(r["event_id"])
+        cand = part["ts_sec"].max() - DELAY
+        wm = cand if wm is None else max(wm, cand)
+    assert sorted(late_rows) == sorted(want_late)
+    assert sorted(main_rows) == sorted(want_main)
+    assert len(late_rows) > 0, "fixture must actually produce late rows"
+    assert set(late_rows) | set(main_rows) == set(ev["event_id"])

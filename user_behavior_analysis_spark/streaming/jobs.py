@@ -283,3 +283,53 @@ def topn_foreach_batch(n: int, partition_keys: Sequence[str],
             [F.desc(order_col), F.asc(tiebreak)], n=n)
         sink(ranked, epoch_id)
     return fn
+
+
+class LateRowRouter:
+    """W5's actual semantics — the late-row SIDE OUTPUT the reference
+    builds with ``allowedLateness`` + ``sideOutputLateData``
+    (HotItems.scala uses the 60s lateness window) — rebuilt at the
+    micro-batch boundary, where Structured Streaming has no native
+    equivalent.
+
+    A ``foreachBatch`` callable holding the stream's watermark as
+    driver state: batch rows with event time below the LOW watermark
+    (the maximum event time seen in all PRIOR batches minus ``delay``)
+    route to ``on_late``; everything else routes to ``on_main``. This
+    is Flink's watermark contract at batch granularity: a row is late
+    iff it arrives after the watermark already passed it, and the
+    watermark only advances between batches — so routing is
+    deterministic given the batch sequence, and re-processing a batch
+    after failure routes identically (the watermark is advanced AFTER
+    routing, from data, not wall clock).
+
+    Scale notes: the per-batch driver work is one max() aggregate
+    (jobs are batch-local, no state store); driver-held state must be
+    re-seeded on restart by replaying the checkpointed source — wrap
+    the watermark in external storage if exactly-once late-routing
+    across driver crashes matters.
+    """
+
+    def __init__(self, ts_col: str, delay_s: int, on_main, on_late):
+        self.ts_col = ts_col
+        self.delay_s = delay_s
+        self.on_main = on_main
+        self.on_late = on_late
+        self.watermark: float | None = None
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        ts = F.col(self.ts_col).cast("double")
+        batch_df = batch_df.localCheckpoint(eager=True)  # routed 3 ways
+        if self.watermark is not None:
+            late = batch_df.where(ts < F.lit(self.watermark))
+            main = batch_df.where(ts >= F.lit(self.watermark))
+        else:
+            late = batch_df.limit(0)
+            main = batch_df
+        self.on_late(late, epoch_id)
+        self.on_main(main, epoch_id)
+        row = batch_df.agg(F.max(ts).alias("mx")).collect()[0]
+        if row["mx"] is not None:
+            cand = row["mx"] - self.delay_s
+            if self.watermark is None or cand > self.watermark:
+                self.watermark = cand
