@@ -844,3 +844,36 @@ def test_late_row_router_side_output(spark, sf_dir, tmp_path):
     assert sorted(main_rows) == sorted(want_main)
     assert len(late_rows) > 0, "fixture must actually produce late rows"
     assert set(late_rows) | set(main_rows) == set(ev["event_id"])
+
+
+def test_uv_bloom_per_element_emission(spark, sf_dir, split_events_dir):
+    """A8 closure: with per_element=True the Bloom UV operator emits
+    EXACTLY one row per input element (the FIRE_AND_PURGE cadence),
+    counts are non-decreasing in event-time order within each window,
+    and the last per-element count equals the batch-mode final count."""
+    ev = stream_events(spark, split_events_dir).where(
+        F.col("event_type") == "view")
+    out = run_stream(
+        spark,
+        stateful.uv_bloom_stream(ev, "ts", "user_id", 3600,
+                                 cap_bits=1 << 16, per_element=True),
+        "update", "uv_bloom_elem")
+    n_inputs = (load_table(spark, sf_dir, "events")
+                .where(F.col("event_type") == "view").count())
+    assert len(out) == n_inputs, (len(out), n_inputs)
+    for w, grp in out.groupby("window_start"):
+        counts = grp.sort_values(["ts_sec"], kind="mergesort")["uv_bloom"]
+        assert (counts.diff().fillna(0) >= 0).all(), f"window {w}"
+    batch_final = run_stream(
+        spark,
+        stateful.uv_bloom_stream(
+            stream_events(spark, split_events_dir).where(
+                F.col("event_type") == "view"),
+            "ts", "user_id", 3600, cap_bits=1 << 16),
+        "update", "uv_bloom_batchmode") \
+        .groupby("window_start", as_index=False).last()
+    elem_final = (out.sort_values("ts_sec", kind="mergesort")
+                     .groupby("window_start", as_index=False).last())
+    m = elem_final.merge(batch_final, on="window_start",
+                         suffixes=("_e", "_b"))
+    assert (m["uv_bloom_e"] == m["uv_bloom_b"]).all()

@@ -312,6 +312,12 @@ UV_BLOOM_OUT_SCHEMA = T.StructType([
     T.StructField("window_start", T.LongType()),
     T.StructField("uv_bloom", T.LongType()),
 ])
+#: per-element (FIRE_AND_PURGE) emission: one row per INPUT element.
+UV_BLOOM_ELEM_SCHEMA = T.StructType([
+    T.StructField("window_start", T.LongType()),
+    T.StructField("ts_sec", T.LongType()),
+    T.StructField("uv_bloom", T.LongType()),
+])
 _UV_BLOOM_STATE_SCHEMA = T.StructType([
     T.StructField("bitmap", T.BinaryType()),
     T.StructField("cnt", T.LongType()),
@@ -320,7 +326,8 @@ _UV_BLOOM_STATE_SCHEMA = T.StructType([
 
 def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
                     window_s: int, cap_bits: int = 1 << 23,
-                    seeds: tuple[int, ...] = (61, 71, 83)) -> DataFrame:
+                    seeds: tuple[int, ...] = (61, 71, 83),
+                    per_element: bool = False) -> DataFrame:
     """A7/A8 exact-parity path: the reference's hand-rolled Bloom-filter
     UV (UvWithBloomFilter.scala:103-163) as a keyed stateful operator.
 
@@ -334,9 +341,13 @@ def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
     partially-colliding new id is silently skipped and its unset bits
     stay unset. (A standard Bloom filter would instead add on any unset
     bit; the reference's stricter condition is reproduced for parity.)
-    Emits the running count per key per micro-batch in update mode —
-    the honest mapping of the per-element FIRE_AND_PURGE trigger
-    (SURVEY.md §2.4 A8).
+    Emission cadence (A8, SURVEY.md §2.4): by default one running
+    count per key per micro-batch (update mode). With
+    ``per_element=True`` the operator reproduces the reference's
+    FIRE_AND_PURGE trigger EXACTLY at the element level: one output
+    row per input element, in event-time order, carrying the count
+    after that element — the remaining delta vs Flink is only
+    cross-batch latency, not cadence or values.
 
     Like the reference, the count is stream-order dependent on hash
     collisions and undercounts once the bitmap saturates — use
@@ -360,17 +371,25 @@ def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
             bm = bytearray(bm_bytes)
         else:
             bm, cnt = bytearray(n_bytes), 0
+        elem_rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            for uid in pdf[id_col].astype(str):
+            for ts_v, uid in zip(pdf[ts_col], pdf[id_col].astype(str)):
                 idxs = [_bloom_hash(uid, s) for s in seeds]
                 if all((bm[i >> 3] >> (i & 7)) & 1 == 0 for i in idxs):
                     cnt += 1
                     for i in idxs:
                         bm[i >> 3] |= 1 << (i & 7)
+                if per_element:
+                    elem_rows.append(
+                        (wstart, int(pd.Timestamp(ts_v).timestamp()), cnt))
         state.update((bytes(bm), cnt))
-        yield pd.DataFrame([(wstart, cnt)],
-                           columns=["window_start", "uv_bloom"])
+        if per_element:
+            yield pd.DataFrame(
+                elem_rows, columns=["window_start", "ts_sec", "uv_bloom"])
+        else:
+            yield pd.DataFrame([(wstart, cnt)],
+                               columns=["window_start", "uv_bloom"])
 
     from pyspark.sql import functions as F
     keyed = events.select(
@@ -379,9 +398,11 @@ def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
         F.col(ts_col), F.col(id_col))
     return (
         keyed.groupBy("window_start")
-        .applyInPandasWithState(handle, UV_BLOOM_OUT_SCHEMA,
-                                _UV_BLOOM_STATE_SCHEMA, "update",
-                                GroupStateTimeout.NoTimeout)
+        .applyInPandasWithState(
+            handle,
+            UV_BLOOM_ELEM_SCHEMA if per_element else UV_BLOOM_OUT_SCHEMA,
+            _UV_BLOOM_STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout)
     )
 
 
