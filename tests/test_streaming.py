@@ -877,3 +877,30 @@ def test_uv_bloom_per_element_emission(spark, sf_dir, split_events_dir):
     m = elem_final.merge(batch_final, on="window_start",
                          suffixes=("_e", "_b"))
     assert (m["uv_bloom_e"] == m["uv_bloom_b"]).all()
+
+
+def test_emission_pacing_trigger(spark, split_events_dir):
+    """K3 closure: the reference throttles Top-N emissions with a 1 s
+    sleep between outputs (demo pacing). Spark's idiom is the
+    processing-time trigger — batches must start >= ~1 s apart."""
+    import datetime
+    src = stream_events(spark, split_events_dir)
+    counts = src.groupBy("event_type").count()
+    q = (counts.writeStream.outputMode("update").format("noop")
+               .trigger(processingTime="1 second").start())
+    import time as _t
+    _t.sleep(6)
+    q.stop()
+    progress = jobs._progress_dicts(q)
+    stamps = [datetime.datetime.fromisoformat(
+                  p["timestamp"].replace("Z", "+00:00"))
+              for p in progress]
+    gaps = [(b - a).total_seconds()
+            for a, b in zip(stamps, stamps[1:])]
+    assert gaps, "need at least two batches"
+    # data batches catch up off-cadence; once the backlog drains, IDLE
+    # trigger firings show the pure pacing — assert the overall rate:
+    # ~one batch start per second over the observed span
+    span = (stamps[-1] - stamps[0]).total_seconds()
+    assert span / len(gaps) >= 0.5, (span, len(gaps), gaps)
+    assert max(gaps) >= 0.9, gaps
