@@ -5064,6 +5064,60 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("fertility_permille")))
 
 
+# --- Embeddings: exact per-label centroid statistics ------------------------
+
+_CENTROID_ORACLE = """
+WITH comp AS (
+  SELECT label, r.i AS pos,
+         SUM(CAST(round(CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE)
+                        * 1000000) AS BIGINT)) AS s
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+  GROUP BY label, r.i
+), n AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+), agg AS (
+  SELECT comp.label,
+         SUM(CAST(comp.s AS DECIMAL(19,0)) * comp.s) AS sum_sq
+  FROM comp GROUP BY comp.label
+)
+SELECT n.label, CAST(n.n AS BIGINT) AS n_vectors,
+       sqrt(CAST(agg.sum_sq AS DOUBLE)) / 1000000.0 / n.n AS centroid_norm
+FROM n JOIN agg ON n.label = agg.label
+"""
+
+
+@query("label_centroid_report", _CENTROID_ORACLE)
+def label_centroid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid norms — the collapse/drift monitor
+    for embedding spaces (a label whose centroid norm approaches its
+    members' norms is a tight, possibly-degenerate cluster; near zero
+    means the label is incoherent). Components are deterministically
+    quantized to micro-units (round(v * 1e6) — float summation is
+    shuffle-order-dependent and would not hash-oracle; exact integer
+    sums are), squares accumulate in DECIMAL(38,0), and the only float
+    op is the final sqrt of an exact value, bit-identical on both
+    engines.
+
+    100 TB shape: posexplode fans each vector into (pos, value) rows
+    map-side; the (label, pos) aggregate carries |labels| x dim groups
+    with partial aggregation; the norm reduction is |labels| x dim →
+    |labels|. Exactly the IVF centroid build, made reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (emb.select("label", F.posexplode("embedding")
+                        .alias("pos", "v"))
+               .groupBy("label", "pos")
+               .agg(F.sum(F.round(F.col("v").cast("double") * 1000000)
+                           .cast("long")).alias("s")))
+    agg = comp.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(19,0)") * F.col("s"))
+         .alias("sum_sq"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (n.join(agg, "label")
+             .select("label", "n_vectors",
+                     (F.sqrt(F.col("sum_sq").cast("double")) / 1000000.0
+                      / F.col("n_vectors")).alias("centroid_norm")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
