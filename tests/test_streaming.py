@@ -904,3 +904,24 @@ def test_emission_pacing_trigger(spark, split_events_dir):
     span = (stamps[-1] - stamps[0]).total_seconds()
     assert span / len(gaps) >= 0.5, (span, len(gaps), gaps)
     assert max(gaps) >= 0.9, gaps
+
+
+def test_rocksdb_state_store_provider(spark, split_events_dir):
+    """SURVEY §4 posture check (round-4 verdict item 2): every stateful
+    op must run on the RocksDB state store, not the default in-heap
+    HDFS-backed provider. Assert the session conf AND that a stateful
+    query's progress reports RocksDB custom metrics (proof the provider
+    was actually instantiated, not just configured)."""
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass").endswith(
+        "RocksDBStateStoreProvider")
+    src = stream_events(spark, split_events_dir)
+    q = (src.groupBy("event_type").count()
+            .writeStream.outputMode("update").format("noop")
+            .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    progress = jobs._progress_dicts(q)
+    ops = [op for p in progress for op in p.get("stateOperators", [])]
+    assert ops, "stateful query produced no state operator progress"
+    custom = {k for op in ops for k in op.get("customMetrics", {})}
+    assert any(k.startswith("rocksdb") for k in custom), custom

@@ -38,6 +38,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Off-heap RocksDB-backed streaming state (SURVEY §4 posture). The
+    # default HDFSBackedStateStoreProvider keeps every version of every
+    # key's state on the executor heap — fine at test scale, an OOM
+    # driver at 100x state (per-user state over unbounded key spaces).
+    # RocksDB spills to local disk and bounds memory via block cache.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # changelog checkpointing: upload per-batch deltas instead of full
+    # RocksDB snapshots — the recommended production setting.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
 }
 
 
