@@ -819,12 +819,40 @@ def test_scrub_pii_removes_planted_pii(spark):
            for r in df.select("kind",
                               scrub_pii(F.col("text")).alias("red"))
                       .collect()}
-    assert got["email"] == "contact me at  thanks"
-    assert got["phone"] == "call  after five"
-    assert got["ip"] == "server at  timed out"
-    assert got["multi"] == "all three:    end"
+    assert got["email"] == "contact me at [PII] thanks"
+    assert got["phone"] == "call [PII] after five"
+    assert got["ip"] == "server at [PII] timed out"
+    assert got["multi"] == "all three: [PII] [PII] [PII] end"
     assert got["clean"] == "perfectly clean text with no identifiers"
     assert set(PII_PATTERNS) == {"email", "phone", "ip"}
+
+
+def test_scrub_pii_no_residual_pii_on_adversarial_adjacency(spark):
+    """ADVICE r3 follow-up: the feared digit-splice artifact (deleting
+    a match joins neighboring digits into a fresh PII-shaped string) is
+    actually unreachable with THESE patterns — the email local-part
+    class absorbs every adjacent phone/IP character into the match, the
+    digit patterns are \\b-guarded, and pass order (email first) means
+    any email-deletion adjacency is still seen by the later passes.
+    Property-check it: on adversarial adjacency corpora, scrubbing with
+    EITHER replacement leaves zero residual pattern matches. Also pins
+    the documented user@<ip> behavior (no alpha TLD -> email does NOT
+    match; only the IP is masked)."""
+    import re
+    from user_behavior_analysis_spark.functions.text import (
+        PII_PATTERNS, scrub_pii)
+    rows = [("id 123-456@x.io-7890 ok",), ("id 555a@b.io-123-4567 ok",),
+            ("x 555-1.2.3.4-123-4567 y",), ("10.0.0a@b.io.1 q",),
+            ("9.555-867-5309.2 z",), ("call user@10.0.0.1 now",)]
+    df = spark.createDataFrame(rows, ["text"])
+    out = df.select(
+        scrub_pii(F.col("text")).alias("m"),
+        scrub_pii(F.col("text"), replacement="").alias("d")).collect()
+    for r in out:
+        for pat in PII_PATTERNS.values():
+            assert not re.search(pat, r["m"]), (pat, r["m"])
+            assert not re.search(pat, r["d"]), (pat, r["d"])
+    assert out[-1]["m"] == "call user@[PII] now"
 
 
 def test_lexical_max_run_matches_pandas(spark):
@@ -1108,3 +1136,18 @@ def test_distributed_rank_degenerate_constant_key(spark):
         .select("id", "rk").toPandas().sort_values(
         "id", ignore_index=True).astype("int64")
     assert got.equals(want)
+
+
+def test_byte_histograms_null_payload_tolerated(spark):
+    """ADVICE r3: a null payload inside an Arrow batch crashed the
+    b''.join — contrary to the module's corrupt-payload-screening
+    framing. Nulls must be dropped and contribute zero bytes."""
+    from user_behavior_analysis_spark.operators.multimodal import (
+        byte_histograms)
+    rows = [("img", bytearray(b"\x00\x10\x20")), ("img", None),
+            ("aud", None), ("aud", bytearray(b"\xff\xf0"))]
+    df = spark.createDataFrame(rows, ["kind", "payload"])
+    got = {(r["grp"], r["bin"]): r["cnt"]
+           for r in byte_histograms(df, "kind", "payload").collect()}
+    assert got == {("img", 0): 1, ("img", 1): 1, ("img", 2): 1,
+                   ("aud", 15): 2}

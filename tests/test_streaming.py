@@ -925,3 +925,84 @@ def test_rocksdb_state_store_provider(spark, split_events_dir):
     assert ops, "stateful query produced no state operator progress"
     custom = {k for op in ops for k in op.get("customMetrics", {})}
     assert any(k.startswith("rocksdb") for k in custom), custom
+
+
+def test_late_row_router_null_ts_goes_to_main(spark, tmp_path):
+    """ADVICE r3: once a watermark is set, a null event-time matches
+    NEITHER side of ts < wm / ts >= wm and was silently dropped from
+    BOTH outputs. Null-ts rows must route to main in every batch,
+    consistent with the first-batch (no watermark) behavior."""
+    from user_behavior_analysis_spark.streaming.jobs import LateRowRouter
+    d = tmp_path / "null_ts_events"
+    d.mkdir()
+    pd.DataFrame({"event_id": ["a1", "a2"],
+                  "ts_sec": pd.array([100, 200], dtype="Int64")}) \
+        .to_parquet(d / "part-000.parquet", index=False)
+    pd.DataFrame({"event_id": ["b1", "b_null"],
+                  "ts_sec": pd.array([300, None], dtype="Int64")}) \
+        .to_parquet(d / "part-001.parquet", index=False)
+    main_rows, late_rows = [], []
+    router = LateRowRouter(
+        "ts_sec", 50,
+        on_main=lambda df, _: main_rows.extend(
+            r["event_id"] for r in df.select("event_id").collect()),
+        on_late=lambda df, _: late_rows.extend(
+            r["event_id"] for r in df.select("event_id").collect()))
+    schema = spark.read.parquet(str(d)).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (src.writeStream.foreachBatch(router)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # batch 2 watermark from batch 1 = 200-50 = 150: b1 (300) main,
+    # b_null (null) must be MAIN, not vanished
+    assert "b_null" in main_rows, (main_rows, late_rows)
+    assert set(main_rows) | set(late_rows) == {"a1", "a2", "b1",
+                                               "b_null"}
+
+
+def test_upsert_sink_propagates_non_missing_path_errors(spark, tmp_path):
+    """ADVICE r3: only the first-batch PATH_NOT_FOUND may skip the
+    merge. Any other read failure (here: an unreadable garbage
+    .parquet file) must RAISE so the micro-batch retries, instead of
+    silently rewriting touched partitions with only the batch's keys."""
+    from user_behavior_analysis_spark.sinks import upsert_partitioned
+    out = tmp_path / "serving"
+    out.mkdir()
+    (out / "part-0000.parquet").write_bytes(b"this is not parquet")
+    batch = spark.createDataFrame([(1, "a", 10)], ["pk", "k", "v"])
+    with pytest.raises(Exception):
+        upsert_partitioned(batch, str(out), ("pk", "k"), "pk")
+    # and the missing-path case still degrades to plain write:
+    fresh = tmp_path / "serving2"
+    upsert_partitioned(batch, str(fresh), ("pk", "k"), "pk")
+    assert spark.read.parquet(str(fresh)).count() == 1
+
+
+def test_jsonl_quarantine_streaming(spark, tmp_path):
+    """ADVICE r3: read_jsonl(streaming=True) + jsonl_quarantine raised
+    AnalysisException (cache on a streaming frame). The streaming path
+    must split clean/corrupt without caching."""
+    from pyspark.sql import types as T
+    from user_behavior_analysis_spark.sources import (jsonl_quarantine,
+                                                      read_jsonl)
+    d = tmp_path / "jsonl"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        'THIS IS NOT JSON\n'
+        '{"doc_id": 2, "text": "fine"}\n')
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    df = read_jsonl(spark, str(d), schema, streaming=True)
+    assert df.isStreaming
+    clean, bad = jsonl_quarantine(df)
+    for frame, name in ((clean, "jq_clean"), (bad, "jq_bad")):
+        q = (frame.writeStream.format("memory").queryName(name)
+                  .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    got_clean = spark.sql("SELECT doc_id FROM jq_clean").toPandas()
+    got_bad = spark.sql(
+        "SELECT _corrupt_record FROM jq_bad").toPandas()
+    assert sorted(got_clean["doc_id"]) == [1, 2]
+    assert list(got_bad["_corrupt_record"]) == ["THIS IS NOT JSON"]

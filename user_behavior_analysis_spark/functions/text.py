@@ -231,11 +231,19 @@ PII_PATTERNS = {
 }
 
 
-def scrub_pii(text: Column | str, replacement: str = "") -> Column:
-    """Remove (or mask with ``replacement``) every PII_PATTERNS match —
-    emails, NANP-style phone numbers, IPv4 addresses. Stacked
-    ``regexp_replace`` calls, all JVM-side codegen; order matters
-    (emails first so user@10.0.0.1-style hosts scrub atomically)."""
+def scrub_pii(text: Column | str, replacement: str = "[PII]") -> Column:
+    """Mask every PII_PATTERNS match — emails, NANP-style phone
+    numbers, IPv4 addresses — with ``replacement``. Stacked
+    ``regexp_replace`` calls, all JVM-side codegen, applied in dict
+    order (email, phone, ip). Note ``user@10.0.0.1``-style hosts do NOT
+    match the email pattern (it requires an alphabetic TLD); only the
+    IP part is masked, leaving the ``user@`` prefix.
+
+    The default mask is non-empty on purpose: with ``replacement=""``
+    a deletion can splice adjacent digits into a new, now-unscrubbed
+    phone/IP-shaped string (each pattern runs as one fixed pass, not to
+    fixpoint). Pass ``""`` only where the caller measures removed
+    characters and the corpus is known splice-free."""
     col = F.col(text) if isinstance(text, str) else text
     for pat in PII_PATTERNS.values():
         col = F.regexp_replace(col, pat, replacement)

@@ -129,8 +129,11 @@ def byte_histograms(df: DataFrame, group_col: str,
         for pdf in batches:
             out_g, out_b, out_c = [], [], []
             for grp, part in pdf.groupby(group_col, sort=False):
-                buf = np.frombuffer(b"".join(part[payload_col]),
-                                    dtype=np.uint8)
+                # null payloads would TypeError inside b"".join and
+                # kill the job — exactly the corrupt-input case this
+                # screen exists for. Drop them; they contribute no bytes.
+                buf = np.frombuffer(
+                    b"".join(part[payload_col].dropna()), dtype=np.uint8)
                 hist = np.bincount(buf >> 4, minlength=16)
                 nz = np.nonzero(hist)[0]
                 out_g += [grp] * len(nz)

@@ -4195,7 +4195,10 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias(f"{name}_docs")
         for name, pat in PII_PATTERNS.items()
     ]
-    redacted = scrub_pii(F.col("text"))
+    # empty replacement: this query MEASURES removed characters (the
+    # oracle computes the same length delta); the scrubbing default
+    # elsewhere is the non-empty "[PII]" mask.
+    redacted = scrub_pii(F.col("text"), replacement="")
     return (docs.groupBy("source")
                 .agg(*flags,
                      F.sum(F.length("text") - F.length(redacted))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -195,14 +196,27 @@ def upsert_partitioned(batch_df: DataFrame, path: str,
     if not touched:
         return
     batch_df = batch_df.localCheckpoint(eager=True)  # plan reused 2x
+    # Only the first-batch missing-path case may skip the merge. Any
+    # OTHER read failure (corrupt footer, schema drift, transient
+    # storage error) must propagate so the micro-batch retries —
+    # swallowing it would rewrite the touched partitions with only the
+    # batch's changed keys, silently dropping the unchanged ones.
     try:
         existing = (spark.read.parquet(path)
                     .where(F.col(partition_col).isin(touched)))
+    except AnalysisException as e:
+        cond = ""
+        get_cond = getattr(e, "getCondition", None) \
+            or getattr(e, "getErrorClass", None)
+        if get_cond is not None:
+            cond = get_cond() or ""
+        if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
+            raise
+        merged = batch_df  # first batch: nothing to merge yet
+    else:
         keep = existing.join(batch_df.select(*keys).distinct(),
                              list(keys), "left_anti")
         merged = batch_df.unionByName(keep)
-    except Exception:  # first batch: nothing to merge yet
-        merged = batch_df
     (merged.repartition(F.col(partition_col)).write.mode("overwrite")
            .option("partitionOverwriteMode", "dynamic")
            .partitionBy(partition_col).parquet(path))

@@ -153,11 +153,20 @@ def jsonl_quarantine(df: DataFrame, corrupt_col: str = "_corrupt_record"
     drop the corrupt column; quarantined rows keep ONLY the raw line
     for repair/re-parse.
 
-    The frame is cached first: Spark refuses plans whose scan
+    The batch frame is cached first: Spark refuses plans whose scan
     references ONLY the corrupt column (QUERY_ONLY_CORRUPT_RECORD_
     COLUMN — the parser never materializes it alone), and the split
     reads the input twice anyway, so the cache is both the documented
-    workaround and the cheaper plan."""
+    workaround and the cheaper plan.
+
+    Streaming frames (``read_jsonl(streaming=True)``) cannot cache —
+    there the quarantine side keeps ALL columns (data fields NULL by
+    construction) so the scan's required schema is never corrupt-only,
+    and the double scan is accepted (each micro-batch is small)."""
+    if df.isStreaming:
+        clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+        bad = df.where(F.col(corrupt_col).isNotNull())
+        return clean, bad
     df = df.cache()
     clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)

@@ -321,8 +321,13 @@ class LateRowRouter:
         ts = F.col(self.ts_col).cast("double")
         batch_df = batch_df.localCheckpoint(eager=True)  # routed 3 ways
         if self.watermark is not None:
+            # null event-times match NEITHER comparison (both predicates
+            # null) — route them explicitly to main, matching the
+            # first-batch (watermark None) behavior, so null-ts rows are
+            # never silently dropped from both side outputs.
             late = batch_df.where(ts < F.lit(self.watermark))
-            main = batch_df.where(ts >= F.lit(self.watermark))
+            main = batch_df.where(ts.isNull()
+                                  | (ts >= F.lit(self.watermark)))
         else:
             late = batch_df.limit(0)
             main = batch_df
