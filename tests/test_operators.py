@@ -654,9 +654,9 @@ def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
                    F.col("embedding").alias("c_vec"))
     brute = cosine_topk_bruteforce(q, c, k=5).toPandas()
     # the registered ann_pq_topk geometry: IVF-PQ with 16 coarse cells,
-    # 8 probed — half the codes scanned, hash-joined on the cell key
-    pq = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=96,
-                 n_cells=16, n_probe=8).toPandas()
+    # 10 probed, 256 re-ranked — hash-joined on the cell key
+    pq = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=256,
+                 n_cells=16, n_probe=10).toPandas()
     bp = set(zip(brute.q_id, brute.c_id))
     pp = set(zip(pq.q_id, pq.c_id))
     recall = len(bp & pp) / len(bp)
@@ -1172,3 +1172,23 @@ def test_quantizer_cache_key_fallback(spark, monkeypatch):
     k2 = S._corpus_cache_key(df)
     k3 = S._corpus_cache_key(df)
     assert k2 is not k3  # unique objects -> guaranteed cache miss
+
+
+def test_ann_recall_artifact_meets_thresholds():
+    """VERDICT r3 item 6: the committed ANN_RECALL artifact (written by
+    scripts/ann_recall.py at BOTH verification SFs) must exist and meet
+    the asserted recall bounds — inspectable evidence for the three
+    no-oracle queries, not just in-test assertions."""
+    import glob
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(root, "ANN_RECALL_r*.json")))
+    assert arts, "run scripts/ann_recall.py to produce the artifact"
+    with open(arts[-1]) as f:
+        art = json.load(f)
+    assert set(art["sf"]) == {"0.01", "0.1"}
+    for sf, block in art["sf"].items():
+        for name, bound in art["thresholds"].items():
+            got = block[name]["recall_at_k"]
+            assert got >= bound, (sf, name, got, bound)

@@ -3026,23 +3026,28 @@ def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_pq_topk")  # rows-only: trained KMeans codebooks are not SQL-reproducible
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/similarity.py:pq_topk with coarse cells):
-    16 coarse cells prune the scan to each query's 8 nearest cells, then
-    8 codebooks x 32 centroids compress each 64-d vector to 8 bytes
+    16 coarse cells prune the scan to each query's 10 nearest cells,
+    then 8 codebooks x 32 centroids compress each 64-d vector to 8 bytes
     (64x) and ADC scores only the probed cells' codes — the scoring join
     is a broadcast HASH join on the cell key, so per-query cost is
     O(N * n_probe / n_cells) codes instead of the flat-PQ O(N) scan
-    (round-2 verdict's one scale note on this family). The top-96
-    candidates re-rank by true cosine. Recall vs brute force is asserted
-    in tests/test_operators.py::test_pq_topk_recall_vs_bruteforce; the
-    join shape in tests/test_plans.py."""
+    (round-2 verdict's one scale note on this family). The top-256
+    candidates re-rank by true cosine (r4: 96 -> 256 and probe 8 -> 10:
+    on these near-random embeddings the ADC estimate is noisy, so the
+    fixed-96 budget shrank relative recall as the corpus grew — 0.64 at
+    sf0.1; the widened budget restores 0.80+ at both SFs for zero
+    measured wall cost, see ANN_RECALL_r04.json). Recall vs brute force
+    is asserted in tests/test_operators.py::
+    test_pq_topk_recall_vs_bruteforce; the join shape in
+    tests/test_plans.py."""
     from .operators.similarity import pq_topk
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("c_id"),
                    F.col("embedding").alias("c_vec"))
-    out = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=96,
-                  n_cells=16, n_probe=8)
+    out = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=256,
+                  n_cells=16, n_probe=10)
     return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
                       "rank")
 
