@@ -5141,6 +5141,29 @@ def label_centroid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every round by scripts/full_correctness.py (all entries, same comparison).
 # ---------------------------------------------------------------------------
 
+#: names with a green row in CORRECTNESS_r03.json (the driver's round-3
+#: newest-50 window: 50/50 green, incl. ann_pq_topk's rows-only row).
+_R03_DRIVER_VERIFIED = (
+    "label_centroid_report", "tokenizer_fertility", "lang_id_confusion",
+    "revenue_trend", "data_quality_report", "ab_test_conversion",
+    "rfm_segments", "heavy_hitters_cms", "curation_pipeline",
+    "media_resize_plan", "media_byte_histogram", "session_paths",
+    "training_shards", "substring_containment", "pii_scan",
+    "domain_rebalance_sample", "lexical_diversity", "boilerplate_ngrams",
+    "dominant_suppliers", "important_parts", "returns_by_priority",
+    "best_supplier_per_part", "product_type_profit", "returns_unpivot",
+    "monthly_returns_pivot", "part_supplier_diversity",
+    "events_dow_hour_profile", "customer_running_spend", "doc_repetition",
+    "collocation_pmi", "event_anomaly_days", "purchase_intervals",
+    "cohort_retention", "part_pagerank", "basket_pairs",
+    "neardup_triangles", "ann_pq_topk", "props_key_stats",
+    "last_touch_attribution", "cross_source_contamination",
+    "tfidf_top_terms", "stratified_split_sample", "corpus_heavy_hitters",
+    "lapsed_rich_customers", "sole_return_supplier", "disjunctive_revenue",
+    "small_qty_revenue", "top_supplier", "cust_order_distribution",
+    "market_share",
+)
+
 #: names with a green row in CORRECTNESS_r02.json (first 50 registered).
 _R02_DRIVER_VERIFIED = (
     "hot_items_topn", "page_view_hourly", "unique_visitors_hourly",
@@ -5168,8 +5191,11 @@ def _reorder_for_driver() -> None:
     # the OLDEST un-driver-verified names (already covered by the
     # committed full-registry artifact and the judge's local re-run),
     # never the queries added this round.
-    fresh = [n for n in QUERIES if n not in _R02_DRIVER_VERIFIED][::-1]
-    order = fresh + [n for n in _R02_DRIVER_VERIFIED if n in QUERIES]
+    verified = set(_R02_DRIVER_VERIFIED) | set(_R03_DRIVER_VERIFIED)
+    fresh = [n for n in QUERIES if n not in verified][::-1]
+    order = (fresh
+             + [n for n in _R03_DRIVER_VERIFIED if n in QUERIES]
+             + [n for n in _R02_DRIVER_VERIFIED if n in QUERIES])
     for d in (QUERIES, ORACLES):
         snapshot = dict(d)
         d.clear()
