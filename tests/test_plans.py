@@ -374,3 +374,37 @@ def test_important_parts_reuses_partkey_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_cross_source_contamination_join_shapes(spark, sf_dir):
+    """Bench-creeper pin (VERDICT r3 item 7): the winnowing-fingerprint
+    self-join must stay a shuffle join (fingerprint side scales with
+    the corpus — a broadcast build OOMs at 100x) and never go
+    cartesian."""
+    plan = plan_of(spark, "cross_source_contamination", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_dedup_ngram_jaccard_inverted_index_shapes(spark, sf_dir):
+    """Bench-creeper pin: the shingle inverted-index self-join is
+    corpus-scaled on both sides — shuffle join only, no cartesian, and
+    the pair aggregation must map-side combine (partial+final pair)."""
+    plan = plan_of(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ann_ivf_topk_probe_join_shapes(spark, sf_dir):
+    """Bench-creeper pin: IVF scoring joins the tiny probed-cells side
+    into the corpus-scaled assignment — the corpus side must never be
+    the broadcast build, and no cartesian may appear."""
+    plan = plan_of(spark, "ann_ivf_topk", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    # per-query cell probe list is tiny -> broadcast IS expected; the
+    # guard is that a join exists at all (not a nested-loop fallback)
+    assert "Join" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

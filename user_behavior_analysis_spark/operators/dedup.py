@@ -338,7 +338,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
           .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
           .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Every relation here is CORPUS-scaled (shingles ~ docs x |text|,
+    # sizes ~ |docs|): pin all three joins to shuffle-hash so Catalyst's
+    # size estimate — small only at test scale — can never pick a
+    # broadcast build that OOMs at 100x (same rule as the LSH band
+    # self-join below; r4 creeper audit found these unpinned).
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, (F.col("a.gh") == F.col("b.gh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -349,7 +354,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        inter.join(sa.hint("shuffle_hash"), "doc_a")
+             .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn("jaccard",
                     F.col("inter_n").cast("double")
                     / (F.col("na") + F.col("nb") - F.col("inter_n")))
