@@ -1192,3 +1192,152 @@ def test_ann_recall_artifact_meets_thresholds():
         for name, bound in art["thresholds"].items():
             got = block[name]["recall_at_k"]
             assert got >= bound, (sf, name, got, bound)
+
+
+def test_unit_dedup_reconstruct_keeps_first_occurrence(spark):
+    """Corpus-level unit dedup: a unit repeated in a LATER doc (or later
+    in the same doc) is dropped there; the first occurrence survives and
+    the cleaned body is re-assembled in original unit order."""
+    from user_behavior_analysis_spark.operators.dedup import (
+        unit_dedup_reconstruct)
+    a = "a1 a2 a3"           # unit A (one 3-token chunk at unit_tokens=3)
+    b = "b1 b2 b3"
+    c = "c1 c2 c3"
+    rows = [
+        (1, f"{a} {b}"),      # doc 1: units [A, B] — all first occurrences
+        (2, f"{b} {c}"),      # doc 2: B is a repeat, C survives
+        (3, f"{a} {a}"),      # doc 3: both units are repeats (A seen in 1)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           unit_dedup_reconstruct(df, "text", "doc_id", unit_tokens=3)
+           .collect()}
+    assert out[1]["n_units"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned_text"] == f"{a} {b}"
+    assert out[2]["n_units"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["cleaned_text"] == c
+    assert out[3]["n_units"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["cleaned_text"] == ""
+
+
+def test_context_chunks_cover_tokens_with_stride(spark, sf_dir):
+    """Every document's chunks start at multiples of the 48-token
+    stride, are capped at 64 tokens, jointly cover the whole token
+    stream, and round-trip: chunk_text re-split has n_tokens tokens."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.functions.text import tokens as _t
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.size(F.filter(_t(F.coalesce("text", F.lit(""))),
+                                    lambda x: x != "")).alias("n")))
+    chunks = QUERIES["context_chunks"](spark, sf_dir)
+    joined = (chunks.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_chunks"),
+                   F.max("chunk_idx").alias("max_idx"),
+                   F.sum("n_tokens").alias("tok_sum"),
+                   F.max(F.col("chunk_idx") * 48 + F.col("n_tokens"))
+                    .alias("max_end"),
+                   F.min(F.size(F.split("chunk_text", r"\s+"))
+                         == F.col("n_tokens")).alias("split_ok"))
+              .join(docs, "doc_id"))
+    bad = joined.where(
+        (F.col("max_idx") != F.col("n_chunks") - 1)      # dense 0..k-1
+        | (F.col("max_end") != F.col("n"))                # covers the tail
+        | (~F.col("split_ok"))                            # text round-trips
+        | (F.col("n") > 0) & (F.col("n_chunks") == 0)).count()
+    assert bad == 0
+    # overlap accounting: sum of chunk sizes = n + 16 * (n_chunks - 1)
+    # except when the tail chunk was clamped by document end; bound it.
+    over = joined.where(
+        F.col("tok_sum") > F.col("n") + 16 * (F.col("n_chunks") - 1)).count()
+    assert over == 0
+
+
+def test_lm_bigram_surprisal_orders_gibberish_last(spark):
+    """A document whose bigrams never repeat elsewhere must score
+    strictly higher mean surprisal than one built from the corpus's
+    dominant repeated bigram."""
+    from user_behavior_analysis_spark.queries import QUERIES as _Q
+    import user_behavior_analysis_spark.queries as q
+    from pyspark.sql import functions as F
+    common = " ".join(["x y"] * 30)
+    rows = ([(i, common, "en") for i in range(10)]
+            + [(99, "q w e r t z u i o p", "en")])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r["avg_surprisal"]
+               for r in _Q["lm_bigram_surprisal"](spark, d).collect()}
+    assert out[99] > out[0]
+
+
+def test_band_join_matches_naive_theta_join(spark):
+    """Bucket-decomposed band join ≡ the naive inequality join, on
+    bounds that do NOT align with the bucket width, with overlapping
+    bands, values exactly on lo/hi edges, and both physical paths
+    (broadcast dimension / shuffle-on-bucket)."""
+    from user_behavior_analysis_spark.operators.joins import band_join
+    from pyspark.sql import functions as F
+
+    vals = [(i, float(v)) for i, v in enumerate(
+        [0.0, 0.01, 9.99, 10.0, 13.0, 25.0, 33.3, 49.99, 50.0, 77.7, 99.9])]
+    fact = spark.createDataFrame(vals, ["id", "v"])
+    bands = spark.createDataFrame(
+        [("a", 0.0, 13.0), ("b", 10.0, 50.0), ("c", 33.3, 100.0)],
+        ["band", "lo", "hi"])
+    naive = (fact.join(bands, (F.col("v") >= F.col("lo"))
+                       & (F.col("v") < F.col("hi")))
+             .select("id", "band"))
+    expected = sorted(map(tuple, naive.collect()))
+    for bcast in (True, False):
+        got = band_join(fact, bands, value_col="v", lo_col="lo",
+                        hi_col="hi", bucket_width=7.0,
+                        broadcast_bands=bcast).select("id", "band")
+        assert sorted(map(tuple, got.collect())) == expected, bcast
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark, sf_dir):
+    """The binned quantile upper edge must sit within one 16-wide bin
+    of the exact percentile, and at-or-above it (upper-edge report)."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.functions.text import tokens as _t
+    from pyspark.sql import functions as F
+    approx = {r["lang"]: r for r in
+              QUERIES["histogram_quantiles"](spark, sf_dir).collect()}
+    exact = {r["lang"]: r for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang",
+                F.size(F.filter(_t(F.coalesce("text", F.lit(""))),
+                                lambda x: x != "")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.expr("percentile(tok, 0.5)").alias("p50"),
+             F.expr("percentile(tok, 0.9)").alias("p90"),
+             F.expr("percentile(tok, 0.99)").alias("p99"))).collect()}
+    assert set(approx) == set(exact)
+    for lang, a in approx.items():
+        for pa, pe in (("p50_ub", "p50"), ("p90_ub", "p90"),
+                       ("p99_ub", "p99")):
+            # upper bin edge: >= the exact value minus nothing, and
+            # within one full bin above it
+            assert a[pa] >= exact[lang][pe] - 16, (lang, pa)
+            assert a[pa] <= exact[lang][pe] + 16, (lang, pa)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
+    """T=0.7 weights: sum to 1, preserve the source ordering, and
+    compress it — below-share sources get upsampled (>1e6), the top
+    source's weight/share ratio is the minimum."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    rows = QUERIES["temperature_mix_weights"](spark, sf_dir).collect()
+    tot_w = sum(r["weight"] for r in rows)
+    assert abs(tot_w - 1.0) < 1e-3
+    by_tok = sorted(rows, key=lambda r: r["tokens"])
+    ws = [r["weight"] for r in by_tok]
+    assert ws == sorted(ws)                      # order preserved
+    ratios = [r["upsample_x1e6"] for r in by_tok]
+    assert ratios == sorted(ratios, reverse=True)  # flattening
+    assert ratios[0] > 1_000_000                  # smallest upsampled
+    assert ratios[-1] < 1_000_000                 # largest downsampled

@@ -408,3 +408,81 @@ def test_ann_ivf_topk_probe_join_shapes(spark, sf_dir):
     # guard is that a join exists at all (not a nested-loop fallback)
     assert "Join" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_context_chunks_is_scan_only(spark, sf_dir):
+    # chunking is row-local array math: one codegen scan, ZERO shuffles
+    plan = plan_of(spark, "context_chunks", sf_dir)
+    assert "Exchange" not in plan, plan
+
+
+def test_paragraph_dedup_two_exchanges_hash_bucketed(spark, sf_dir):
+    # keep-first ranking shuffles once on (xxhash64(unit), unit); the
+    # doc reconstruction shuffles once on doc_id — nothing else
+    plan = plan_of(spark, "paragraph_dedup", sf_dir)
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*", plan)
+    assert len(exchanges) == 2, plan
+    # the ranking exchange keys on the projected xxhash64(unit) bucket
+    # (shows as a _w window expr) alongside the full unit string
+    assert any("unit#" in e for e in exchanges), plan
+    assert "xxhash64" in plan, plan
+
+
+def test_lm_surprisal_vocab_is_broadcast_counts_are_shuffled(spark, sf_dir):
+    # the per-lang vocab-size table (|langs| rows) must broadcast; the
+    # unigram/bigram count tables are corpus-scaled and must NOT become
+    # broadcast builds pinned only by test-scale size estimates
+    plan = plan_of(spark, "lm_bigram_surprisal", sf_dir)
+    assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_price_band_revenue_is_hash_join_not_nested_loop(spark, sf_dir):
+    # the whole point of band_join: the theta join must become a hash
+    # join on the bucket key — never a BroadcastNestedLoopJoin
+    plan = plan_of(spark, "price_band_revenue", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (Spark's runtime semi-join
+    reduction): a selectively-filtered creation side must inject a
+    might_contain(bloom) predicate ABOVE the fact scan, so shuffle
+    input shrinks before the join. Thresholds are lowered to make the
+    sf-scale sizes qualify — at 100 TB the defaults (10 GB application
+    side) qualify on their own; the test pins that the MECHANISM
+    engages on this build and that results are unchanged by it."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_analysis_spark.sources import load_table
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple")
+        assert "might_contain" in plan, plan
+        with_bloom = {tuple(r) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {tuple(r) for r in
+             (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority").count()).collect()}
+    assert with_bloom == plain

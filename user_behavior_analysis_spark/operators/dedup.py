@@ -390,3 +390,62 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
         term = bit * F.lit(1 << i)
         sh = term if sh is None else (sh + term)
     return agg.select("doc_id", sh.cast("long").alias("simhash"))
+
+
+def unit_dedup_reconstruct(df: DataFrame, text_col: str, id_col: str,
+                           unit_tokens: int = 20) -> DataFrame:
+    """Corpus-level unit (paragraph/line) exact dedup WITH document
+    reconstruction — the RefinedWeb/C4 "line dedup" pass: split every
+    document into units, keep only the globally FIRST occurrence of
+    each distinct unit (ordered by (doc id, position)), and re-assemble
+    each document from its surviving units in original order.
+
+    The unit splitter here is a fixed ``unit_tokens``-token chunker
+    because the synthetic corpus has no newlines; on real corpora the
+    unit is the line/paragraph (``split(text, '\\n')``) and everything
+    downstream is identical — the operator's contract is over
+    (doc_id, unit_idx, unit_text) rows, not over how units are cut.
+
+    Output: one row per document with ≥1 unit —
+    (doc_id, n_units, n_kept, cleaned_text); documents whose every unit
+    first appeared elsewhere collapse to cleaned_text = ''.
+
+    100 TB shape: two shuffles total. (1) keep-first ranking: a window
+    partitioned by (xxhash64(unit), unit) — hashing first gives the
+    exchange narrow, evenly-bucketed keys while the full string in the
+    key guards hash collisions; within a partition the sort is
+    (doc_id, unit_idx), so the "first occurrence" rule is total-order
+    deterministic. (2) reconstruction: group back on doc_id,
+    sort_array over (unit_idx, unit) structs — per-doc arrays are
+    bounded by document length, never by corpus size. The explode is
+    map-side; nothing row-local leaves Tungsten until the ranking
+    exchange.
+    """
+    t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != "")
+    n_units = F.ceil(F.size("t") / F.lit(unit_tokens)).cast("int")
+    units = F.transform(
+        F.sequence(F.lit(0), n_units - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("t", i * unit_tokens + 1, unit_tokens)))
+    exploded = (
+        df.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+          .where(F.size("t") > 0)
+          .select("doc_id", F.posexplode(units).alias("uidx", "unit"))
+    )
+    w = (Window.partitionBy(F.xxhash64("unit"), F.col("unit"))
+               .orderBy("doc_id", "uidx"))
+    ranked = exploded.withColumn(
+        "kept", F.row_number().over(w) == 1)
+    packed = F.sort_array(F.collect_list(
+        F.struct(F.col("uidx"), F.col("kept"), F.col("unit"))))
+    return (ranked.groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_units"),
+                       F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                       packed.alias("p"))
+                  .select("doc_id", "n_units", "n_kept",
+                          F.array_join(
+                              F.transform(
+                                  F.filter("p", lambda s: s["kept"]),
+                                  lambda s: s["unit"]),
+                              " ").alias("cleaned_text")))

@@ -90,3 +90,46 @@ def reconcile_full_outer(left: DataFrame, right: DataFrame, key: str,
          .otherwise(F.lit(right_only))
     )
     return joined.withColumn(tag_col, tag)
+
+
+def band_join(fact: DataFrame, bands: DataFrame, *, value_col: str,
+              lo_col: str, hi_col: str, bucket_width: float,
+              broadcast_bands: bool = True) -> DataFrame:
+    """Numeric band (interval-dimension) join: every fact row matched to
+    every band with ``lo <= value < hi`` — overlapping bands yield one
+    output row per match.
+
+    Declared naively (``fact.join(bands, (v >= lo) & (v < hi))``) this
+    is an inequality-only join, which Catalyst can only execute as
+    BroadcastNestedLoopJoin: O(|fact| x |bands|) comparisons and a
+    mandatory broadcast — the classic theta-join scale cliff. Instead
+    the bands are decomposed into the fixed-width buckets they cover
+    (``floor(lo/w) .. ceil(hi/w)-1``, an explode whose fan-out is
+    band_width/w, bounded by construction) and the join becomes an
+    EQUI-join on the fact's ``floor(value/w)`` bucket with the exact
+    band predicate as a residual filter. Catalyst then plans a hash
+    join: broadcast when the exploded band table is dimension-sized
+    (default), shuffle-on-bucket otherwise — either way, no nested
+    loop, and the bucket key distributes evenly because it inherits the
+    fact value distribution at ``w`` granularity.
+
+    ``bucket_width`` trades fan-out for residual selectivity: smaller w
+    → more exploded band rows, fewer false bucket matches. Pick w near
+    the typical band width so each band explodes to O(1..10) buckets.
+    """
+    w = float(bucket_width)
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    exploded = bands.withColumn(
+        "_bj_bucket",
+        F.explode(F.sequence(
+            F.floor(lo / w).cast("long"),
+            (F.ceil(hi / w) - 1).cast("long"))))
+    if broadcast_bands:
+        exploded = F.broadcast(exploded)
+    else:
+        exploded = exploded.hint("shuffle_hash")
+    v = F.col(value_col)
+    return (fact.withColumn("_bj_bucket", F.floor(v / w).cast("long"))
+                .join(exploded, "_bj_bucket")
+                .where((v >= lo) & (v < hi))
+                .drop("_bj_bucket"))

@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .functions.text import tokens as tokens_of
 from .operators.topn import top_n_per_group
 from .operators.windows import sliding_oracle_from, tumbling_oracle_start, windowed_agg
 from .session import tune
@@ -5124,6 +5125,382 @@ def label_centroid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("label", "n_vectors",
                      (F.sqrt(F.col("sum_sq").cast("double")) / 1000000.0
                       / F.col("n_vectors")).alias("centroid_norm")))
+
+
+# --- Corpus-level unit dedup with document reconstruction -------------------
+
+_PARAGRAPH_DEDUP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                           '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), units AS (
+  SELECT doc_id, CAST(r.i AS INTEGER) AS uidx,
+         array_to_string(list_slice(t, r.i * 20 + 1, r.i * 20 + 20), ' ')
+           AS unit
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS r(i)
+  WHERE len(t) > 0
+), ranked AS (
+  SELECT doc_id, uidx, unit,
+         ROW_NUMBER() OVER (PARTITION BY unit ORDER BY doc_id, uidx) = 1
+           AS kept
+  FROM units
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_units,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(unit, ' ' ORDER BY uidx) FILTER (WHERE kept), '')
+         AS cleaned_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+@query("paragraph_dedup", _PARAGRAPH_DEDUP_ORACLE)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style corpus-level line dedup WITH reconstruction:
+    cut every document into units (20-token chunks here — the corpus
+    has no newlines; real corpora split on '\\n' via the same
+    operator), keep only the globally first occurrence of each distinct
+    unit, and re-assemble each document from its surviving units in
+    order. The other dedup entries decide keep/drop per DOCUMENT; this
+    one rewrites document BODIES — the pass that strips repeated
+    boilerplate (headers, navboxes, license blocks) out of otherwise
+    unique pages before training.
+
+    100 TB shape (operators/dedup.py:unit_dedup_reconstruct): two
+    shuffles — keep-first ranking partitioned by (xxhash64(unit),
+    unit), then a group back on doc_id with a bounded per-doc
+    sort_array. Deterministic total order (doc_id, uidx) makes the
+    survivor set — and thus every reconstructed body — hash-exact."""
+    from .operators.dedup import unit_dedup_reconstruct
+    return unit_dedup_reconstruct(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        unit_tokens=20)
+
+
+# --- Context-window chunking (RAG / embedding prep) -------------------------
+
+_CONTEXT_CHUNKS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                           '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST(r.i AS INTEGER) AS chunk_idx,
+       CAST(least(64, n - r.i * 48) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, r.i * 48 + 1, r.i * 48 + 64), ' ')
+         AS chunk_text
+FROM m, unnest(range(0, CASE WHEN n <= 64 THEN 1
+                        ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END))
+       AS r(i)
+"""
+
+
+@query("context_chunks", _CONTEXT_CHUNKS_ORACLE)
+def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunker — the standard RAG/embedding prep
+    step: each document becomes max-64-token chunks on a 48-token
+    stride (16-token overlap so no phrase is ever split across a chunk
+    boundary without also appearing whole in a neighbor). The last
+    chunk is the remainder; every non-empty document yields ≥1 chunk.
+
+    100 TB shape: entirely row-local — token split, chunk-start
+    sequence, and slices are array expressions inside one codegen scan;
+    the posexplode is map-side fan-out with ZERO shuffles. This is the
+    shape chunkers must have at corpus scale: output partitioning
+    inherits input partitioning, so the downstream embedding UDF (see
+    operators/multimodal.py for the mapInPandas pattern) streams chunks
+    without a repartition."""
+    L, S = 64, 48
+    t = F.filter(tokens_of(F.coalesce(F.col("text"), F.lit(""))),
+                 lambda x: x != "")
+    n = F.size("t")
+    n_chunks = F.when(n <= L, F.lit(1)).otherwise(
+        F.ceil((n - L) / F.lit(S)).cast("int") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_idx"),
+            F.least(F.lit(L), n - c * S).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("t", c * S + 1, L)).alias("chunk_text")))
+    return (load_table(spark, sf_dir, "documents")
+            .select("doc_id", t.alias("t"))
+            .where(n > 0)
+            .select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_text"))
+
+
+# --- Corpus-trained bigram LM surprisal (quality scoring) -------------------
+
+_LM_SURPRISAL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                           '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang, t[CAST(r.i AS INTEGER)] AS w1,
+         t[CAST(r.i AS INTEGER) + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+), uni AS (
+  SELECT lang, u.tok AS w, COUNT(*) AS c1
+  FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2
+), voc AS (
+  SELECT lang, COUNT(*) AS v FROM uni GROUP BY lang
+), bc AS (
+  SELECT lang, w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2, 3
+)
+SELECT bg.doc_id, bg.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(-log2((bc.cb + 0.5) / (uni.c1 + 0.5 * voc.v))), 3)
+         AS avg_surprisal
+FROM bg
+JOIN bc ON bc.lang = bg.lang AND bc.w1 = bg.w1 AND bc.w2 = bg.w2
+JOIN uni ON uni.lang = bg.lang AND uni.w = bg.w1
+JOIN voc ON voc.lang = bg.lang
+GROUP BY bg.doc_id, bg.lang
+"""
+
+
+@query("lm_bigram_surprisal", _LM_SURPRISAL_ORACLE)
+def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality score without any external model: train
+    add-½-smoothed per-language bigram counts on the corpus itself,
+    then score every document by its mean bigram surprisal
+    -log2 P(w2|w1) — the KenLM-style perplexity filter (CCNet/Gopher
+    lineage) reduced to exact corpus statistics. High surprisal =
+    tokens in never-seen combinations (gibberish, mixed-language spam);
+    pathologically low = looping boilerplate. Complements
+    quality_filter (surface ratios) and doc_repetition (within-doc)
+    with a cross-document distributional signal.
+
+    100 TB shape: the model IS two aggregates — unigram and bigram
+    count tables, built with partial aggregation from a map-side
+    explode. Scoring joins the exploded bigram stream to those tables
+    on their natural keys (shuffle-on-key, skew handled by AQE; the
+    per-language vocab-size table is broadcast — |langs| rows). No
+    driver-side model object, no Python in the loop; the "trained
+    model" shuffles like any fact-fact join. Float discipline: the only
+    float math is per-row log2 on exact integer counts and one AVG,
+    rounded to 3 dp on both engines (established cosine convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(tokens_of(F.coalesce(F.col("text"), F.lit(""))),
+                 lambda x: x != "")
+    toks = docs.select("doc_id", "lang", t.alias("t"))
+    bg = (toks.where(F.size("t") >= 2)
+              .select("doc_id", "lang",
+                      F.explode(F.expr(
+                          "transform(sequence(0, size(t) - 2), "
+                          "i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+                       .alias("b"))
+              .select("doc_id", "lang", "b.w1", "b.w2"))
+    uni = (toks.select("lang", F.explode("t").alias("w"))
+               .groupBy("lang", "w")
+               .agg(F.count(F.lit(1)).alias("c1")))
+    voc = uni.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    bc = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # count tables are corpus-scaled: pin shuffle-hash so a test-scale
+    # size estimate can never bake in a broadcast that OOMs at 100x
+    scored = (bg.join(bc.hint("shuffle_hash"), ["lang", "w1", "w2"])
+                .join(uni.withColumnRenamed("w", "w1").hint("shuffle_hash"),
+                      ["lang", "w1"])
+                .join(F.broadcast(voc), "lang"))
+    surprisal = -F.log2((F.col("cb") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
+    return (scored.groupBy("doc_id", "lang")
+                  .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                       F.round(F.avg(surprisal), 3).alias("avg_surprisal")))
+
+
+# --- Numeric band join (theta join made hash-joinable) ----------------------
+
+_PRICE_BAND_ORACLE = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('budget',       0.0,  20000.0),
+  ('value',    15000.0,  45000.0),
+  ('mid',      40000.0,  70000.0),
+  ('premium',  65000.0,  95000.0),
+  ('luxury',   90000.0, 120000.0))
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+"""
+
+
+@query("price_band_revenue", _PRICE_BAND_ORACLE)
+def price_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (overlapping) price band via the band join
+    (operators/joins.py:band_join) — the interval-DIMENSION join that
+    inequality-only predicates otherwise force into a
+    BroadcastNestedLoopJoin (O(|fact| x |bands|) comparisons, the theta
+    join scale cliff). The bands decompose into the 5000-wide buckets
+    they cover; the fact joins on its floor(price/5000) bucket as a
+    plain HASH join with the exact band bounds as a residual filter.
+    Overlapping bands double-count by design (each band is its own
+    report row). Revenue accumulates in exact DECIMAL, cast to double
+    only at the edge (customer_running_spend convention).
+
+    100 TB shape: the exploded band table stays dimension-sized
+    (buckets-per-band is bounded by band_width/w), so the join is a
+    map-side broadcast hash join with zero fact shuffle before the
+    5-group aggregate; a corpus-scaled band table instead flips
+    ``broadcast_bands=False`` and shuffles on the evenly-distributed
+    bucket key. Plan-tested: no BroadcastNestedLoopJoin."""
+    from .operators.joins import band_join
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 20000.0), ("value", 15000.0, 45000.0),
+         ("mid", 40000.0, 70000.0), ("premium", 65000.0, 95000.0),
+         ("luxury", 90000.0, 120000.0)],
+        ["band", "lo", "hi"])
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    joined = band_join(li, bands, value_col="l_extendedprice",
+                       lo_col="lo", hi_col="hi", bucket_width=5000.0)
+    return (joined.groupBy("band")
+                  .agg(F.count(F.lit(1)).alias("n_items"),
+                       F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                        .cast("double").alias("revenue")))
+
+
+# --- Mergeable binned quantiles (the reproducible sketch path) --------------
+
+_HIST_QUANTILES_ORACLE = r"""
+WITH toks AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,
+                                                                   ''))),
+                                               '\s+'),
+                         x -> x <> '')) AS tok
+  FROM documents
+), bins AS (
+  SELECT lang, tok // 16 AS bin, COUNT(*) AS cnt
+  FROM toks GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS c,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM bins
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MIN(CASE WHEN 2 * c >= n THEN bin * 16 + 15 END) AS BIGINT)
+         AS p50_ub,
+       CAST(MIN(CASE WHEN 10 * c >= 9 * n THEN bin * 16 + 15 END) AS BIGINT)
+         AS p90_ub,
+       CAST(MIN(CASE WHEN 100 * c >= 99 * n THEN bin * 16 + 15 END)
+            AS BIGINT) AS p99_ub
+FROM cum GROUP BY lang
+"""
+
+
+@query("histogram_quantiles", _HIST_QUANTILES_ORACLE)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count p50/p90/p99 via a FIXED-BIN histogram —
+    the mergeable quantile the 100 TB path actually uses. Exact
+    percentiles need a per-group sort of every value; approx_percentile
+    is a GK sketch whose answer is engine- and merge-order-dependent
+    (not reproducible, so not oracle-able). A 16-wide bin histogram is
+    both: partial-aggregable counts, deterministic integer rank
+    arithmetic (cross-multiplied ceil semantics — 2c >= n, 10c >= 9n,
+    100c >= 99n — no division, no floats), and a bounded-error answer
+    (the bin's inclusive upper edge, error <= bin width).
+
+    100 TB shape: two hash aggregations (docs → (lang, bin) counts →
+    |langs| rows) with map-side combine; the cumulative window runs
+    over |langs| x |bins| rows — thousands, regardless of corpus size.
+    The quantile never sorts data, only bins."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(tokens_of(F.coalesce(F.col("text"), F.lit(""))),
+                 lambda x: x != "")
+    bins = (docs.select("lang",
+                        (F.size(t).cast("long") / 16).cast("long")
+                        .alias("bin"))
+                .groupBy("lang", "bin")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w_ord = (Window.partitionBy("lang").orderBy("bin")
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("lang")
+    cum = (bins.withColumn("c", F.sum("cnt").over(w_ord))
+               .withColumn("n", F.sum("cnt").over(w_all)))
+    ub = F.col("bin") * 16 + 15
+    return (cum.groupBy("lang")
+               .agg(F.max("n").alias("n_docs"),
+                    F.min(F.when(2 * F.col("c") >= F.col("n"), ub))
+                     .alias("p50_ub"),
+                    F.min(F.when(10 * F.col("c") >= 9 * F.col("n"), ub))
+                     .alias("p90_ub"),
+                    F.min(F.when(100 * F.col("c") >= 99 * F.col("n"), ub))
+                     .alias("p99_ub")))
+
+
+# --- Temperature-scaled domain mixing weights -------------------------------
+
+_TEMPERATURE_MIX_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,
+                                                                   ''))),
+                                               '\s+'),
+                         x -> x <> '')) AS tok
+  FROM documents
+), s AS (
+  SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens FROM toks GROUP BY source
+), tot AS (
+  SELECT SUM(tokens) AS total,
+         SUM(CAST(round(pow(tokens, 0.7) * 1000000) AS BIGINT)) AS z
+  FROM s
+)
+SELECT source, tokens,
+       CAST(1000000 * tokens // total AS BIGINT) AS share_ppm,
+       round(CAST(round(pow(tokens, 0.7) * 1000000) AS BIGINT) / z, 6)
+         AS weight,
+       round(1000000.0 * (CAST(round(pow(tokens, 0.7) * 1000000) AS BIGINT)
+             / z) / (CAST(tokens AS DOUBLE) / total), 0) AS upsample_x1e6
+FROM s, tot
+"""
+
+
+@query("temperature_mix_weights", _TEMPERATURE_MIX_ORACLE)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T = 0.7) domain-mixing weights — the
+    multilingual/multi-domain sampling computation (mT5/XLM-R lineage):
+    p_s ∝ (tokens_s)^T flattens the source distribution so small
+    domains are upsampled and dominant crawls capped. Reports each
+    source's exact token share (integer ppm), its temperature weight,
+    and the implied upsampling factor weight/share.
+
+    100 TB shape: one aggregate to |sources| rows; the normalizer
+    (total, Z) is a 1-row broadcast joined back cross-free. Float
+    discipline: per-source pow runs on an exact integer token sum and
+    is quantized to micro-units BEFORE the normalizer sum, so Z is an
+    exact integer (float summation order never enters) and every
+    emitted float is a per-row function of exact integers — 6-dp
+    rounding is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(tokens_of(F.coalesce(F.col("text"), F.lit(""))),
+                 lambda x: x != "")
+    s = (docs.select("source", F.size(t).cast("long").alias("tok"))
+             .groupBy("source")
+             .agg(F.sum("tok").alias("tokens")))
+    q = F.round(F.pow("tokens", F.lit(0.7)) * 1000000).cast("long")
+    tot = s.agg(F.sum("tokens").alias("total"), F.sum(q).alias("z"))
+    wgt = q / F.col("z")
+    return (s.join(F.broadcast(tot))
+             .select("source", "tokens",
+                     F.expr("1000000 * tokens div total").alias("share_ppm"),
+                     F.round(wgt, 6).alias("weight"),
+                     F.round(1000000.0 * wgt
+                             / (F.col("tokens").cast("double")
+                                / F.col("total")), 0).alias("upsample_x1e6")))
 
 
 # ---------------------------------------------------------------------------
