@@ -1341,3 +1341,23 @@ def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
     assert ratios == sorted(ratios, reverse=True)  # flattening
     assert ratios[0] > 1_000_000                  # smallest upsampled
     assert ratios[-1] < 1_000_000                 # largest downsampled
+
+
+def test_semantic_diversity_sample_caps_dense_cells(spark, sf_dir):
+    """Balanced sampling: no cell keeps more than the cap, sparse cells
+    (<= cap) survive whole, and keep decisions are rank-prefix-closed
+    (kept ranks are exactly 1..min(n_cell, cap))."""
+    from pyspark.sql import functions as F
+    from user_behavior_analysis_spark.queries import QUERIES
+    out = QUERIES["semantic_diversity_sample"](spark, sf_dir)
+    per_cell = (out.groupBy("cell")
+                .agg(F.max("n_cell").alias("n"),
+                     F.sum(F.col("kept").cast("long")).alias("k"),
+                     F.max(F.when(F.col("kept"), F.col("cell_rank")))
+                      .alias("max_kept_rank")))
+    bad = per_cell.where(
+        (F.col("k") > 12)
+        | ((F.col("n") <= 12) & (F.col("k") != F.col("n")))
+        | ((F.col("n") > 12) & (F.col("k") != 12))
+        | (F.col("max_kept_rank") != F.col("k"))).count()
+    assert bad == 0

@@ -486,3 +486,12 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
              (li.join(orders, li.l_orderkey == orders.o_orderkey)
                 .groupBy("o_orderpriority").count()).collect()}
     assert with_bloom == plain
+
+
+def test_semantic_diversity_sample_single_cell_exchange(spark, sf_dir):
+    # the semantic cell is a pure scan expression (no shuffle to build
+    # the "clustering"); the only exchange is the per-cell window
+    plan = plan_of(spark, "semantic_diversity_sample", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "cell" in re.search(
+        r"Exchange hashpartitioning\(([^,]*)", plan).group(1), plan

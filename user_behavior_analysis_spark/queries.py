@@ -5503,6 +5503,77 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / F.col("total")), 0).alias("upsample_x1e6")))
 
 
+# --- Semantic diversity sampling (cluster-balanced curation) ----------------
+
+_DIVERSITY_SAMPLE_ORACLE = """
+WITH pw AS (
+  SELECT p.range AS p, d.range AS d,
+         CAST(('0x' || substr(md5(
+           '7_' || CAST(p.range AS VARCHAR) || '_' ||
+           CAST(d.range AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+  FROM range(6) p CROSS JOIN range(64) d
+), pl AS (
+  SELECT p, list(CAST(w AS DOUBLE) ORDER BY d) AS wv
+  FROM pw GROUP BY p
+), sig AS (
+  SELECT v.vec_id, pl.p,
+         CASE WHEN list_sum([wv[i] * CAST(embedding[i] AS DOUBLE)
+                             FOR i IN range(1, 65)]) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings v CROSS JOIN pl
+), cells AS (
+  SELECT vec_id, CAST(SUM(bit * (1 << p)) AS INTEGER) AS cell
+  FROM sig GROUP BY vec_id
+), ranked AS (
+  SELECT vec_id, cell,
+         CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER)
+           AS cell_rank
+  FROM cells
+)
+SELECT vec_id, cell, n_cell, cell_rank, cell_rank <= 12 AS kept
+FROM ranked
+"""
+
+
+@query("semantic_diversity_sample", _DIVERSITY_SAMPLE_ORACLE)
+def semantic_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-flavored cluster-balanced downsampling: partition the
+    embedding space into 64 deterministic semantic cells (one 6-bit
+    random-hyperplane signature — the training-free stand-in for a
+    KMeans clustering, md5-derived so both engines compute the identical
+    cell) and cap every cell at 12 vectors, keeping an md5-ranked
+    deterministic subset. Dense regions (near-duplicate semantic
+    content) get trimmed hard; sparse regions survive whole — the
+    diversity-preserving curation step between dedup and training.
+
+    100 TB shape: the cell is a map-side scan expression (zero shuffle
+    to build — same property as ann_lsh_topk's index); the only
+    exchange is the per-cell window, partitioned 64-ways here and by
+    (cell, md5-prefix salt) when single cells outgrow a task. Unlike
+    KMeans-based SemDeDup the assignment needs no training pass, no
+    model broadcast, and reproduces bit-for-bit — which is what makes
+    the whole sample hash-oracle-able."""
+    from pyspark.sql import Window
+    from .functions.vectors import as_double
+    from .operators.similarity import rp_lsh_buckets_expr
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", as_double("embedding").alias("v")))
+    cell = F.element_at(
+        F.expr(rp_lsh_buckets_expr("v", 1, 6, 64, seed=7)), 1)
+    w = (Window.partitionBy("cell")
+               .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id"))
+    wc = Window.partitionBy("cell")
+    return (emb.select("vec_id", cell.alias("cell"))
+               .withColumn("n_cell", F.count(F.lit(1)).over(wc))
+               .withColumn("cell_rank", F.row_number().over(w))
+               .select("vec_id", "cell", "n_cell", "cell_rank",
+                       (F.col("cell_rank") <= 12).alias("kept")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
