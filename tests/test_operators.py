@@ -1361,3 +1361,128 @@ def test_semantic_diversity_sample_caps_dense_cells(spark, sf_dir):
         | ((F.col("n") > 12) & (F.col("k") != 12))
         | (F.col("max_kept_rank") != F.col("k"))).count()
     assert bad == 0
+
+
+def test_allpairs_prefix_filter_is_lossless(spark):
+    """AllPairs completeness on a crafted corpus: the prefix+position
+    filtered join must emit exactly the pairs the full inverted-index
+    join (ngram_jaccard_pairs) finds at the same threshold — the
+    Bayardo/PPJoin theorem, checked pairwise rather than via the SQL
+    oracle so the filters are exercised on adversarial shapes (equal
+    sizes, borderline sizes, disjoint rare tokens)."""
+    from user_behavior_analysis_spark.operators.dedup import (
+        allpairs_jaccard_join, ngram_jaccard_pairs)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, base),                                   # exact dup
+         (3, base + " extra"),                        # borderline
+         (4, "one two three four five six seven"),
+         (5, "one two three four five six seven"),    # second family
+         (6, "totally different words entirely here now"),
+         (7, base.replace("gamma", "gamma2")),        # near dup
+         (8, "x y z"),                                # 1 shingle only
+         ],
+        "doc_id long, text string")
+    for thr in (0.5, 0.6, 0.8):
+        fast = {(r.doc_a, r.doc_b)
+                for r in allpairs_jaccard_join(
+                    docs, "text", "doc_id", ngram=3,
+                    threshold=thr).collect()}
+        slow = {(r.doc_a, r.doc_b)
+                for r in ngram_jaccard_pairs(
+                    docs, "text", "doc_id", ngram=3,
+                    threshold=thr).collect()}
+        assert fast == slow, (thr, fast, slow)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from user_behavior_analysis_spark.operators.layout import zorder_value
+    df = spark.createDataFrame(
+        [(0xFFFF, 0), (0, 0xFFFF), (3, 1), (0, 0)], "a long, b long")
+    out = {(r.a, r.b): r.z for r in df.select(
+        "a", "b", zorder_value(F.col("a"), F.col("b")).alias("z"))
+        .collect()}
+    assert out[(0xFFFF, 0)] == 0x55555555
+    assert out[(0, 0xFFFF)] == 0xAAAAAAAA
+    assert out[(3, 1)] == 0b111
+    assert out[(0, 0)] == 0
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """The layout's point: z-range buckets must be tight on BOTH keys.
+    Every bucket's rectangle must cover < 7% of the domain area (64
+    buckets; a perfect Z-curve cell is ~1.6%, a linear sort's second
+    column spans 100%)."""
+    out = QUERIES["zorder_layout"](spark, sf_dir).toPandas()
+    assert (out["span_ppm"] < 70000).all(), out["span_ppm"].max()
+    assert out["n_rows"].sum() > 0
+
+
+def test_incremental_dedup_statuses(spark):
+    from user_behavior_analysis_spark.operators.dedup import (
+        incremental_dedup_status)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely unrelated corpus document text body here"),
+         (5, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        # 10: exact dup of 1 (whitespace-normalized); 20: near dup of 1;
+        # 30: unique
+        [(10, "  THE quick brown fox jumps over the lazy dog today "),
+         (20, "the quick brown fox jumps over the lazy dog yesterday"),
+         (30, "nothing like anything in the existing corpus at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.status, r.match_id)
+           for r in incremental_dedup_status(
+               corpus, batch, "text", "doc_id",
+               ngram=3, threshold=0.5).collect()}
+    assert out[10] == ("exact_dup", 1)
+    assert out[20] == ("near_dup", 1)
+    assert out[30] == ("unique", -1)
+
+
+def test_zorder_writer_files_are_rectangles(spark, tmp_path):
+    """write_zorder_layout vs the linear sort: every z-clustered file
+    must cover a small rectangle of the (partkey, suppkey) domain,
+    while the linear layout's files span ~the whole second dimension.
+    Footer min/max per file IS what a reader prunes on."""
+    import glob
+    import pyarrow.parquet as pq
+    from user_behavior_analysis_spark.sinks import (
+        write_optimized_layout, write_zorder_layout)
+    from user_behavior_analysis_spark.sources import load_table
+    li = (load_table(spark, "/root/testdata/sf0.001", "lineitem")
+          .select("l_partkey", "l_suppkey"))
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zorder_layout(li, zdir, ("l_partkey", "l_suppkey"), n_files=16)
+    write_optimized_layout(li, ldir, (), ("l_partkey",),
+                           files_per_partition=16)
+
+    def rect_ppm(path):
+        lo = {c: None for c in ("l_partkey", "l_suppkey")}
+        out = []
+        stats = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+                       F.min("l_suppkey"), F.max("l_suppkey")).first()
+        alo, ahi, blo, bhi = stats
+        domain = (ahi - alo + 1) * (bhi - blo + 1)
+        for f in glob.glob(path + "/*.parquet"):
+            t = pq.read_table(f, columns=["l_partkey", "l_suppkey"])
+            pk, sk = t["l_partkey"].to_pylist(), t["l_suppkey"].to_pylist()
+            if not pk:
+                continue
+            area = (max(pk) - min(pk) + 1) * (max(sk) - min(sk) + 1)
+            out.append(1e6 * area / domain)
+        return out
+
+    zr, lr = rect_ppm(zdir), rect_ppm(ldir)
+    assert zr and lr
+    z_worst, l_best = max(zr), min(lr)
+    # every z file is a bounded rectangle (worst case ~4x the ideal
+    # 1/16 cell when a z-range straddles a high-order quadrant
+    # boundary); linear files span essentially the full domain on the
+    # unsorted dimension.
+    assert z_worst <= 400_000, zr
+    assert sum(zr) / len(zr) < 200_000, zr
+    assert z_worst < l_best, (z_worst, l_best)

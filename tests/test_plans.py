@@ -495,3 +495,30 @@ def test_semantic_diversity_sample_single_cell_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "cell" in re.search(
         r"Exchange hashpartitioning\(([^,]*)", plan).group(1), plan
+
+
+def test_allpairs_joins_stay_shuffle(spark, sf_dir):
+    """Every allpairs relation (df table, prefix posting lists, verify
+    sets) is vocabulary- or corpus-scaled: no broadcast build may
+    appear, however small the test-scale estimate."""
+    plan = plan_of(spark, "setjoin_allpairs", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_zorder_layout_single_data_exchange(spark, sf_dir):
+    """The z-value is a scan expression: the only data exchange carries
+    the 64 bucket groups; the bounds side is a broadcast 1-row
+    aggregate, never a shuffle join."""
+    plan = plan_of(spark, "zorder_layout", sf_dir)
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, plan
+
+
+def test_incremental_dedup_joins_stay_shuffle(spark, sf_dir):
+    """Fingerprint and shingle index probes build against corpus-scaled
+    relations — all pinned shuffle-hash."""
+    plan = plan_of(spark, "incremental_dedup", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan

@@ -449,3 +449,163 @@ def unit_dedup_reconstruct(df: DataFrame, text_col: str, id_col: str,
                                   F.filter("p", lambda s: s["kept"]),
                                   lambda s: s["unit"]),
                               " ").alias("cleaned_text")))
+
+
+def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
+                          ngram: int = 3,
+                          threshold: float = 0.6) -> DataFrame:
+    """EXACT shingle-set Jaccard self-join via AllPairs/PPJoin prefix
+    filtering (Bayardo et al., WWW'07) — the lossless complement to the
+    probabilistic LSH family: every pair with J ≥ threshold is emitted,
+    none invented, no banding false-negative rate to tune.
+
+    Algorithm: order the shingle universe rarest-first (ascending
+    document frequency, hash as tiebreak). If J(x, y) ≥ t then x and y
+    share at least ⌈t·|x|⌉ elements, so their
+    length-(|x| - ⌈t·|x|⌉ + 1) prefixes under the global order must
+    intersect — candidate generation only joins the PREFIX posting
+    lists, whose elements are by construction the rarest in each
+    document. A size filter (t·max ≤ min) prunes further; survivors are
+    verified with an exact array_intersect. Sets are word ``ngram``
+    shingles reduced to 60-bit md5-prefix longs BEFORE everything
+    (narrow exchanges, long-vs-long joins — same trick as
+    ngram_jaccard_pairs; the oracle hashes identically).
+
+    All threshold gates run in integer cross-multiplied form
+    (1000·inter ≥ thr‰·union) so the keep set is bit-identical across
+    engines; ``threshold`` must therefore be a multiple of 0.001.
+
+    100 TB shape: the df table is vocabulary-scaled and the
+    shingle/prefix relations corpus-scaled — every join is pinned
+    shuffle-hash so Catalyst's test-scale size estimates can never pick
+    a broadcast build that OOMs at 100×. The rarest-first prefix is
+    what bounds the candidate join: a shingle with document frequency d
+    contributes at most d·(d-1)/2 candidate pairs, and high-df
+    (boilerplate) shingles are pushed out of every prefix long enough
+    to matter — the same reason production AllPairs runs without an
+    explicit df cap.
+    """
+    thr_m = int(round(threshold * 1000))
+    tk = (_doc_shingles(df, text_col, id_col, ngram)
+          .select("doc_id", md5_prefix_hash(F.col("g")).alias("tok"))
+          .distinct())
+    dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
+    # Per-doc rarest-first position + set size off ONE doc_id exchange:
+    # the rank window and the count window share the hash partitioning.
+    w_pos = Window.partitionBy("doc_id").orderBy("dfr", "tok")
+    w_all = Window.partitionBy("doc_id")
+    ranked = (tk.join(dfreq.hint("shuffle_hash"), "tok")
+                .withColumn("pos", F.row_number().over(w_pos))
+                .withColumn("n", F.count(F.lit(1)).over(w_all)))
+    # minimal overlap ⌈t·n⌉ in exact integer form; prefix keeps positions
+    # 1 .. n - ⌈t·n⌉ + 1.
+    min_ov = (F.lit(thr_m) * F.col("n") + F.lit(999)) / F.lit(1000)
+    prefix = (ranked.where(F.col("pos") <= F.col("n")
+                           - F.floor(min_ov).cast("int") + 1)
+                    .select("doc_id", "tok", "n", "pos"))
+    # PPJoin position filter (lossless): a prefix match at sorted
+    # positions (pos_a, pos_b) bounds the achievable overlap by
+    # 1 + min(remaining suffixes); pairs whose bound already misses
+    # ⌈t/(1+t)·(na+nb)⌉ never reach verification. Integer
+    # cross-multiplied: (1000+thr)·ub ≥ thr·(na+nb).
+    overlap_ub = F.lit(1) + F.least(F.col("a.n") - F.col("a.pos"),
+                                    F.col("b.n") - F.col("b.pos"))
+    a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
+    cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.lit(1000) * F.least("a.n", "b.n")
+                      >= F.lit(thr_m) * F.greatest("a.n", "b.n"))
+                   & (F.lit(1000 + thr_m) * overlap_ub
+                      >= F.lit(thr_m) * (F.col("a.n") + F.col("b.n"))))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+             .distinct())
+    # Verify sets are materialized ONLY for docs that appear in some
+    # candidate pair (left-semi restriction): the collect_list cost is
+    # candidate-bounded, never corpus-bounded — the same
+    # "verify-only-candidates" rule as verify_pairs_jaccard.
+    cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    packed = (tk.join(cdocs.hint("shuffle_hash"), "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list("tok")).alias("toks")))
+    pa = packed.select(F.col("doc_id").alias("doc_a"),
+                       F.col("toks").alias("ta"))
+    pb = packed.select(F.col("doc_id").alias("doc_b"),
+                       F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    return (cand.join(pa.hint("shuffle_hash"), "doc_a")
+                .join(pb.hint("shuffle_hash"), "doc_b")
+                .withColumn("inter_n", inter)
+                .withColumn("union_n",
+                            F.col("na") + F.col("nb") - F.col("inter_n"))
+                .where(F.lit(1000) * F.col("inter_n")
+                       >= F.lit(thr_m) * F.col("union_n"))
+                .select("doc_a", "doc_b", "inter_n", "union_n",
+                        (F.col("inter_n").cast("double")
+                         / F.col("union_n")).alias("jaccard")))
+
+
+def incremental_dedup_status(corpus: DataFrame, batch: DataFrame,
+                             text_col: str, id_col: str,
+                             ngram: int = 3,
+                             threshold: float = 0.8) -> DataFrame:
+    """Incremental dedup: classify every NEW document against an
+    EXISTING corpus — the production shape where yesterday's 100 TB is
+    already deduped and only today's crawl delta needs checking.
+
+    Per batch doc: ``exact_dup`` (normalized-text fingerprint already in
+    the corpus), else ``near_dup`` (n-gram Jaccard ≥ threshold against
+    some corpus doc), else ``unique``; ``match_id`` is the smallest
+    matching corpus id (-1 for unique). The batch is never compared to
+    itself — intra-batch duplicates are the ordinary self-join pass.
+
+    100 TB shape: both probes are equi-joins AGAINST the corpus-side
+    index relations (fingerprint set, shingle inverted index) that a
+    production pipeline maintains incrementally — the corpus text is
+    never re-shingled per batch; here both sides are derived in-query
+    so the oracle can replay the math. Every join is pinned
+    shuffle-hash (corpus-scaled build sides), and the Jaccard gate is
+    integer cross-multiplied (1000·inter ≥ thr‰·union) for
+    cross-engine bit-equality.
+    """
+    thr_m = int(round(threshold * 1000))
+    fp_new = batch.select(F.col(id_col).alias("doc_id"),
+                          fingerprint(text_col).alias("fp"))
+    fp_old = corpus.select(F.col(id_col).alias("old_id"),
+                           fingerprint(text_col).alias("fp"))
+    exact = (fp_new.join(fp_old.hint("shuffle_hash"), "fp")
+                   .groupBy("doc_id")
+                   .agg(F.min("old_id").alias("exact_id")))
+    sh_new = (_doc_shingles(batch, text_col, id_col, ngram)
+              .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
+              .distinct())
+    sh_old = (_doc_shingles(corpus, text_col, id_col, ngram)
+              .select(F.col("doc_id").alias("old_id"),
+                      md5_prefix_hash(F.col("g")).alias("gh"))
+              .distinct())
+    n_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    n_old = sh_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (sh_new.join(sh_old.hint("shuffle_hash"), "gh")
+                   .groupBy("doc_id", "old_id")
+                   .agg(F.count(F.lit(1)).alias("inter_n")))
+    near = (inter.join(n_new.hint("shuffle_hash"), "doc_id")
+                 .join(n_old.hint("shuffle_hash"), "old_id")
+                 .where(F.lit(1000) * F.col("inter_n")
+                        >= F.lit(thr_m)
+                        * (F.col("na") + F.col("nb") - F.col("inter_n")))
+                 .groupBy("doc_id")
+                 .agg(F.min("old_id").alias("near_id")))
+    return (batch.select(F.col(id_col).alias("doc_id"))
+                 .join(exact.hint("shuffle_hash"), "doc_id", "left")
+                 .join(near.hint("shuffle_hash"), "doc_id", "left")
+                 .select("doc_id",
+                         F.when(F.col("exact_id").isNotNull(),
+                                F.lit("exact_dup"))
+                          .when(F.col("near_id").isNotNull(),
+                                F.lit("near_dup"))
+                          .otherwise(F.lit("unique")).alias("status"),
+                         F.coalesce("exact_id", "near_id",
+                                    F.lit(-1)).alias("match_id")))

@@ -5574,6 +5574,179 @@ def semantic_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("cell_rank") <= 12).alias("kept")))
 
 
+# --- AllPairs prefix-filtered exact set-similarity join ---------------------
+
+_ALLPAIRS_THRESHOLD = 0.6
+
+_ALLPAIRS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx
+), tk AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS tok
+  FROM grams
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter_n,
+       sa.n + sb.n - i.inter_n AS union_n,
+       CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 1000 * i.inter_n >= 600 * (sa.n + sb.n - i.inter_n)
+"""
+
+
+@query("setjoin_allpairs", _ALLPAIRS_ORACLE)
+def setjoin_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set similarity self-join via AllPairs/PPJoin
+    prefix filtering (operators/dedup.py): the LOSSLESS all-pairs
+    algorithm — rarest-first prefixes generate candidates, exact
+    array_intersect verifies. The oracle pays the honest full
+    inverted-index join; prefix filtering must reproduce it
+    bit-for-bit, which is precisely the AllPairs completeness theorem
+    under test at corpus scale."""
+    from .operators.dedup import allpairs_jaccard_join
+    docs = load_table(spark, sf_dir, "documents")
+    return allpairs_jaccard_join(docs, "text", "doc_id", ngram=3,
+                                 threshold=_ALLPAIRS_THRESHOLD)
+
+
+# --- Z-order layout evaluation (scan-pruning clustering) --------------------
+
+_Z_TERMS = " + ".join(
+    f"(((ua >> {i}) & 1) << {2 * i}) + (((ub >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16))
+
+_ZORDER_ORACLE = f"""
+WITH bounds AS (
+  SELECT MIN(l_partkey) AS alo, MAX(l_partkey) AS ahi,
+         MIN(l_suppkey) AS blo, MAX(l_suppkey) AS bhi
+  FROM lineitem
+), u AS (
+  SELECT l_partkey, l_suppkey, alo, ahi, blo, bhi,
+         CASE WHEN ahi = alo THEN 0 ELSE
+           CAST(FLOOR((l_partkey - alo) * 65535 / (ahi - alo)) AS BIGINT)
+         END AS ua,
+         CASE WHEN bhi = blo THEN 0 ELSE
+           CAST(FLOOR((l_suppkey - blo) * 65535 / (bhi - blo)) AS BIGINT)
+         END AS ub
+  FROM lineitem CROSS JOIN bounds
+), z AS (
+  SELECT l_partkey, l_suppkey, alo, ahi, blo, bhi,
+         CAST({_Z_TERMS} AS BIGINT) AS zv
+  FROM u
+)
+SELECT CAST(zv >> 26 AS INTEGER) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS a_min, MAX(l_partkey) AS a_max,
+       MIN(l_suppkey) AS b_min, MAX(l_suppkey) AS b_max,
+       CAST(FLOOR(1000000 * ((MAX(l_partkey) - MIN(l_partkey) + 1)
+                             * (MAX(l_suppkey) - MIN(l_suppkey) + 1))
+                  / ((MIN(ahi) - MIN(alo) + 1) * (MIN(bhi) - MIN(blo) + 1)))
+            AS BIGINT) AS span_ppm
+FROM z GROUP BY 1
+"""
+
+
+@query("zorder_layout", _ZORDER_ORACLE)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering evaluation over lineitem
+    (l_partkey, l_suppkey) — the data-layout operator behind lakehouse
+    OPTIMIZE ZORDER BY. Rows are assigned to 64 fixed z-range buckets
+    (≙ files of a repartitionByRange(z) write) and each bucket reports
+    the min/max footer stats a reader would prune on, plus span_ppm —
+    the bucket's rectangle area as ppm of the domain. Tight rectangles
+    on BOTH dimensions are what a linear sort cannot deliver.
+
+    100 TB shape (operators/layout.py): the z-value is a pure scan
+    expression fed by one broadcast 1-row bounds aggregate; the only
+    data exchange carries 64 groups."""
+    from .operators.layout import zorder_layout_stats
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = zorder_layout_stats(li, "l_partkey", "l_suppkey",
+                                buckets_log2=6)
+    return stats.select(
+        "bucket", "n_rows",
+        F.col("a_min").alias("a_min"), F.col("a_max").alias("a_max"),
+        F.col("b_min").alias("b_min"), F.col("b_max").alias("b_max"),
+        "span_ppm")
+
+
+# --- incremental dedup: new batch vs existing corpus ------------------------
+
+_INCR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+  FROM grams
+), fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), newd AS (
+  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+), exact AS (
+  SELECT n.doc_id, MIN(o.doc_id) AS exact_id
+  FROM fp n JOIN fp o ON o.fp = n.fp AND o.doc_id % 10 <> 0
+  WHERE n.doc_id % 10 = 0 GROUP BY 1
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS old_id, COUNT(*) AS inter_n
+  FROM sh a JOIN sh b ON a.gh = b.gh
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+), near AS (
+  SELECT i.doc_id, MIN(i.old_id) AS near_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_id
+  JOIN sizes sb ON sb.doc_id = i.old_id
+  WHERE 1000 * i.inter_n >= 800 * (sa.n + sb.n - i.inter_n)
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       COALESCE(e.exact_id, nr.near_id, -1) AS match_id
+FROM newd n
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near nr USING (doc_id)
+"""
+
+
+@query("incremental_dedup", _INCR_ORACLE)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) dedup: docs with doc_id % 10 == 0
+    play today's crawl batch, the rest the already-deduped corpus. Each
+    batch doc is classified exact_dup / near_dup / unique with the
+    smallest matching corpus id (operators/dedup.py) — the anti-join
+    production shape where only the delta is ever re-processed."""
+    from .operators.dedup import incremental_dedup_status
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return incremental_dedup_status(corpus, batch, "text", "doc_id",
+                                    ngram=3, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #

@@ -157,6 +157,47 @@ def write_optimized_layout(df: DataFrame, path: str,
        .write.mode(mode).partitionBy(*partition_by).parquet(path))
 
 
+def write_zorder_layout(df: DataFrame, path: str,
+                        cols: tuple[str, str],
+                        n_files: int = 64,
+                        mode: str = "overwrite") -> None:
+    """Write parquet clustered on the Z-order (Morton) curve of two
+    integer keys — multi-dimensional data skipping, the step past
+    ``write_optimized_layout``'s linear sort.
+
+    Linear clustering makes row-group min/max stats tight on ONE
+    column; Z-order interleaves the bits of both keys so every file is
+    a small rectangle in (a, b) space and predicates on EITHER column
+    prune files and row groups. This is what lakehouse
+    ``OPTIMIZE ... ZORDER BY (a, b)`` does; readers need nothing
+    special — plain ``spark.read.parquet`` + filters.
+
+    Mechanics: one 1-row bounds aggregate (broadcast back into the
+    scan) range-normalizes both keys to 16 bits; the z-value is a pure
+    32-term codegen expression; ``repartitionByRange(z)`` makes each
+    output file one contiguous z-range (sampled boundaries keep file
+    sizes balanced under skew — the writer, unlike the oracle-able
+    stats op in operators/layout.py, prefers balance over
+    determinism); the within-file sort tightens row-group stats
+    further. The helper columns are projected away before the write —
+    the layout is invisible in the schema.
+    """
+    from .operators.layout import BITS, _normalize, zorder_value
+
+    a, b = cols
+    bounds = df.agg(F.min(a).alias("_alo"), F.max(a).alias("_ahi"),
+                    F.min(b).alias("_blo"), F.max(b).alias("_bhi"))
+    z = zorder_value(
+        _normalize(F.col(a), F.col("_alo"), F.col("_ahi")),
+        _normalize(F.col(b), F.col("_blo"), F.col("_bhi")))
+    (df.join(F.broadcast(bounds))
+       .withColumn("_z", z)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z", "_alo", "_ahi", "_blo", "_bhi")
+       .write.mode(mode).parquet(path))
+
+
 def write_jsonl(df: DataFrame, path: str,
                 partition_by: tuple[str, ...] = (),
                 compression: str = "gzip",
