@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from user_behavior_analysis_spark.operators.dedup import (  # noqa: E402
-    minhash_lsh_pairs, simhash_neardup_pairs)
+    allpairs_jaccard_join, minhash_lsh_pairs, simhash_neardup_pairs)
 from user_behavior_analysis_spark.session import get_spark  # noqa: E402
 from user_behavior_analysis_spark.sources import load_table  # noqa: E402
 
@@ -63,6 +63,16 @@ def main() -> None:
             lambda: minhash_lsh_pairs(docs, "text", "doc_id").count())
         row["simhash_s"], row["simhash_pairs"] = timed(
             lambda: simhash_neardup_pairs(docs, "text", "doc_id").count())
+        if factor <= 10:
+            # The lossless join's OUTPUT is Θ(families x k^2) by
+            # definition (every true pair must be emitted) — the probe
+            # checks wall time tracks the output+input size, i.e. no
+            # blow-up beyond what the answer itself costs. x30's 2M+
+            # mandatory output rows measure printer speed, not the
+            # algorithm, so the probe stops at x10.
+            row["allpairs_s"], row["allpairs_pairs"] = timed(
+                lambda: allpairs_jaccard_join(docs, "text", "doc_id",
+                                              threshold=0.6).count())
         docs.unpersist()
         out[f"x{factor}"] = row
         print(json.dumps({f"x{factor}": row}), flush=True)

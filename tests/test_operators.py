@@ -1486,3 +1486,18 @@ def test_zorder_writer_files_are_rectangles(spark, tmp_path):
     assert z_worst <= 400_000, zr
     assert sum(zr) / len(zr) < 200_000, zr
     assert z_worst < l_best, (z_worst, l_best)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Efraimidis-Spirakis sanity: with weight = token count, the
+    sampled docs' mean weight must exceed the corpus mean (longer docs
+    proportionally likelier), and ranks must be exactly 1..k."""
+    out = QUERIES["quality_weighted_sample"](spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = (docs.select(F.size(F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"\s+"), lambda x: x != "")).alias("w"))
+        .agg(F.avg("w")).first()[0])
+    assert sorted(out["rn"]) == list(range(1, len(out) + 1))
+    assert out["w_tokens"].mean() > corpus_mean, \
+        (out["w_tokens"].mean(), corpus_mean)

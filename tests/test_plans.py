@@ -522,3 +522,10 @@ def test_incremental_dedup_joins_stay_shuffle(spark, sf_dir):
     plan = plan_of(spark, "incremental_dedup", sf_dir)
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    """The global k must plan as TakeOrderedAndProject (per-partition
+    heaps), never a full sort or a corpus-wide Window."""
+    plan = plan_of(spark, "quality_weighted_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan

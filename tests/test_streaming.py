@@ -1006,3 +1006,44 @@ def test_jsonl_quarantine_streaming(spark, tmp_path):
         "SELECT _corrupt_record FROM jq_bad").toPandas()
     assert sorted(got_clean["doc_id"]) == [1, 2]
     assert list(got_bad["_corrupt_record"]) == ["THIS IS NOT JSON"]
+
+
+def test_python_datasource_batch_parallel_deterministic(spark):
+    """S4 as a Spark-4 Python data source: planned partitions (real
+    executor parallelism, not a driver generator) and bit-deterministic
+    content — two loads hash-equal, rows equal the index function."""
+    from user_behavior_analysis_spark.sources_pyds import (
+        MarketingSimDataSource, gen_event)
+    spark.dataSource.register(MarketingSimDataSource)
+    df = (spark.read.format("marketing_sim")
+          .option("n_rows", 2000).option("n_partitions", 8).load())
+    assert df.rdd.getNumPartitions() == 8
+    got = {tuple(r) for r in df.collect()}
+    assert got == {gen_event(i) for i in range(2000)}
+    again = {tuple(r) for r in
+             (spark.read.format("marketing_sim")
+              .option("n_rows", 2000).option("n_partitions", 3)
+              .load().collect())}
+    assert again == got  # partitioning must not change content
+
+
+def test_python_datasource_stream_drains_exactly_once(spark):
+    """The stream reader's offset log is plain row indices: bounded
+    latestOffset terminates processAllAvailable, multiple micro-batches
+    cover the index range exactly once, and the drained rows are
+    bit-identical to the batch/generator output — the replayability
+    property exactly-once sinks rely on."""
+    from user_behavior_analysis_spark.sources_pyds import (
+        MarketingSimDataSource, gen_event)
+    spark.dataSource.register(MarketingSimDataSource)
+    sdf = (spark.readStream.format("marketing_sim")
+           .option("batch_rows", 700).option("max_rows", 2000).load())
+    q = (sdf.writeStream.format("memory").queryName("pyds_sim_t")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM pyds_sim_t").collect()
+    assert len(rows) == 2000  # once each, no dupes across micro-batches
+    assert {tuple(r) for r in rows} == {gen_event(i) for i in range(2000)}

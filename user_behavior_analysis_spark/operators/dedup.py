@@ -486,9 +486,16 @@ def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
     explicit df cap.
     """
     thr_m = int(round(threshold * 1000))
+    # tk feeds three consumers (df table, rank window, verify sets) and
+    # the prefix feeds both self-join sides: without staging, the
+    # scan→shingle→hash pipeline re-executes ~5x (the same fan-out
+    # substring_containment hit). localCheckpoint materializes each
+    # narrow relation once — at petabyte scale this is the temp-table
+    # staging step.
     tk = (_doc_shingles(df, text_col, id_col, ngram)
           .select("doc_id", md5_prefix_hash(F.col("g")).alias("tok"))
-          .distinct())
+          .distinct()
+          .localCheckpoint(eager=False))
     dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
     # Per-doc rarest-first position + set size off ONE doc_id exchange:
     # the rank window and the count window share the hash partitioning.
@@ -502,7 +509,8 @@ def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
     min_ov = (F.lit(thr_m) * F.col("n") + F.lit(999)) / F.lit(1000)
     prefix = (ranked.where(F.col("pos") <= F.col("n")
                            - F.floor(min_ov).cast("int") + 1)
-                    .select("doc_id", "tok", "n", "pos"))
+                    .select("doc_id", "tok", "n", "pos")
+                    .localCheckpoint(eager=False))
     # PPJoin position filter (lossless): a prefix match at sorted
     # positions (pos_a, pos_b) bounds the achievable overlap by
     # 1 + min(remaining suffixes); pairs whose bound already misses
@@ -579,21 +587,26 @@ def incremental_dedup_status(corpus: DataFrame, batch: DataFrame,
     exact = (fp_new.join(fp_old.hint("shuffle_hash"), "fp")
                    .groupBy("doc_id")
                    .agg(F.min("old_id").alias("exact_id")))
+    # Set sizes ride ON the shingle rows via a count window over the
+    # deduped relation instead of separate size aggregates: the size
+    # joins would re-execute the whole scan→shingle→hash pipeline per
+    # consumer (measured ~2x the query). The window costs one narrow
+    # exchange of 8-byte keyed rows; the gram hashing runs once.
+    w_new, w_old = Window.partitionBy("doc_id"), Window.partitionBy("old_id")
     sh_new = (_doc_shingles(batch, text_col, id_col, ngram)
               .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
-              .distinct())
+              .distinct()
+              .withColumn("na", F.count(F.lit(1)).over(w_new)))
     sh_old = (_doc_shingles(corpus, text_col, id_col, ngram)
               .select(F.col("doc_id").alias("old_id"),
                       md5_prefix_hash(F.col("g")).alias("gh"))
-              .distinct())
-    n_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    n_old = sh_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("nb"))
+              .distinct()
+              .withColumn("nb", F.count(F.lit(1)).over(w_old)))
     inter = (sh_new.join(sh_old.hint("shuffle_hash"), "gh")
                    .groupBy("doc_id", "old_id")
-                   .agg(F.count(F.lit(1)).alias("inter_n")))
-    near = (inter.join(n_new.hint("shuffle_hash"), "doc_id")
-                 .join(n_old.hint("shuffle_hash"), "old_id")
-                 .where(F.lit(1000) * F.col("inter_n")
+                   .agg(F.count(F.lit(1)).alias("inter_n"),
+                        F.max("na").alias("na"), F.max("nb").alias("nb")))
+    near = (inter.where(F.lit(1000) * F.col("inter_n")
                         >= F.lit(thr_m)
                         * (F.col("na") + F.col("nb") - F.col("inter_n")))
                  .groupBy("doc_id")

