@@ -529,3 +529,14 @@ def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
     heaps), never a full sort or a corpus-wide Window."""
     plan = plan_of(spark, "quality_weighted_sample", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_salted_segment_join_physical_shape(spark, sf_dir):
+    """The salted join must execute as a shuffle-hash join on
+    (key, salt) with the dimension replicated map-side (explode of the
+    salt sequence) — no broadcast build (the operator's scenario is a
+    dim too big to broadcast), no nested-loop fallback."""
+    plan = plan_of(spark, "segment_revenue_salted", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "explode" in plan.lower() or "Generate" in plan, plan

@@ -5866,6 +5866,50 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "w_tokens", "skey", rn.alias("rn"))
 
 
+# --- salted join under key skew ---------------------------------------------
+
+_SALTED_SEGMENT_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+@query("segment_revenue_salted", _SALTED_SEGMENT_ORACLE)
+def segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment order rollup computed THROUGH the skew-salted
+    join (operators/joins.py:salted_join): the fact side carries a
+    deterministic row-hash salt, the dimension is replicated once per
+    salt, and the join key becomes (custkey, salt) — a hot customer's
+    rows spread across ``buckets`` tasks instead of stalling one. The
+    oracle runs the plain unsalted join: salting is pure physical
+    re-distribution, so every aggregate must come out bit-identical —
+    which is exactly what the hash gate proves.
+
+    100 TB shape: this is the skew escape hatch when the dimension is
+    too big to broadcast AND AQE's skew split cannot apply (e.g. the
+    skewed side feeds a stateful/bucketed consumer that pins its
+    partitioning). Cost model: dim bytes x buckets replication against
+    the straggler's wall time; buckets=8 keeps the demo honest."""
+    from .operators.joins import salted_join
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    # the operator's scenario is a NON-broadcastable dim: pin the
+    # replicated side shuffle-hash so the demo exercises the real
+    # physical shape at any scale factor
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        "c_mktsegment").hint("shuffle_hash")
+    joined = salted_join(orders, cust, "o_custkey", buckets=8)
+    return (joined.groupBy(F.col("c_mktsegment").alias("segment"))
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(_dec("o_totalprice")).cast("double")
+                        .alias("revenue")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
