@@ -1047,3 +1047,60 @@ def test_python_datasource_stream_drains_exactly_once(spark):
     rows = spark.sql("SELECT * FROM pyds_sim_t").collect()
     assert len(rows) == 2000  # once each, no dupes across micro-batches
     assert {tuple(r) for r in rows} == {gen_event(i) for i in range(2000)}
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static probe parity: the document stream classified per
+    micro-batch against the staged corpus index must equal the batch
+    incremental_dedup output row-for-row."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.sources import load_table
+    from user_behavior_analysis_spark.streaming.jobs import (
+        incremental_dedup_stream)
+    docs = load_table(spark, sf_dir, "documents")
+    arrivals = str(tmp_path / "arrivals")
+    # 4 files + maxFilesPerTrigger=1 → the arriving docs really are
+    # chopped across ≥4 micro-batches
+    docs.where(F.col("doc_id") % 10 == 0).repartition(4) \
+        .write.parquet(arrivals)
+    doc_stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(arrivals))
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    got: list = []
+
+    def collect(df, epoch_id):
+        got.extend((r.doc_id, r.status, r.match_id) for r in df.collect())
+
+    q = (incremental_dedup_stream(doc_stream, corpus, "text", "doc_id",
+                                  collect)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = {(r.doc_id, r.status, r.match_id)
+            for r in QUERIES["incremental_dedup"](spark, sf_dir).collect()}
+    assert len(got) == len(want)
+    assert set(got) == want
+
+
+def test_incremental_dedup_chop_invariant(spark, sf_dir):
+    """Each doc's verdict depends only on itself and the static corpus:
+    classifying the arriving docs in two chops against a shared staged
+    index must equal classifying them in one."""
+    from user_behavior_analysis_spark.operators.dedup import (
+        corpus_dedup_index, incremental_dedup_status)
+    from user_behavior_analysis_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    index = corpus_dedup_index(corpus, "text", "doc_id", stage=True)
+    whole = {tuple(r) for r in incremental_dedup_status(
+        None, batch, "text", "doc_id", index=index).collect()}
+    chopped = set()
+    for rem in (0, 1):
+        part = batch.where((F.col("doc_id") % 20) / 10 == rem)
+        chopped |= {tuple(r) for r in incremental_dedup_status(
+            None, part, "text", "doc_id", index=index).collect()}
+    assert chopped == whole

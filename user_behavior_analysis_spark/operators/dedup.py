@@ -556,10 +556,34 @@ def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
                          / F.col("union_n")).alias("jaccard")))
 
 
+def corpus_dedup_index(corpus: DataFrame, text_col: str, id_col: str,
+                       ngram: int = 3,
+                       stage: bool = False) -> tuple[DataFrame, DataFrame]:
+    """The two corpus-side index relations incremental dedup probes:
+    (fingerprint set, deduped shingle inverted index with set sizes).
+    A production pipeline maintains these incrementally; ``stage=True``
+    localCheckpoints them so a long-lived consumer (the streaming
+    micro-batch loop) builds them ONCE instead of per batch."""
+    fp_old = corpus.select(F.col(id_col).alias("old_id"),
+                           fingerprint(text_col).alias("fp"))
+    w_old = Window.partitionBy("old_id")
+    sh_old = (_doc_shingles(corpus, text_col, id_col, ngram)
+              .select(F.col("doc_id").alias("old_id"),
+                      md5_prefix_hash(F.col("g")).alias("gh"))
+              .distinct()
+              .withColumn("nb", F.count(F.lit(1)).over(w_old)))
+    if stage:
+        fp_old = fp_old.localCheckpoint(eager=True)
+        sh_old = sh_old.localCheckpoint(eager=True)
+    return fp_old, sh_old
+
+
 def incremental_dedup_status(corpus: DataFrame, batch: DataFrame,
                              text_col: str, id_col: str,
                              ngram: int = 3,
-                             threshold: float = 0.8) -> DataFrame:
+                             threshold: float = 0.8,
+                             index: tuple[DataFrame, DataFrame] | None = None,
+                             ) -> DataFrame:
     """Incremental dedup: classify every NEW document against an
     EXISTING corpus — the production shape where yesterday's 100 TB is
     already deduped and only today's crawl delta needs checking.
@@ -580,10 +604,11 @@ def incremental_dedup_status(corpus: DataFrame, batch: DataFrame,
     cross-engine bit-equality.
     """
     thr_m = int(round(threshold * 1000))
+    fp_old, sh_old = (index if index is not None
+                      else corpus_dedup_index(corpus, text_col, id_col,
+                                              ngram))
     fp_new = batch.select(F.col(id_col).alias("doc_id"),
                           fingerprint(text_col).alias("fp"))
-    fp_old = corpus.select(F.col(id_col).alias("old_id"),
-                           fingerprint(text_col).alias("fp"))
     exact = (fp_new.join(fp_old.hint("shuffle_hash"), "fp")
                    .groupBy("doc_id")
                    .agg(F.min("old_id").alias("exact_id")))
@@ -592,16 +617,11 @@ def incremental_dedup_status(corpus: DataFrame, batch: DataFrame,
     # joins would re-execute the whole scan→shingle→hash pipeline per
     # consumer (measured ~2x the query). The window costs one narrow
     # exchange of 8-byte keyed rows; the gram hashing runs once.
-    w_new, w_old = Window.partitionBy("doc_id"), Window.partitionBy("old_id")
+    w_new = Window.partitionBy("doc_id")
     sh_new = (_doc_shingles(batch, text_col, id_col, ngram)
               .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
               .distinct()
               .withColumn("na", F.count(F.lit(1)).over(w_new)))
-    sh_old = (_doc_shingles(corpus, text_col, id_col, ngram)
-              .select(F.col("doc_id").alias("old_id"),
-                      md5_prefix_hash(F.col("g")).alias("gh"))
-              .distinct()
-              .withColumn("nb", F.count(F.lit(1)).over(w_old)))
     inter = (sh_new.join(sh_old.hint("shuffle_hash"), "gh")
                    .groupBy("doc_id", "old_id")
                    .agg(F.count(F.lit(1)).alias("inter_n"),

@@ -27,18 +27,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.topn import top_n_per_group
 
 
-def stream_table(spark: SparkSession, sf_dir: str, name: str,
+def stream_table(spark: SparkSession, path: str, schema,
                  max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-based streaming source over a testdata table — the stand-in
-    for the reference's Kafka/CSV replay sources (S1-S3). Schema comes
-    from a batch peek (streaming readers need explicit schemas)."""
-    from ..sources import load_table
-    schema = load_table(spark, sf_dir, name).schema
+    """File-based streaming source over a parquet DIRECTORY — the
+    stand-in for the reference's Kafka/CSV replay sources (S1-S3).
+    ``path`` must be a directory (Spark's file stream source rejects a
+    bare file as basePath); replay tests stage table files into a tmp
+    dir, optionally with ``maxFilesPerTrigger=1`` to force multi-batch
+    chopping. Schema is explicit — streaming readers cannot infer."""
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.load(f"{sf_dir}/{name}.parquet")
-    return df
+    return reader.load(path)
 
 
 def windowed_count_stream(events: DataFrame, ts_col: str, duration: str,
@@ -223,6 +223,40 @@ def dedup_exact_stream(df: DataFrame, ts_col: str, text_col: str,
           .withWatermark(ts_col, watermark)
           .dropDuplicatesWithinWatermark(["fp"])
     )
+
+
+def incremental_dedup_stream(doc_stream: DataFrame, corpus: DataFrame,
+                             text_col: str, id_col: str,
+                             on_batch, ngram: int = 3,
+                             threshold: float = 0.8):
+    """Streaming incremental dedup — the stream-static probe shape: a
+    document stream is classified per micro-batch against a STATIC,
+    pre-staged corpus index (``operators.dedup.corpus_dedup_index``,
+    built ONCE with eager localCheckpoint, reused by every batch — the
+    maintained-index posture a production crawler pipeline runs with).
+
+    foreachBatch rather than a native stream-static join because the
+    classifier needs batch-only shapes (the per-doc shingle-count
+    window, multi-join status resolution); each micro-batch runs the
+    EXACT batch operator, so batch/stream parity holds bit-for-bit
+    regardless of how the stream is chopped into micro-batches — each
+    doc's verdict depends only on itself and the static corpus.
+
+    ``on_batch(result_df, epoch_id)`` receives each classified batch;
+    returns the started-query handle builder (caller adds sink opts /
+    trigger and ``.start()``).
+    """
+    from ..operators.dedup import corpus_dedup_index, incremental_dedup_status
+
+    index = corpus_dedup_index(corpus, text_col, id_col, ngram, stage=True)
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        out = incremental_dedup_status(None, batch_df, text_col, id_col,
+                                       ngram=ngram, threshold=threshold,
+                                       index=index)
+        on_batch(out, epoch_id)
+
+    return doc_stream.writeStream.foreachBatch(fn)
 
 
 def observe_input(df: DataFrame, name: str = "input") -> DataFrame:
