@@ -1,0 +1,109 @@
+"""10x scale probe over the REAL query path: synthesize a ~sf1
+directory (every sf0.1 table replicated 10x with key-offset copies,
+referential integrity preserved) and run a representative registry
+subset against it via the unchanged ``load_table`` path — the closest
+this box gets to "same code, 10x the data".
+
+Key discipline per copy i: every entity key (+= i * 10^9) so joins and
+groupings stay valid and cardinalities scale honestly; dims (region,
+nation, part, supplier, customer) replicate with their keys so the
+"broadcast the dimension" assumption is stress-checked too; documents
+get a per-copy text suffix (near-dup families widen 10x — the
+adversarial case for the dedup family, same recipe as
+corpus_scale_probe).
+
+Interpretation: ratio ≈ 10 is linear scaling (per-row cost constant);
+ratio < 10 means fixed overheads amortize; ratio >> 10 flags a
+super-linear stage. Run: python scripts/sf1_scale_probe.py [out_dir]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from user_behavior_analysis_spark.queries import QUERIES  # noqa: E402
+from user_behavior_analysis_spark.session import get_spark  # noqa: E402
+from user_behavior_analysis_spark.sources import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+FACTOR = 10
+OFF = 1_000_000_000
+
+#: key columns to offset per copy, by table
+KEYED = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+SUBSET = [
+    "pricing_summary", "shipping_priority", "product_type_profit",
+    "best_supplier_per_part", "cust_order_distribution", "market_share",
+    "hot_items_topn", "session_paths", "customer_running_spend",
+    "rfm_segments", "training_shards", "tfidf_top_terms",
+    "heavy_hitters_cms", "dedup_minhash_lsh", "dedup_pipeline",
+    "boilerplate_ngrams", "histogram_quantiles", "part_pagerank",
+    "zorder_layout", "quality_weighted_sample",
+]
+
+
+def synthesize(spark, out_dir: str) -> None:
+    for name, keys in KEYED.items():
+        src = load_table(spark, BASE, name)
+        if not keys:  # shared dims replicate once, unchanged
+            src.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+            continue
+        copies = spark.range(FACTOR).select(F.col("id").alias("_copy"))
+        rep = src.crossJoin(F.broadcast(copies))
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("_copy") * OFF)
+        if name == "documents":
+            rep = rep.withColumn(
+                "text", F.concat_ws(" ", "text",
+                                    F.concat(F.lit("c"), "_copy")))
+        rep.drop("_copy").write.mode("overwrite") \
+           .parquet(f"{out_dir}/{name}.parquet")
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1synth"
+    spark = get_spark("sf1-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        synthesize(spark, out_dir)
+        print(f"synthesized {out_dir} in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    # warmup
+    QUERIES["hot_items_topn"](spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
+    out: dict = {"factor": FACTOR}
+    for name in SUBSET:
+        row = {}
+        for label, sf_dir in (("sf01_s", BASE), ("x10_s", out_dir)):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            row[label] = round(time.perf_counter() - t0, 2)
+        row["ratio"] = round(row["x10_s"] / max(row["sf01_s"], 1e-9), 1)
+        out[name] = row
+        print(json.dumps({name: row}), flush=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,13 @@ BITS = 16
 
 def _normalize(col: Column, lo: Column, hi: Column) -> Column:
     """Rank-free range normalization of an integer key to [0, 2^BITS):
-    exact integer arithmetic, so both engines compute the identical
-    cell. Degenerate (constant) dimensions map to 0."""
+    the offset is cast to double BEFORE the 65535 multiply (a span
+    ≥ 2^48 would overflow int64 under ANSI mode; the double path is
+    exact below 2^53 and stays monotone above, which is all the
+    bucketing contract needs). Both engines compute the identical
+    cell; degenerate (constant) dimensions map to 0."""
     span = hi - lo
-    scaled = (col - lo) * F.lit((1 << BITS) - 1)
+    scaled = (col - lo).cast("double") * F.lit((1 << BITS) - 1)
     return F.when(span == 0, F.lit(0)).otherwise(
         F.floor(scaled / span)).cast("long")
 
@@ -75,10 +78,15 @@ def zorder_layout_stats(df: DataFrame, col_a: str, col_b: str,
     ub = _normalize(F.col(col_b), F.col("blo"), F.col("bhi"))
     z = zorder_value(ua, ub)
     bucket = F.shiftright(z, 2 * BITS - buckets_log2).cast("int")
-    area = ((F.max(col_a) - F.min(col_a) + 1)
-            * (F.max(col_b) - F.min(col_b) + 1))
-    domain = ((F.first("ahi") - F.first("alo") + 1)
-              * (F.first("bhi") - F.first("blo") + 1))
+    # rectangle areas in DOUBLE: two wide key domains multiply past
+    # int64 (found by the 10x key-offset scale probe — ANSI mode
+    # overflows where DuckDB silently promotes to HUGEINT); each span
+    # is < 2^53 so the doubles are exact and both engines round the
+    # product identically.
+    area = ((F.max(col_a) - F.min(col_a) + 1).cast("double")
+            * (F.max(col_b) - F.min(col_b) + 1).cast("double"))
+    domain = ((F.first("ahi") - F.first("alo") + 1).cast("double")
+              * (F.first("bhi") - F.first("blo") + 1).cast("double"))
     return (df.join(F.broadcast(bounds))
               .select(F.col(col_a), F.col(col_b), bucket.alias("bucket"),
                       "alo", "ahi", "blo", "bhi")

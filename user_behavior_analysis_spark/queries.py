@@ -5648,10 +5648,12 @@ WITH bounds AS (
 ), u AS (
   SELECT l_partkey, l_suppkey, alo, ahi, blo, bhi,
          CASE WHEN ahi = alo THEN 0 ELSE
-           CAST(FLOOR((l_partkey - alo) * 65535 / (ahi - alo)) AS BIGINT)
+           CAST(FLOOR(CAST(l_partkey - alo AS DOUBLE) * 65535
+                      / (ahi - alo)) AS BIGINT)
          END AS ua,
          CASE WHEN bhi = blo THEN 0 ELSE
-           CAST(FLOOR((l_suppkey - blo) * 65535 / (bhi - blo)) AS BIGINT)
+           CAST(FLOOR(CAST(l_suppkey - blo AS DOUBLE) * 65535
+                      / (bhi - blo)) AS BIGINT)
          END AS ub
   FROM lineitem CROSS JOIN bounds
 ), z AS (
@@ -5663,9 +5665,12 @@ SELECT CAST(zv >> 26 AS INTEGER) AS bucket,
        COUNT(*) AS n_rows,
        MIN(l_partkey) AS a_min, MAX(l_partkey) AS a_max,
        MIN(l_suppkey) AS b_min, MAX(l_suppkey) AS b_max,
-       CAST(FLOOR(1000000 * ((MAX(l_partkey) - MIN(l_partkey) + 1)
-                             * (MAX(l_suppkey) - MIN(l_suppkey) + 1))
-                  / ((MIN(ahi) - MIN(alo) + 1) * (MIN(bhi) - MIN(blo) + 1)))
+       CAST(FLOOR(1000000 * (CAST(MAX(l_partkey) - MIN(l_partkey) + 1
+                                  AS DOUBLE)
+                             * CAST(MAX(l_suppkey) - MIN(l_suppkey) + 1
+                                    AS DOUBLE))
+                  / (CAST(MIN(ahi) - MIN(alo) + 1 AS DOUBLE)
+                     * CAST(MIN(bhi) - MIN(blo) + 1 AS DOUBLE)))
             AS BIGINT) AS span_ppm
 FROM z GROUP BY 1
 """
