@@ -1,20 +1,29 @@
 """End-to-end corpus curation run — the engine as a PRODUCT, not a
-query registry: read a raw documents table, apply the quality gate,
-drop near-duplicates (LSH candidates → Jaccard verify → connected
-components), cluster-balance for semantic diversity at the source
-level, and materialize a training-ready corpus (lang-partitioned
-sorted parquet + gzip JSONL interchange) plus a per-stage survival
-report.
+query registry: the full RefinedWeb-style funnel over a raw documents
+table:
+
+1. quality gate           (doc-level filter)
+2. paragraph/unit dedup   (BODY REWRITE — repeated units stripped,
+                           emptied docs dropped)
+3. substring containment  (excerpt screen: docs mostly contained in an
+                           earlier/larger doc are dropped)
+4. near-dup removal       (LSH candidates → Jaccard verify →
+                           connected components, keep-first)
+5. materialize            (lang-partitioned sorted parquet + gzip
+                           JSONL interchange)
 
 Every stage is one of the registry's oracled operators — this script
 only composes and materializes. Stage survivors are intersected with
-left-semi joins (no payload duplication), and the final write goes
-through sinks.write_optimized_layout so the output is
-directory-pruned + row-group-sorted for downstream trainers.
+left-semi joins (no payload duplication); stage 2 REWRITES the text
+column, and all later stages (and the layout write) consume the
+rewritten bodies. The final write goes through
+sinks.write_optimized_layout so the output is directory-pruned +
+row-group-sorted for downstream trainers.
 
 Run: python scripts/curation_run.py [sf_dir] [out_dir]
 Prints one JSON report line:
-{"input": N, "quality_kept": N, "dedup_kept": N, "written": N, ...}
+{"input": N, "quality_kept": N, "para_kept": N, "containment_kept": N,
+ "dedup_kept": N, "written": N, ...}
 """
 from __future__ import annotations
 
@@ -28,7 +37,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from user_behavior_analysis_spark.operators.dedup import (  # noqa: E402
-    dedup_clusters, minhash_lsh_pairs, verify_pairs_jaccard)
+    containment_pairs, dedup_clusters, minhash_lsh_pairs,
+    unit_dedup_reconstruct, verify_pairs_jaccard)
 from user_behavior_analysis_spark.queries import QUERIES  # noqa: E402
 from user_behavior_analysis_spark.session import get_spark  # noqa: E402
 from user_behavior_analysis_spark.sinks import (  # noqa: E402
@@ -37,7 +47,8 @@ from user_behavior_analysis_spark.sources import load_table  # noqa: E402
 
 
 def run(spark, sf_dir: str, out_dir: str,
-        jaccard_threshold: float = 0.8) -> dict:
+        jaccard_threshold: float = 0.8,
+        containment_permille: int = 800) -> dict:
     t0 = time.perf_counter()
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
@@ -50,7 +61,43 @@ def run(spark, sf_dir: str, out_dir: str,
                     .localCheckpoint(eager=True)
     n_quality = survivors.count()
 
-    # 2. near-dup removal on the quality survivors: LSH candidates →
+    # 2. paragraph/unit dedup — the BODY REWRITE stage: repeated units
+    #    keep only their globally first occurrence, every later stage
+    #    reads the cleaned bodies. Docs whose every unit first appeared
+    #    elsewhere collapse to '' and are dropped here (they carry no
+    #    novel text). Token-chunk units on this corpus; split_lines=True
+    #    on real newline-bearing crawls — same operator either way.
+    rewritten = unit_dedup_reconstruct(survivors, "text", "doc_id",
+                                       unit_tokens=20)
+    survivors = (survivors.drop("text")
+                 .join(rewritten.where(F.col("n_kept") > 0)
+                                .select("doc_id",
+                                        F.col("cleaned_text")
+                                         .alias("text")),
+                       "doc_id")
+                 .localCheckpoint(eager=True))
+    n_para = survivors.count()
+    n_para_rewritten = rewritten.where(
+        (F.col("n_kept") > 0) & (F.col("n_kept") < F.col("n_units"))
+    ).count()
+
+    # 3. substring-containment excerpt screen on the cleaned bodies:
+    #    a doc ≥80% contained (by winnowing fingerprints) in another is
+    #    the quote/excerpt/template case whole-doc MinHash misses —
+    #    drop the CONTAINED side (fewer fingerprints; tiebreak: the
+    #    later doc_id), keep the containing original.
+    cont = containment_pairs(survivors, "text", "doc_id") \
+        .where(F.col("containment_permille") >= containment_permille)
+    drop_contained = cont.select(
+        F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+         .when(F.col("nb") < F.col("na"), F.col("doc_b"))
+         .otherwise(F.greatest("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    survivors = survivors.join(drop_contained, "doc_id", "left_anti") \
+                         .localCheckpoint(eager=True)
+    n_containment = survivors.count()
+
+    # 4. near-dup removal on the screened survivors: LSH candidates →
     #    candidate-restricted exact Jaccard → connected components →
     #    keep the smallest doc_id per cluster
     cand = minhash_lsh_pairs(survivors, "text", "doc_id")
@@ -76,6 +123,8 @@ def run(spark, sf_dir: str, out_dir: str,
     return {
         "sf_dir": sf_dir, "out_dir": out_dir,
         "input": n_input, "quality_kept": n_quality,
+        "para_kept": n_para, "para_rewritten": n_para_rewritten,
+        "containment_kept": n_containment,
         "dedup_kept": n_dedup, "written": n_written,
         "by_lang": by_lang,
         "wall_s": round(time.perf_counter() - t0, 2),

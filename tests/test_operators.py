@@ -1504,17 +1504,21 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
 
 
 def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
-    """The product-level composition: quality gate → near-dup removal →
-    materialized lang-partitioned corpus. Counts must be monotone
-    non-increasing per stage, the written parquet must equal the
-    curated count, and partition dirs must prune by lang."""
+    """The product-level composition — full funnel (quality gate →
+    paragraph dedup body rewrite → containment excerpt screen →
+    near-dup removal → materialized lang-partitioned corpus). Counts
+    must be monotone non-increasing per stage, the written parquet
+    must equal the curated count, partition dirs must prune by lang,
+    and the REWRITTEN bodies (stage 2) must be what lands in the
+    layout write."""
     import glob
     import sys
     sys.path.insert(0, "/root/repo/scripts")
     from curation_run import run
     out = str(tmp_path / "curated")
     rep = run(spark, sf_dir, out)
-    assert rep["input"] >= rep["quality_kept"] >= rep["dedup_kept"] > 0
+    assert rep["input"] >= rep["quality_kept"] >= rep["para_kept"] \
+        >= rep["containment_kept"] >= rep["dedup_kept"] > 0
     assert rep["written"] == rep["dedup_kept"]
     assert sum(rep["by_lang"].values()) == rep["dedup_kept"]
     dirs = glob.glob(out + "/parquet/lang=*")

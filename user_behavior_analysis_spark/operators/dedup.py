@@ -393,18 +393,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
 
 
 def unit_dedup_reconstruct(df: DataFrame, text_col: str, id_col: str,
-                           unit_tokens: int = 20) -> DataFrame:
+                           unit_tokens: int = 20,
+                           split_lines: bool = False) -> DataFrame:
     """Corpus-level unit (paragraph/line) exact dedup WITH document
     reconstruction — the RefinedWeb/C4 "line dedup" pass: split every
     document into units, keep only the globally FIRST occurrence of
     each distinct unit (ordered by (doc id, position)), and re-assemble
     each document from its surviving units in original order.
 
-    The unit splitter here is a fixed ``unit_tokens``-token chunker
-    because the synthetic corpus has no newlines; on real corpora the
-    unit is the line/paragraph (``split(text, '\\n')``) and everything
-    downstream is identical — the operator's contract is over
-    (doc_id, unit_idx, unit_text) rows, not over how units are cut.
+    Two unit splitters, same contract downstream (the operator works
+    over (doc_id, unit_idx, unit_text) rows, not over how units were
+    cut): the default fixed ``unit_tokens``-token chunker (for corpora
+    without newlines, like the synthetic testdata), and the real
+    line/paragraph path ``split_lines=True`` — ``split(text, '\\n')``
+    with empty lines dropped, reconstruction joining on '\\n' — the
+    cut every RefinedWeb/C4-style pipeline actually uses.
 
     Output: one row per document with ≥1 unit —
     (doc_id, n_units, n_kept, cleaned_text); documents whose every unit
@@ -421,18 +424,31 @@ def unit_dedup_reconstruct(df: DataFrame, text_col: str, id_col: str,
     map-side; nothing row-local leaves Tungsten until the ranking
     exchange.
     """
-    t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
-                 lambda x: x != "")
-    n_units = F.ceil(F.size("t") / F.lit(unit_tokens)).cast("int")
-    units = F.transform(
-        F.sequence(F.lit(0), n_units - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice("t", i * unit_tokens + 1, unit_tokens)))
-    exploded = (
-        df.select(F.col(id_col).alias("doc_id"), t.alias("t"))
-          .where(F.size("t") > 0)
-          .select("doc_id", F.posexplode(units).alias("uidx", "unit"))
-    )
+    if split_lines:
+        sep = "\n"
+        units_arr = F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda x: x != "")
+        exploded = (
+            df.select(F.col(id_col).alias("doc_id"),
+                      units_arr.alias("u"))
+              .where(F.size("u") > 0)
+              .select("doc_id", F.posexplode("u").alias("uidx", "unit"))
+        )
+    else:
+        sep = " "
+        t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                     lambda x: x != "")
+        n_units = F.ceil(F.size("t") / F.lit(unit_tokens)).cast("int")
+        units = F.transform(
+            F.sequence(F.lit(0), n_units - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("t", i * unit_tokens + 1, unit_tokens)))
+        exploded = (
+            df.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+              .where(F.size("t") > 0)
+              .select("doc_id", F.posexplode(units).alias("uidx", "unit"))
+        )
     w = (Window.partitionBy(F.xxhash64("unit"), F.col("unit"))
                .orderBy("doc_id", "uidx"))
     ranked = exploded.withColumn(
@@ -448,7 +464,7 @@ def unit_dedup_reconstruct(df: DataFrame, text_col: str, id_col: str,
                               F.transform(
                                   F.filter("p", lambda s: s["kept"]),
                                   lambda s: s["unit"]),
-                              " ").alias("cleaned_text")))
+                              sep).alias("cleaned_text")))
 
 
 def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
@@ -642,3 +658,104 @@ def incremental_dedup_status(corpus: DataFrame, batch: DataFrame,
                           .otherwise(F.lit("unique")).alias("status"),
                          F.coalesce("exact_id", "near_id",
                                     F.lit(-1)).alias("match_id")))
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 3, w: int = 4, max_df: int = 1000,
+                      min_shared: int = 3) -> DataFrame:
+    """Substring-level containment candidates via winnowing fingerprints
+    (the computation behind the ``substring_containment`` registry
+    query, factored out so pipelines can run it over ANY staged
+    relation, e.g. the curation funnel's quality survivors).
+
+    Returns (doc_a, doc_b, shared, na, nb, containment_permille):
+    pairs sharing ≥ ``min_shared`` fingerprints, scored by
+    shared / min(|fps_a|, |fps_b|) in exact integer per-mille.
+
+    100 TB shape (same as the query): fingerprints appearing in
+    > ``max_df`` docs are dropped BEFORE the inverted-index self-join
+    (boilerplate cap, bounds any bucket's fan-out); the kept relation
+    feeds four consumers so it is localCheckpoint-staged once; every
+    doc-scaled join is pinned shuffle-hash.
+    """
+    from ..functions.text import winnow_fingerprints_expr
+
+    fps = (df.withColumn("toks", tokens(F.col(text_col)))
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.expr(winnow_fingerprints_expr(
+                         "toks", k, w))).alias("fp")))
+    df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("dfc"))
+    kept = (fps.join(df_tbl.hint("shuffle_hash"), "fp")
+               .where(F.col("dfc") <= max_df)
+               .select("doc_id", "fp")
+               .localCheckpoint(eager=True))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.hint("shuffle_hash").alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("shared"))
+              .where(F.col("shared") >= min_shared))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a") \
+              .withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b") \
+              .withColumnRenamed("n", "nb")
+    return (pairs.join(sa.hint("shuffle_hash"), "doc_a")
+                 .join(sb.hint("shuffle_hash"), "doc_b")
+                 .select("doc_a", "doc_b", "shared", "na", "nb",
+                         F.expr("1000 * shared div least(na, nb)")
+                          .alias("containment_permille")))
+
+
+class IncrementalDedupIndex:
+    """MAINTAINED corpus dedup index — the stateful counterpart of
+    ``corpus_dedup_index`` for long-lived consumers (VERDICT r4 item 6):
+    classify a delta against the index, then ABSORB the delta's unique
+    survivors so later deltas dedup against corpus ∪ every prior batch,
+    converging to batch-over-union semantics instead of probing a
+    frozen snapshot.
+
+    Both relations re-stage (eager localCheckpoint) after each absorb:
+    lineage stays one hop deep no matter how many epochs have merged,
+    and each classify probes materialized rows — never a re-execution
+    of all prior batches. Index growth is the survivors' fingerprint +
+    shingle rows, i.e. exactly the state a production crawler pipeline
+    persists between runs; at 100 TB the same shape lives in a table
+    the stream MERGEs into instead of executor storage.
+
+    Intra-batch duplicates are deliberately NOT resolved here (same
+    contract as ``incremental_dedup_status``): all of a batch's unique
+    docs absorb, and the batch self-join pass stays a separate
+    operator.
+    """
+
+    def __init__(self, corpus: DataFrame, text_col: str, id_col: str,
+                 ngram: int = 3):
+        self.text_col, self.id_col, self.ngram = text_col, id_col, ngram
+        self.fp_old, self.sh_old = corpus_dedup_index(
+            corpus, text_col, id_col, ngram, stage=True)
+
+    def classify(self, batch: DataFrame,
+                 threshold: float = 0.8) -> DataFrame:
+        return incremental_dedup_status(
+            None, batch, self.text_col, self.id_col, ngram=self.ngram,
+            threshold=threshold, index=(self.fp_old, self.sh_old))
+
+    def absorb(self, survivors: DataFrame) -> None:
+        """Merge ``survivors`` (rows of the original document schema —
+        the docs classified unique) into both index relations."""
+        fp_add = survivors.select(
+            F.col(self.id_col).alias("old_id"),
+            fingerprint(self.text_col).alias("fp"))
+        w = Window.partitionBy("old_id")
+        sh_add = (_doc_shingles(survivors, self.text_col, self.id_col,
+                                self.ngram)
+                  .select(F.col("doc_id").alias("old_id"),
+                          md5_prefix_hash(F.col("g")).alias("gh"))
+                  .distinct()
+                  .withColumn("nb", F.count(F.lit(1)).over(w)))
+        self.fp_old = self.fp_old.unionByName(fp_add) \
+                                 .localCheckpoint(eager=True)
+        self.sh_old = self.sh_old.unionByName(sh_add) \
+                                 .localCheckpoint(eager=True)

@@ -228,32 +228,50 @@ def dedup_exact_stream(df: DataFrame, ts_col: str, text_col: str,
 def incremental_dedup_stream(doc_stream: DataFrame, corpus: DataFrame,
                              text_col: str, id_col: str,
                              on_batch, ngram: int = 3,
-                             threshold: float = 0.8):
+                             threshold: float = 0.8,
+                             refresh_index: bool = False):
     """Streaming incremental dedup — the stream-static probe shape: a
-    document stream is classified per micro-batch against a STATIC,
-    pre-staged corpus index (``operators.dedup.corpus_dedup_index``,
-    built ONCE with eager localCheckpoint, reused by every batch — the
-    maintained-index posture a production crawler pipeline runs with).
+    document stream is classified per micro-batch against a pre-staged
+    corpus index (``operators.dedup.corpus_dedup_index``, built ONCE
+    with eager localCheckpoint — the maintained-index posture a
+    production crawler pipeline runs with).
+
+    ``refresh_index=False`` probes the FROZEN snapshot (every doc's
+    verdict depends only on itself and the original corpus — chop-
+    invariant). ``refresh_index=True`` (VERDICT r4 item 6) ABSORBS each
+    batch's unique survivors into the index between epochs
+    (``operators.dedup.IncrementalDedupIndex``): later batches dedup
+    against corpus ∪ all prior batches, converging to the
+    batch-over-union classifier — the semantics a crawler actually
+    wants (today's crawl must not re-admit a doc yesterday's DELTA
+    already admitted). Verdicts then depend on batch order (that IS the
+    semantics), but not on how a given prefix was chopped: absorb
+    happens strictly between epochs, so doc verdicts are a function of
+    the set of docs in strictly-earlier epochs.
 
     foreachBatch rather than a native stream-static join because the
     classifier needs batch-only shapes (the per-doc shingle-count
     window, multi-join status resolution); each micro-batch runs the
-    EXACT batch operator, so batch/stream parity holds bit-for-bit
-    regardless of how the stream is chopped into micro-batches — each
-    doc's verdict depends only on itself and the static corpus.
+    EXACT batch operator, so batch/stream parity holds bit-for-bit.
 
     ``on_batch(result_df, epoch_id)`` receives each classified batch;
     returns the started-query handle builder (caller adds sink opts /
     trigger and ``.start()``).
     """
-    from ..operators.dedup import corpus_dedup_index, incremental_dedup_status
+    from ..operators.dedup import IncrementalDedupIndex
 
-    index = corpus_dedup_index(corpus, text_col, id_col, ngram, stage=True)
+    index = IncrementalDedupIndex(corpus, text_col, id_col, ngram)
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        out = incremental_dedup_status(None, batch_df, text_col, id_col,
-                                       ngram=ngram, threshold=threshold,
-                                       index=index)
+        batch_df = batch_df.localCheckpoint(eager=True)  # read 2-3x
+        out = index.classify(batch_df, threshold=threshold)
+        if refresh_index:
+            out = out.localCheckpoint(eager=True)  # verdicts, then merge
+            uniq_ids = (out.where(F.col("status") == "unique")
+                           .select(F.col("doc_id").alias("_uid")))
+            uniq = batch_df.join(
+                uniq_ids, batch_df[id_col] == F.col("_uid"), "left_semi")
+            index.absorb(uniq)
         on_batch(out, epoch_id)
 
     return doc_stream.writeStream.foreachBatch(fn)
@@ -337,38 +355,115 @@ class LateRowRouter:
     after failure routes identically (the watermark is advanced AFTER
     routing, from data, not wall clock).
 
-    Scale notes: the per-batch driver work is one max() aggregate
-    (jobs are batch-local, no state store); driver-held state must be
-    re-seeded on restart by replaying the checkpointed source — wrap
-    the watermark in external storage if exactly-once late-routing
-    across driver crashes matters.
+    Restart durability (``state_dir``): the watermark is persisted per
+    EPOCH as a tiny JSON next to the checkpoint — ``wm-{epoch}.json``
+    holding the watermark the epoch routed WITH (``wm_in``) and the one
+    it advanced TO (``wm_out``), written atomically (temp + rename)
+    BEFORE any side output runs. foreachBatch is at-least-once: a
+    replayed epoch finds its own file and re-routes with the SAME
+    ``wm_in`` — bit-identical routing — while a restart into a fresh
+    epoch re-seeds from the highest prior epoch's ``wm_out`` instead of
+    re-seeding at zero. Files older than 32 epochs are garbage-collected
+    (the source checkpoint never replays further back than its own
+    retained offsets). Without ``state_dir`` the watermark is held on
+    the driver only (the pre-round-5 behavior, fine for tests/demos).
+
+    Scale notes: the per-batch driver work is one max() aggregate and
+    one ≤100-byte local-file write (jobs are batch-local, no state
+    store).
     """
 
-    def __init__(self, ts_col: str, delay_s: int, on_main, on_late):
+    #: epochs of watermark files retained for replay re-seeding
+    KEEP_EPOCHS = 32
+
+    def __init__(self, ts_col: str, delay_s: int, on_main, on_late,
+                 state_dir: str | None = None):
         self.ts_col = ts_col
         self.delay_s = delay_s
         self.on_main = on_main
         self.on_late = on_late
+        self.state_dir = state_dir
         self.watermark: float | None = None
+        if state_dir is not None:
+            import os
+
+            os.makedirs(state_dir, exist_ok=True)
+            last = self._latest_epoch()
+            if last is not None:
+                self.watermark = self._read(last).get("wm_out")
+
+    # -- tiny epoch-file log ------------------------------------------------
+    def _epochs(self) -> list[int]:
+        import os
+        import re as _re
+
+        out = []
+        for f in os.listdir(self.state_dir):
+            m = _re.fullmatch(r"wm-(\d+)\.json", f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _latest_epoch(self) -> int | None:
+        eps = self._epochs()
+        return eps[-1] if eps else None
+
+    def _path(self, epoch: int) -> str:
+        import os
+
+        return os.path.join(self.state_dir, f"wm-{epoch}.json")
+
+    def _read(self, epoch: int) -> dict:
+        import json
+
+        with open(self._path(epoch)) as fh:
+            return json.load(fh)
+
+    def _write(self, epoch: int, rec: dict) -> None:
+        import json
+        import os
+
+        tmp = self._path(epoch) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, self._path(epoch))  # atomic on POSIX
+        for e in self._epochs():
+            if e < epoch - self.KEEP_EPOCHS:
+                os.remove(self._path(e))
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if self.state_dir is not None:
+            if os.path.exists(self._path(epoch_id)):
+                # at-least-once replay of this epoch: route with the
+                # recorded wm_in, not the (already advanced) in-memory
+                # watermark — identical output to the first attempt.
+                self.watermark = self._read(epoch_id).get("wm_in")
         ts = F.col(self.ts_col).cast("double")
         batch_df = batch_df.localCheckpoint(eager=True)  # routed 3 ways
-        if self.watermark is not None:
+        # advance BEFORE side effects so wm_out is durable by the time
+        # anything external observes this epoch; routing still uses the
+        # pre-advance watermark (wm_in), preserving the Flink contract.
+        wm_in = self.watermark
+        row = batch_df.agg(F.max(ts).alias("mx")).collect()[0]
+        wm_out = wm_in
+        if row["mx"] is not None:
+            cand = row["mx"] - self.delay_s
+            if wm_out is None or cand > wm_out:
+                wm_out = cand
+        if self.state_dir is not None:
+            self._write(epoch_id, {"wm_in": wm_in, "wm_out": wm_out})
+        if wm_in is not None:
             # null event-times match NEITHER comparison (both predicates
             # null) — route them explicitly to main, matching the
             # first-batch (watermark None) behavior, so null-ts rows are
             # never silently dropped from both side outputs.
-            late = batch_df.where(ts < F.lit(self.watermark))
-            main = batch_df.where(ts.isNull()
-                                  | (ts >= F.lit(self.watermark)))
+            late = batch_df.where(ts < F.lit(wm_in))
+            main = batch_df.where(ts.isNull() | (ts >= F.lit(wm_in)))
         else:
             late = batch_df.limit(0)
             main = batch_df
         self.on_late(late, epoch_id)
         self.on_main(main, epoch_id)
-        row = batch_df.agg(F.max(ts).alias("mx")).collect()[0]
-        if row["mx"] is not None:
-            cand = row["mx"] - self.delay_s
-            if self.watermark is None or cand > self.watermark:
-                self.watermark = cand
+        self.watermark = wm_out
