@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from user_behavior_analysis_spark.operators.similarity import (  # noqa: E402
-    embedding_neardup_pairs, ivf_topk, pq_topk)
+    embedding_neardup_lsh_pairs, embedding_neardup_pairs, ivf_topk, pq_topk)
 from user_behavior_analysis_spark.session import get_spark  # noqa: E402
 from user_behavior_analysis_spark.sources import load_table  # noqa: E402
 
@@ -80,10 +80,26 @@ def main() -> None:
                             n_cells=16, n_probe=10).count())
         row["ivf_topk_s"], _ = timed(
             lambda: ivf_topk(q, c, k=5, n_cells=8, n_probe=4).count())
-        row["neardup_s"], row["neardup_pairs"] = timed(
-            lambda: embedding_neardup_pairs(
-                emb, "vec_id", "embedding", "label",
-                threshold=0.999).count())
+        if factor <= 10:
+            # the label-block predecessor, kept for the A/B: its block
+            # population multiplies with the factor (O(ΣB²) — 217× wall
+            # at 30× in r4), so the 30× leg is skipped by design.
+            row["neardup_label_s"], row["neardup_label_pairs"] = timed(
+                lambda: embedding_neardup_pairs(
+                    emb, "vec_id", "embedding", "label",
+                    threshold=0.999).count())
+        # the round-5 re-key: RP-LSH cell blocks with the planes knob
+        # sized 2^planes ∝ N/100 (target ~100 vectors/bucket) — the way
+        # the operator is driven at scale. Candidates then track
+        # N×bucket_size (linear), not block_population² (quadratic).
+        import math
+        n = row["vectors"]
+        planes = max(6, math.ceil(math.log2(max(n, 2) / 100)))
+        row["neardup_lsh_planes"] = planes
+        row["neardup_lsh_s"], row["neardup_lsh_pairs"] = timed(
+            lambda: embedding_neardup_lsh_pairs(
+                emb, "vec_id", "embedding", threshold=0.999,
+                n_tables=8, n_planes=planes, residual_col="label").count())
         emb.unpersist()
         out[f"x{factor}"] = row
         print(json.dumps({f"x{factor}": row}), flush=True)

@@ -1526,3 +1526,69 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
         sorted(rep["by_lang"])
     assert glob.glob(out + "/jsonl/*.json.gz") or \
         glob.glob(out + "/jsonl/*.gz")
+    # stage 2 must actually rewrite, and the rewritten bodies must be
+    # what the final layout holds: join written docs back to the raw
+    # corpus and require ≥1 surviving doc whose text was cleaned
+    assert rep["para_rewritten"] > 0
+    raw = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", F.col("text").alias("raw_text"))
+    written = spark.read.parquet(out + "/parquet") \
+        .select("doc_id", "text").join(raw, "doc_id")
+    n_changed = written.where(
+        F.col("text") != F.col("raw_text")).count()
+    assert n_changed > 0, "no rewritten body reached the layout write"
+
+
+def test_embedding_neardup_lsh_finds_planted_pairs(spark):
+    """The re-keyed pair generator (round 5): planted near-dup PAIRS
+    (cos≈0.95) must survive the RP-LSH cell blocking — with 8 tables ×
+    4 bits a cos 0.95 pair misses all tables with p≈2e-4 — and the
+    residual column must drop cross-residual pairs even when cells
+    collide (an identical vector planted under two labels)."""
+    import numpy as np
+
+    from user_behavior_analysis_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs)
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(40, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base[:10] + 0.04 * rng.normal(size=(10, 64))
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    rows = [(int(i), row.tolist(), "a") for i, row in enumerate(base)]
+    rows += [(int(100 + i), row.tolist(), "a")
+             for i, row in enumerate(noisy)]
+    # identical vector, different residual: cells collide, pair must NOT
+    rows.append((500, base[0].tolist(), "b"))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = embedding_neardup_lsh_pairs(
+        vecs, "vec_id", "embedding", threshold=0.9,
+        residual_col="label").toPandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    missed = [i for i in range(10) if (i, 100 + i) not in got]
+    assert not missed, f"planted pairs missed: {missed}"
+    assert not [p for p in got if 500 in p], "residual predicate leaked"
+    # exactness: every emitted cosine is the true cosine
+    for _, r in out.iterrows():
+        a = np.array(rows[[x[0] for x in rows].index(r["id_a"])][1])
+        b = np.array(rows[[x[0] for x in rows].index(r["id_b"])][1])
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(true - r["cos"]) < 1e-9
+
+
+def test_mix_weight_quantization_off_boundary(spark, sf_dir):
+    """temperature_mix_weights quantizes pow(tokens, 0.7) to micro-units
+    with round(); JVM and libm pow may differ by ~1 ulp, which could
+    flip the quantized value only if pow·1e6 sits essentially ON a .5
+    boundary. Assert every per-source value at the test sf keeps a
+    margin of ≥ 1e3 ulps from the nearest boundary — the documented ulp
+    assumption, verified for the data the oracle gate actually runs on."""
+    import math
+
+    from user_behavior_analysis_spark.queries import QUERIES
+    rows = QUERIES["temperature_mix_weights"](spark, sf_dir) \
+        .select("tokens").collect()
+    for r in rows:
+        x = math.pow(float(r["tokens"]), 0.7) * 1_000_000
+        frac = abs(x - math.floor(x) - 0.5)  # distance to the boundary
+        assert frac > 1e3 * math.ulp(x), (r["tokens"], x, frac)

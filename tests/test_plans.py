@@ -540,3 +540,44 @@ def test_salted_segment_join_physical_shape(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "explode" in plan.lower() or "Generate" in plan, plan
+
+
+def test_embedding_neardup_cell_join_shape(spark, sf_dir):
+    """The RP-LSH candidate self-join keys on (tab, bucket, label) —
+    both sides are the exploded corpus, so the join is pinned
+    shuffle-hash: no broadcast build (corpus-scaled), and the re-key
+    must never fall back to a nested-loop/cartesian plan (the label-
+    block predecessor's failure mode at scale). The bucket expression
+    is a scan expression: exactly one corpus-scaled exchange pair feeds
+    the join, plus the pair-dedup aggregation."""
+    plan = plan_of(spark, "embedding_neardup", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # join key carries the LSH cell, not a coarse attribute block alone
+    m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
+    assert m and "tab" in m.group(1) and "bucket" in m.group(1), plan
+
+
+def test_histogram_quantiles_two_hash_aggregations(spark, sf_dir):
+    """Two hash aggregations (docs → (lang, bin) partial+final →
+    per-lang quantile rows) with map-side combine; the cumulative
+    window partitions by lang over |langs|×|bins| rows only — no sort
+    of the corpus, no corpus-wide single-partition window."""
+    plan = plan_of(spark, "histogram_quantiles", sf_dir)
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs × partial+final
+    assert "Exchange SinglePartition" not in plan, plan
+    assert re.search(r"Window .*windowspecdefinition\(lang", plan), plan
+
+
+def test_gapfilled_series_generates_the_time_dimension(spark, sf_dir):
+    """The hour dimension is GENERATED (explode of a sequence from a
+    1-row bounds aggregate), never scanned; the events fact is read
+    exactly once (the count aggregate — staged via localCheckpoint so
+    the bounds side and the join side reuse it)."""
+    plan = plan_of(spark, "signups_hourly_gapfilled", sf_dir)
+    assert "Generate explode(sequence" in plan, plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan \
+        or "Checkpoint" in plan or plan.count("Scan parquet") == 1, plan

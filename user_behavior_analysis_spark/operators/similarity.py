@@ -173,6 +173,73 @@ def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def embedding_neardup_lsh_pairs(vectors: DataFrame, id_col: str,
+                                vec_col: str, threshold: float,
+                                n_tables: int = 8, n_planes: int = 4,
+                                dim: int = 64, seed: int = 7,
+                                residual_col: str | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with CONTENT-DERIVED blocks:
+    multi-table random-hyperplane LSH cells generate candidates, exact
+    cosine verifies. Replaces ``embedding_neardup_pairs``'s caller-chosen
+    block column for self-join dedup — a coarse attribute block (e.g. a
+    label of ~fixed cardinality) makes within-block population grow
+    linearly with the corpus and the pair scan O(ΣB²)-quadratic (the
+    round-4 ANN probe measured 217× wall at 30× data on the label
+    block). Here the block key is (table, bucket)[, residual]: a pair is
+    a candidate iff ANY of the ``n_tables`` ``n_planes``-bit signatures
+    collide — the same OR-amplified construction as ``rp_lsh_topk``,
+    md5-deterministic (``_rp_hyperplanes``) so the oracle reproduces the
+    exact candidate set and the output stays hash-comparable.
+
+    Scale shape: buckets are a pure scan expression (no shuffle builds
+    the index); the corpus explodes ×``n_tables`` map-side; the one
+    corpus-scaled exchange is the (tab, bucket[, residual]) hash
+    self-join, pinned shuffle-hash (never broadcast — both sides ride
+    the corpus). ``n_planes`` is the operator's scale knob: size
+    2^n_planes ∝ N / target-bucket-size so expected bucket population —
+    and with it candidate volume — stays bounded as the corpus grows;
+    near-dup pairs (cos→1) collide in some table with probability
+    ≈ 1 − (1 − (1 − θ/π)^b)^L regardless of that sizing.
+
+    ``residual_col``: optional equality predicate folded into the join
+    key (finer blocks, never wider output) — e.g. a label/source column
+    when near-dups only count within a partition of the corpus.
+    """
+    cols = [F.col(id_col).alias("vid"), as_double(vec_col).alias("v")]
+    if residual_col is not None:
+        cols.append(F.col(residual_col).alias("res"))
+    base = vectors.select(*cols).withColumn("nrm", norm(F.col("v")))
+    bucketed = base.select(
+        "vid", "v", "nrm", *(["res"] if residual_col else []),
+        F.posexplode(F.expr(rp_lsh_buckets_expr(
+            "v", n_tables, n_planes, dim, seed))).alias("tab", "bucket"))
+    a = bucketed.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "tab", "bucket",
+        *([F.col("res").alias("res_a")] if residual_col else []))
+    b = bucketed.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("tab").alias("tab_b"),
+        F.col("bucket").alias("bucket_b"),
+        *([F.col("res").alias("res_b")] if residual_col else []))
+    cond = ((F.col("tab") == F.col("tab_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")))
+    if residual_col is not None:
+        cond = cond & (F.col("res_a") == F.col("res_b"))
+    # verify BEFORE the dedup exchange: the cosine is identical on every
+    # multi-table duplicate of a pair, so filtering first shrinks the
+    # (id_a, id_b) group-by to surviving pairs only.
+    return (
+        a.join(b.hint("shuffle_hash"), cond)
+         .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")))
+         .where(F.col("cos") >= threshold)
+         .groupBy("id_a", "id_b")
+         .agg(F.max("cos").alias("cos"))
+    )
+
+
 def _rp_hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes: integer weight
     w[p][d] = (md5_int(seed_p_d) mod 2001) - 1000 — reproducible on any
