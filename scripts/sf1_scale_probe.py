@@ -14,7 +14,14 @@ corpus_scale_probe).
 
 Interpretation: ratio ≈ 10 is linear scaling (per-row cost constant);
 ratio < 10 means fixed overheads amortize; ratio >> 10 flags a
-super-linear stage. Run: python scripts/sf1_scale_probe.py [out_dir]
+super-linear stage. One deliberate exception to the key-offset rule:
+item ids embedded in ``events.props`` JSON (hot_items_topn's group key)
+are NOT offset per copy — item cardinality stays flat while event
+counts grow 10x, i.e. per-key density grows 10x. That makes
+hot_items_topn's ratio a HOT-KEY STRESS reading (skew amplification),
+not a pure data-growth reading; interpret it against the other
+event-keyed queries, whose user/event keys do scale.
+Run: python scripts/sf1_scale_probe.py [out_dir]
 """
 from __future__ import annotations
 

@@ -1299,6 +1299,25 @@ def test_band_join_matches_naive_theta_join(spark):
         assert sorted(map(tuple, got.collect())) == expected, bcast
 
 
+def test_band_join_drops_degenerate_and_inverted_bands(spark):
+    """Empty (lo == hi, even on a bucket boundary) and inverted
+    (hi < lo) bands match nothing — and must not explode spurious
+    bucket rows on the way (F.sequence defaults to step -1 on a
+    descending range; the operator pre-filters and pins step +1)."""
+    from user_behavior_analysis_spark.operators.joins import band_join
+
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 7.0, 14.0, 21.0])],
+        ["id", "v"])
+    bands = spark.createDataFrame(
+        [("empty_on_boundary", 14.0, 14.0), ("inverted", 21.0, 0.0),
+         ("real", 5.0, 15.0)],
+        ["band", "lo", "hi"])
+    got = band_join(fact, bands, value_col="v", lo_col="lo", hi_col="hi",
+                    bucket_width=7.0).select("id", "band").collect()
+    assert sorted(map(tuple, got)) == [(1, "real"), (2, "real")]
+
+
 def test_histogram_quantiles_within_bin_width_of_exact(spark, sf_dir):
     """The binned quantile upper edge must sit within one 16-wide bin
     of the exact percentile, and at-or-above it (upper-edge report)."""

@@ -119,11 +119,19 @@ def band_join(fact: DataFrame, bands: DataFrame, *, value_col: str,
     """
     w = float(bucket_width)
     lo, hi = F.col(lo_col), F.col(hi_col)
-    exploded = bands.withColumn(
+    # Malformed bands fail fast instead of fanning out junk: a band with
+    # hi <= lo matches nothing under `lo <= v < hi`, but its bucket
+    # sequence (floor(lo/w) .. ceil(hi/w)-1) would be DESCENDING —
+    # F.sequence defaults the step to -1 — exploding spurious rows that
+    # only the residual filter later discards. Empty/inverted bands are
+    # dropped up front; the explicit +1 step makes any future widening
+    # of the pre-filter an error, not a silent fan-out.
+    exploded = bands.where(hi > lo).withColumn(
         "_bj_bucket",
         F.explode(F.sequence(
             F.floor(lo / w).cast("long"),
-            (F.ceil(hi / w) - 1).cast("long"))))
+            (F.ceil(hi / w) - 1).cast("long"),
+            F.lit(1).cast("long"))))
     if broadcast_bands:
         exploded = F.broadcast(exploded)
     else:

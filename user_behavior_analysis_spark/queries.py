@@ -5571,7 +5571,16 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quantized to micro-units BEFORE the normalizer sum, so Z is an
     exact integer (float summation order never enters) and every
     emitted float is a per-row function of exact integers — 6-dp
-    rounding is engine-stable."""
+    rounding is engine-stable. One acknowledged float dependency
+    remains: pow(bigint, 0.7) itself. JVM Math.pow and libm pow are
+    each within ~1 ulp but not guaranteed bit-identical, so a value
+    landing EXACTLY on a .5 micro-unit quantization boundary could
+    round apart across engines. With micro-unit grain that needs
+    |pow·1e6 − (k+.5)| ≲ 1e-9 relative — and
+    test_mix_weight_quantization_off_boundary asserts the actual
+    per-source values sit far from every boundary at both test sfs,
+    turning the residual ulp assumption into a checked property of the
+    data under test rather than silent luck."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.filter(tokens_of(F.coalesce(F.col("text"), F.lit(""))),
                  lambda x: x != "")

@@ -97,6 +97,14 @@ class _StreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = start["index"], end["index"]
+        # Restart-safety: after a driver recovery this reader is a fresh
+        # instance with _cur = 0, but Structured Streaming re-plans from
+        # the CHECKPOINTED offsets — observed ranges are the truth.
+        # Ratcheting the cursor to every offset seen here (and in
+        # commit()) keeps latestOffset monotone past the restored
+        # position, so a recovered query resumes forward instead of
+        # re-announcing row ranges behind the committed offset.
+        self._cur = max(self._cur, e)
         return [_Range(a, min(a + self.ROWS_PER_SLICE, e))
                 for a in range(s, e, self.ROWS_PER_SLICE)] or [_Range(s, e)]
 
@@ -104,7 +112,7 @@ class _StreamReader(DataSourceStreamReader):
         return _gen_range(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._cur = max(self._cur, end["index"])
 
     def stop(self) -> None:
         pass
