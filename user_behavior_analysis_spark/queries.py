@@ -5998,6 +5998,75 @@ def segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("revenue")))
 
 
+# --- transaction-log table: MERGE + snapshot (tables.TxTable) ---------------
+
+_TXTABLE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 4 < 3
+), batch AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS price
+  FROM orders WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 4 = 3
+), merged AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS revenue
+FROM merged GROUP BY priority
+"""
+
+
+@query("txtable_merge_snapshot", _TXTABLE_ORACLE)
+def txtable_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transaction-log table format (tables.TxTable) exercised
+    end-to-end under the hash gate: create a keyed table from 3/4 of
+    orders, MERGE a batch that UPDATES every o_orderkey % 8 == 0 row
+    (price + 1000) and INSERTS the remaining quarter, then aggregate
+    the post-merge snapshot. The oracle computes the expected merged
+    state relationally — so key-level upsert semantics (updates replace,
+    inserts land, untouched rows carry over) are verified value-exact
+    through a real write → commit → snapshot-read round trip, not a
+    mock. Engine extension beyond the reference (which has no tables);
+    the format itself is the public lakehouse recipe (Delta VLDB'20):
+    manifest log + exclusive-create commits + file-pruned
+    copy-on-write MERGE.
+
+    100 TB shape: all data movement is distributed parquet IO; the
+    driver handles O(files) manifest JSON. The merge rewrites only
+    files whose key-range stats intersect the batch (here the batch
+    spans all ranges — the pruning path is plan-tested in
+    tests/test_tables.py::test_merge_prunes_cold_files)."""
+    import tempfile
+
+    from .tables import TxTable
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        _dec("o_totalprice").alias("price"))
+    base = orders.where(F.col("o_orderkey") % 4 < 3)
+    batch = (orders.where(F.col("o_orderkey") % 8 == 0)
+                   .withColumn("price", F.col("price") + 1000)
+             .unionByName(orders.where(F.col("o_orderkey") % 4 == 3)))
+    path = tempfile.mkdtemp(prefix="txtable_msnap_")
+    t = TxTable.create(spark, path,
+                       base.repartitionByRange(8, "o_orderkey"),
+                       ["o_orderkey"])
+    t.merge(batch)
+    return (t.read()
+             .groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum("price").cast("double").alias("revenue")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
