@@ -1,11 +1,19 @@
 """Machine-readable recall evidence for the three no-oracle ANN queries
-(VERDICT r3 item 6). Until now recall@k lived only inside pytest
-assertions; this script measures it against the brute-force truth at
-BOTH verification scale factors and writes ANN_RECALL_r0N.json next to
-the CORRECTNESS artifacts, so the approximate-by-design queries carry
-inspectable per-round evidence the same way the oracled ones do.
+(VERDICT r3 item 6; broadened per VERDICT r4 item 8). Three sections:
 
-Usage: python scripts/ann_recall.py [r04]
+* ``sf`` — the registered queries' whole-set recall@5 vs brute force at
+  BOTH verification scale factors, with asserted thresholds (the r4
+  artifact, kept for continuity).
+* ``distribution`` — PER-QUERY recall@5 over 200 query vectors at
+  sf0.1 (p10 / median / mean), for each ANN path at its registered
+  geometry: the tail evidence a whole-set recall number hides (a 0.8
+  mean can be "every query gets 4 of 5" or "a fifth of queries get
+  nothing" — p10 separates those).
+* ``n_probe_curve`` — recall and wall vs n_probe for IVF and IVF-PQ at
+  the same 200-query set: the tuning curve a real user reads to pick
+  the recall/cost point.
+
+Usage: python scripts/ann_recall.py [r05]
 """
 
 from __future__ import annotations
@@ -33,6 +41,78 @@ THRESHOLDS = {
 SF_DIRS = {"0.01": "/root/testdata/sf0.01", "0.1": "/root/testdata/sf0.1"}
 
 
+def _per_query_recall(truth_pdf, got_pdf, k: int) -> list[float]:
+    t = truth_pdf.groupby("q_id")["c_id"].apply(set)
+    g = got_pdf.groupby("q_id")["c_id"].apply(set)
+    return [len(t[q] & g.get(q, set())) / k for q in t.index]
+
+
+def _pct(vals: list[float]) -> dict:
+    import numpy as np
+
+    a = np.array(vals)
+    return {"n_queries": len(vals),
+            "p10": round(float(np.percentile(a, 10)), 4),
+            "median": round(float(np.percentile(a, 50)), 4),
+            "mean": round(float(a.mean()), 4)}
+
+
+def distribution_and_curve(spark, sf_dir: str, n_queries: int = 200,
+                           k: int = 5) -> tuple[dict, dict]:
+    """Per-query recall distributions at registered geometries plus the
+    recall-vs-n_probe tuning curve, over one shared brute-force truth
+    set of ``n_queries`` query vectors."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from user_behavior_analysis_spark.operators.similarity import (
+        cosine_topk_bruteforce, ivf_topk, pq_topk, rp_lsh_topk)
+    from user_behavior_analysis_spark.session import tune
+    from user_behavior_analysis_spark.sources import load_table
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec"))
+            .localCheckpoint(eager=True))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec")) \
+           .localCheckpoint(eager=True)
+    truth = cosine_topk_bruteforce(q, c, k).toPandas()
+
+    dist: dict = {}
+    for name, fn in (
+        ("ann_ivf_topk", lambda: ivf_topk(q, c, k=k, n_cells=8,
+                                          n_probe=4)),
+        ("ann_pq_topk", lambda: pq_topk(q, c, k=k, m=8, n_centroids=32,
+                                        rerank=256, n_cells=16,
+                                        n_probe=10)),
+        ("ann_lsh_topk", lambda: rp_lsh_topk(q, c, k=k)),
+    ):
+        got = fn().toPandas()
+        dist[name] = _pct(_per_query_recall(truth, got, k))
+
+    curve: dict = {"ivf": [], "ivf_pq": []}
+    for n_probe in (1, 2, 4, 8):
+        t0 = _t.perf_counter()
+        got = ivf_topk(q, c, k=k, n_cells=8, n_probe=n_probe).toPandas()
+        curve["ivf"].append({
+            "n_probe": n_probe,
+            "wall_s": round(_t.perf_counter() - t0, 2),
+            **_pct(_per_query_recall(truth, got, k))})
+    for n_probe in (1, 2, 4, 10, 16):
+        t0 = _t.perf_counter()
+        got = pq_topk(q, c, k=k, m=8, n_centroids=32, rerank=256,
+                      n_cells=16, n_probe=n_probe).toPandas()
+        curve["ivf_pq"].append({
+            "n_probe": n_probe,
+            "wall_s": round(_t.perf_counter() - t0, 2),
+            **_pct(_per_query_recall(truth, got, k))})
+    return dist, curve
+
+
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "r04"
     spark = get_spark("ann-recall")
@@ -52,6 +132,11 @@ def main() -> None:
         per_sf["wall_s"] = round(time.time() - t0, 1)
         out["sf"][sf] = per_sf
         print(sf, per_sf, flush=True)
+    dist, curve = distribution_and_curve(spark, SF_DIRS["0.1"])
+    out["distribution"] = {"sf": "0.1", "n_queries": 200, **dist}
+    out["n_probe_curve"] = curve
+    print("distribution", dist, flush=True)
+    print("n_probe_curve", curve, flush=True)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"ANN_RECALL_{tag}.json")
     with open(path, "w") as f:

@@ -64,6 +64,21 @@ SUBSET = [
     "heavy_hitters_cms", "dedup_minhash_lsh", "dedup_pipeline",
     "boilerplate_ngrams", "histogram_quantiles", "part_pagerank",
     "zorder_layout", "quality_weighted_sample",
+    # round-5 widening (VERDICT r4 item 7): the remaining pair
+    # pipelines + a spread of the newer registry entries. Note on the
+    # pair family: the per-copy text suffix makes every 10-copy family
+    # mutually near-duplicate, so MANDATORY pair output grows ~45x per
+    # family — their ratios read against output growth, not input.
+    "setjoin_allpairs", "substring_containment",
+    "cross_source_contamination", "paragraph_dedup", "line_dedup",
+    "incremental_dedup", "dedup_ngram_jaccard", "simhash_neardup",
+    "ann_lsh_topk", "semantic_diversity_sample", "price_band_revenue",
+    "temperature_mix_weights", "user_sessions", "returns_cube",
+    "data_quality_report", "collocation_pmi",
+    # registered geometry fixes n_planes (oracle stability), so this
+    # entry carries the fixed-knob quadratic floor; the knob-scaled
+    # subquadratic path is measured in scripts/ann_scale_probe.py
+    "embedding_neardup",
 ]
 
 
@@ -83,6 +98,66 @@ def synthesize(spark, out_dir: str) -> None:
                                     F.concat(F.lit("c"), "_copy")))
         rep.drop("_copy").write.mode("overwrite") \
            .parquet(f"{out_dir}/{name}.parquet")
+
+
+def streaming_spot_check(spark, x10_dir: str, work_dir: str) -> dict:
+    """Streaming-parity spot check AT the 10x domain (VERDICT r4 item
+    7): replay the 10x events table as 5 time-ordered micro-batches
+    (file source orders by mtime; writes are 1.1 s apart) and require
+    the watermarked tumbling-count and exact-UV twins to match the
+    batch answers over the same 10x data on every emitted window.
+    Reports rows, wall, and emitted/matched window counts."""
+    import time as _t
+
+    from user_behavior_analysis_spark.streaming import jobs
+
+    ev = load_table(spark, x10_dir, "events") \
+        .where(F.lower("event_type") == "view") \
+        .select("ts", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    splits = f"{work_dir}/events_splits"
+    n_rows = ev.count()
+    span = (hi - lo).total_seconds() or 1
+    for i in range(5):
+        # [start_i, end_i) with end_i == start_{i+1}: contiguous,
+        # non-overlapping; the final bound clears max(ts)
+        s_off = int(span * i / 5)
+        e_off = int(span * (i + 1) / 5) if i < 4 else int(span) + 1
+        a = F.lit(lo) + F.expr(f"INTERVAL {s_off} SECOND")
+        b = F.lit(lo) + F.expr(f"INTERVAL {e_off} SECOND")
+        part = ev.where((F.col("ts") >= a) & (F.col("ts") < b))
+        part.coalesce(2).write.mode("append").parquet(splits)
+        _t.sleep(1.1)
+    schema = spark.read.parquet(splits).schema
+    report: dict = {"rows": n_rows}
+    for key, twin, batch_agg in (
+        ("tumbling_count",
+         lambda s: jobs.windowed_count_stream(s, "ts", "1 hour", None, []),
+         F.count(F.lit(1)).alias("cnt")),
+        ("uv_exact",
+         lambda s: jobs.uv_exact_stream(s, "ts", "1 hour", "user_id"),
+         F.countDistinct("user_id").alias("uv")),
+    ):
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(splits))
+        name = f"probe_{key}"
+        t0 = time.perf_counter()
+        q = (twin(src).writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        wall = round(time.perf_counter() - t0, 2)
+        out = spark.sql(f"SELECT * FROM {name}").toPandas()
+        val = "cnt" if key == "tumbling_count" else "uv"
+        batch = (ev.groupBy(F.window("ts", "1 hour")).agg(batch_agg)
+                   .select(F.col("window.start").cast("bigint")
+                            .alias("window_start"), val)
+                   .toPandas())
+        merged = out.merge(batch, on="window_start", suffixes=("_s", "_b"))
+        ok = (len(merged) == len(out) > 0
+              and bool((merged[f"{val}_s"] == merged[f"{val}_b"]).all()))
+        report[key] = {"wall_s": wall, "emitted_windows": len(out),
+                       "batch_windows": len(batch), "parity": ok}
+    return report
 
 
 def main() -> None:
@@ -108,6 +183,10 @@ def main() -> None:
         row["ratio"] = round(row["x10_s"] / max(row["sf01_s"], 1e-9), 1)
         out[name] = row
         print(json.dumps({name: row}), flush=True)
+    out["streaming_spot_check"] = streaming_spot_check(
+        spark, out_dir, out_dir)
+    print(json.dumps({"streaming_spot_check":
+                      out["streaming_spot_check"]}), flush=True)
     print(json.dumps(out))
     spark.stop()
 

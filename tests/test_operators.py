@@ -1192,6 +1192,21 @@ def test_ann_recall_artifact_meets_thresholds():
         for name, bound in art["thresholds"].items():
             got = block[name]["recall_at_k"]
             assert got >= bound, (sf, name, got, bound)
+    if "distribution" not in art:  # r04 artifact pre-dates the section
+        return
+    # r05+ (VERDICT r4 item 8): per-query tail evidence over >=200
+    # queries — the p10 must clear a floor (no silent dead-query tail)
+    # and the median the registered whole-set bound.
+    dist = art["distribution"]
+    assert dist["n_queries"] >= 200
+    for name, bound in art["thresholds"].items():
+        assert dist[name]["p10"] >= 0.2, (name, dist[name])
+        assert dist[name]["median"] >= bound, (name, dist[name])
+    # the n_probe tuning curve must be monotone-nondecreasing in recall
+    for fam, pts in art["n_probe_curve"].items():
+        means = [p["mean"] for p in pts]
+        assert means == sorted(means), (fam, means)
+        assert means[-1] >= 0.9, (fam, means)
 
 
 def test_unit_dedup_reconstruct_keeps_first_occurrence(spark):
