@@ -148,3 +148,68 @@ def test_empty_snapshot_reads_schema(spark, tmp_path):
     t = TxTable.create(spark, str(tmp_path / "t"), empty, ["k"])
     out = t.read()
     assert out.count() == 0 and set(out.columns) == {"k", "v"}
+
+
+def test_compact_preserves_content_and_reduces_files(spark, base, tmp_path):
+    """OPTIMIZE: many small commits -> one compaction; rows identical,
+    file count drops, pinned history still readable, and the z-ordered
+    variant tightens per-file min/max stats on both columns."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    for i in range(5):  # streamed-in small files
+        t.append(spark.createDataFrame(
+            [(1000 + 10 * i + j, "s") for j in range(10)],
+            "k long, v string"))
+    before = rows(t.read())
+    n_before = len(t.snapshot_files(None))
+    v = t.compact(n_files=2)
+    assert rows(t.read()) == before
+    assert len(t.snapshot_files(None)) < n_before
+    assert rows(t.read(version=v - 1)) == before  # history intact
+    hist = [h["op"] for h in t.history()]
+    assert hist[-1] == "compact"
+
+
+def test_compact_zorder_tightens_stats(spark, tmp_path):
+    """Z-order compaction: after clustering on (a, b), each file's key
+    range must cover a small fraction of the domain on the FIRST key
+    too (row-hash layout leaves every file spanning ~the whole
+    domain)."""
+    import random
+
+    rnd = random.Random(7)
+    df = spark.createDataFrame(
+        [(i, rnd.randrange(1000), f"p{i}") for i in range(4000)],
+        "k long, b long, v string").repartition(8)  # scattered layout
+    t = TxTable.create(spark, str(tmp_path / "t"), df, ["k"])
+    scattered = [f["stats"]["k"][1] - f["stats"]["k"][0]
+                 for f in t.snapshot_files(None)]
+    assert min(scattered) > 2000, "precondition: files span ~all of k"
+    t.compact(n_files=32, zorder_cols=("k", "b"))
+    spans = sorted(f["stats"]["k"][1] - f["stats"]["k"][0]
+                   for f in t.snapshot_files(None))
+    # 32 z-ranges fix the top ~5 interleaved bits -> each file covers
+    # ~1/8 of the k domain (~500), up to ~2 cells at sampled range
+    # boundaries. Files straddling a high-a-bit flip legitimately span
+    # wide (the classic Morton boundary artifact), so the claim is on
+    # the distribution: 3/4 of the files must be range-tight, far below
+    # the scattered layout's near-full spans.
+    assert spans[len(spans) // 2] <= 1100, spans
+    assert spans[len(spans) * 3 // 4] < min(scattered) // 2, \
+        (spans, scattered)
+
+
+def test_changes_feed(spark, base, tmp_path):
+    """CDC read path: (since, to] added-row feed with version/op
+    metadata; compaction commits are layout-only and excluded."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    t.append(spark.createDataFrame([(500, "a")], "k long, v string"))
+    t.merge(spark.createDataFrame([(0, "UPD")], "k long, v string"))
+    t.compact(n_files=2)
+    feed = t.changes(since_version=0).toPandas()
+    assert set(feed["_op"]) == {"append", "merge"}
+    assert (500, "a") in set(zip(feed["k"], feed["v"]))
+    assert (0, "UPD") in set(zip(feed["k"], feed["v"]))
+    assert 3 not in set(feed["_version"])  # the compact commit
+    only_merge = t.changes(since_version=1, to_version=2).toPandas()
+    assert set(only_merge["_version"]) == {2}
+    assert t.changes(since_version=t.latest_version()).count() == 0

@@ -270,6 +270,91 @@ class TxTable:
                 continue
         raise CommitConflict("merge retries exhausted")
 
+    def compact(self, n_files: int = 8,
+                zorder_cols: tuple[str, str] | None = None,
+                max_retries: int = 5) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ``n_files``
+        right-sized files — the small-file compaction every streamed-
+        into table needs (each micro-batch commit adds files; scan cost
+        and driver manifest size grow with file COUNT, not bytes).
+        Content is unchanged — only the file layout — so readers of the
+        new version see identical rows and pinned older versions are
+        untouched. With ``zorder_cols`` the rewrite also interleave-
+        clusters on two columns (sinks.zorder_value), so post-compaction
+        files carry tight min/max stats on BOTH dimensions and the
+        MERGE/scan pruning gets the multi-column locality Z-ordering
+        exists for. Optimistic-concurrency like merge: losing the
+        commit race re-reads and re-compacts the winner's snapshot.
+        """
+        keys = self._key_cols()
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            files = self.snapshot_files(base_v)
+            df = self.read(version=base_v)
+            if zorder_cols is not None:
+                from .operators.layout import zorder_value
+
+                a, b = zorder_cols
+                bounds = df.agg(
+                    F.min(a).alias("alo"), F.max(a).alias("ahi"),
+                    F.min(b).alias("blo"), F.max(b).alias("bhi")).first()
+
+                def _norm(c, lo, hi):
+                    if hi == lo:
+                        return F.lit(0)
+                    return F.floor((F.col(c) - F.lit(lo))
+                                   * 65535.0 / (hi - lo)).cast("long")
+
+                z = zorder_value(_norm(a, bounds["alo"], bounds["ahi"]),
+                                 _norm(b, bounds["blo"], bounds["bhi"]))
+                df = (df.withColumn("_z", z)
+                        .repartitionByRange(n_files, "_z")
+                        .sortWithinPartitions("_z").drop("_z"))
+            else:
+                df = df.repartitionByRange(n_files, *keys) \
+                       .sortWithinPartitions(*keys)
+            added = self._write_files(df, keys)
+            try:
+                self._commit(base_v + 1, {
+                    "op": "compact", "added": added,
+                    "removed": [f["path"] for f in files]})
+                return base_v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("compact retries exhausted")
+
+    def changes(self, since_version: int = 0,
+                to_version: int | None = None) -> DataFrame:
+        """CDC-style change feed: rows ADDED in versions
+        (``since_version``, ``to_version``] with ``_version`` and
+        ``_op`` metadata columns — the incremental-consumer read path
+        (downstream jobs process only new commits instead of rescanning
+        the table). Copy-on-write MERGE re-adds carried-over rows, so
+        ``merge`` versions feed a keyed upsert consumer, not a pure
+        row-delta consumer; ``compact`` versions are layout-only and
+        are skipped."""
+        hi = self.latest_version() if to_version is None else to_version
+        parts = []
+        for m in self._snapshot_manifests(hi):
+            v = m["version"]
+            if v <= since_version or m.get("op") == "compact":
+                continue
+            if not m.get("added"):
+                continue
+            part = self.spark.read.parquet(
+                *[os.path.join(self.data_dir, f["path"])
+                  for f in m["added"]])
+            parts.append(part.withColumn("_version", F.lit(v))
+                             .withColumn("_op", F.lit(m.get("op"))))
+        if not parts:
+            empty = self.read(version=self.versions()[0]).limit(0)
+            return (empty.withColumn("_version", F.lit(0))
+                         .withColumn("_op", F.lit("")).limit(0))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def vacuum(self) -> int:
         """Physically delete data files no manifest references AND files
         removed from the LATEST snapshot (dropping time travel to older
