@@ -48,7 +48,8 @@ from user_behavior_analysis_spark.sources import load_table  # noqa: E402
 
 def run(spark, sf_dir: str, out_dir: str,
         jaccard_threshold: float = 0.8,
-        containment_permille: int = 800) -> dict:
+        containment_permille: int = 800,
+        table_path: str | None = None) -> dict:
     t0 = time.perf_counter()
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
@@ -109,7 +110,7 @@ def run(spark, sf_dir: str, out_dir: str,
                        .localCheckpoint(eager=True)
     n_dedup = curated.count()
 
-    # 3. materialize: lang-partitioned, doc_id-sorted parquet (pruned
+    # 5. materialize: lang-partitioned, doc_id-sorted parquet (pruned
     #    scans for per-language trainers) + gzip JSONL interchange
     write_optimized_layout(curated, f"{out_dir}/parquet", ("lang",),
                            ("doc_id",))
@@ -117,10 +118,32 @@ def run(spark, sf_dir: str, out_dir: str,
                 f"{out_dir}/jsonl")
     n_written = spark.read.parquet(f"{out_dir}/parquet").count()
 
+    # 5b. optional INCREMENTAL serving table: MERGE the curated docs
+    #     into a transaction-log table keyed on doc_id — re-running the
+    #     funnel over a grown corpus upserts (rewritten bodies replace,
+    #     new survivors insert, prior survivors carry over), giving the
+    #     pipeline a versioned, time-travelable output instead of a
+    #     fire-and-forget directory.
+    table_info = None
+    if table_path is not None:
+        from user_behavior_analysis_spark.tables import TxTable
+
+        cols = curated.select("doc_id", "lang", "source", "text")
+        if os.path.isdir(os.path.join(table_path, "_log")):
+            t = TxTable(spark, table_path)
+            v = t.merge(cols)
+        else:
+            t = TxTable.create(spark, table_path,
+                               cols.repartitionByRange(8, "doc_id"),
+                               ["doc_id"])
+            v = 0
+        table_info = {"path": table_path, "version": v,
+                      "rows": t.read().count()}
+
     by_lang = {r["lang"]: r["n"] for r in
                curated.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
                       .collect()}
-    return {
+    report = {
         "sf_dir": sf_dir, "out_dir": out_dir,
         "input": n_input, "quality_kept": n_quality,
         "para_kept": n_para, "para_rewritten": n_para_rewritten,
@@ -129,6 +152,9 @@ def run(spark, sf_dir: str, out_dir: str,
         "by_lang": by_lang,
         "wall_s": round(time.perf_counter() - t0, 2),
     }
+    if table_info is not None:
+        report["table"] = table_info
+    return report
 
 
 def main() -> None:

@@ -1626,3 +1626,29 @@ def test_mix_weight_quantization_off_boundary(spark, sf_dir):
         x = math.pow(float(r["tokens"]), 0.7) * 1_000_000
         frac = abs(x - math.floor(x) - 0.5)  # distance to the boundary
         assert frac > 1e3 * math.ulp(x), (r["tokens"], x, frac)
+
+
+def test_curation_run_incremental_table(spark, sf_dir, tmp_path):
+    """Curation -> TxTable integration: run the funnel on half the
+    corpus, then on the whole corpus into the SAME table — the second
+    run MERGEs (prior survivors carry over or update, new survivors
+    insert), the table version advances, and the table content equals
+    the second run's curated output keyed by doc_id."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from curation_run import run
+    from user_behavior_analysis_spark.tables import TxTable
+
+    table = str(tmp_path / "serving_table")
+    run(spark, sf_dir, str(tmp_path / "o1"), table_path=table)
+    t = TxTable(spark, table)
+    assert t.latest_version() == 0
+    n1 = t.read().count()
+    rep2 = run(spark, sf_dir, str(tmp_path / "o2"), table_path=table)
+    assert rep2["table"]["version"] == 1
+    assert t.latest_version() == 1
+    # same corpus re-curated -> same survivor set; the merge must not
+    # duplicate (doc_id is the key) and must keep every survivor
+    assert rep2["table"]["rows"] == n1 == rep2["dedup_kept"]
+    ids = [r["doc_id"] for r in t.read().select("doc_id").collect()]
+    assert len(ids) == len(set(ids)), "duplicate doc_ids after merge"
