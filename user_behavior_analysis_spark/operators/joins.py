@@ -141,3 +141,56 @@ def band_join(fact: DataFrame, bands: DataFrame, *, value_col: str,
                 .join(exploded, "_bj_bucket")
                 .where((v >= lo) & (v < hi))
                 .drop("_bj_bucket"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, *,
+                          left_cols: tuple[str, str],
+                          right_cols: tuple[str, str],
+                          bucket_width: int,
+                          extra_cond: Column | None = None,
+                          pin_shuffle: bool = True) -> DataFrame:
+    """Interval × interval OVERLAP join: every (l, r) pair whose CLOSED
+    intervals [l_start, l_end], [r_start, r_end] intersect — the
+    operator behind "which sessions/outages/campaigns ran concurrently",
+    which Spark's API lacks (declared as a raw theta join it plans as a
+    BroadcastNestedLoopJoin: O(|L|×|R|) comparisons and a mandatory
+    broadcast).
+
+    Bucket decomposition like ``band_join``, extended to two interval
+    sides: BOTH relations explode into the fixed-width time buckets
+    they cover, the join is an EQUI-join on the bucket, and the exact
+    overlap predicate is a residual filter. Dedup is FREE: a pair whose
+    intervals overlap shares every bucket in the overlap region, so the
+    residual keeps only the bucket containing greatest(l_start,
+    r_start) — the overlap's first bucket, which both sides cover by
+    construction — and each qualifying pair is emitted exactly once
+    with no distinct/groupBy exchange.
+
+    ``bucket_width`` trades explode fan-out (interval_span / width rows
+    per interval) against bucket selectivity, exactly as in band_join:
+    pick ~ the typical interval length. Both exploded relations ride
+    the fact's scale, so the join is pinned shuffle-hash by default
+    (``pin_shuffle=False`` lets a genuinely dimension-sized right side
+    broadcast).
+
+    ``extra_cond`` joins additional predicates into the join condition
+    (e.g. ``col("user_a") < col("user_b")`` for a self-join's pair
+    ordering) so they apply before the shuffle output materializes.
+    """
+    w = int(bucket_width)
+    ls, le = (F.col(c).cast("long") for c in left_cols)
+    rs, re_ = (F.col(c).cast("long") for c in right_cols)
+    lb = left.withColumn(
+        "_oj_b", F.explode(F.sequence(
+            F.floor(ls / w), F.floor(le / w), F.lit(1).cast("long"))))
+    rb = right.withColumn(
+        "_oj_b2", F.explode(F.sequence(
+            F.floor(rs / w), F.floor(re_ / w), F.lit(1).cast("long"))))
+    if pin_shuffle:
+        rb = rb.hint("shuffle_hash")
+    cond = ((F.col("_oj_b") == F.col("_oj_b2"))
+            & (ls <= re_) & (rs <= le)
+            & (F.col("_oj_b") == F.floor(F.greatest(ls, rs) / w)))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return lb.join(rb, cond).drop("_oj_b", "_oj_b2")

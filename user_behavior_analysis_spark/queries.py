@@ -548,6 +548,66 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_events(spark, sf_dir), "user_id", "ts", gap_s=1800)
 
 
+# --- concurrent sessions: interval-overlap join over sessionized events ----
+
+_CONCURRENT_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts_s,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, min(ts_s) AS st, max(ts_s) AS en
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       a.st AS start_a, b.st AS start_b,
+       LEAST(a.en, b.en) - GREATEST(a.st, b.st) AS overlap_s
+FROM sess a JOIN sess b
+  ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id
+"""
+
+
+@query("concurrent_sessions", _CONCURRENT_SESSIONS_ORACLE)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join (operators/joins.py:
+    interval_overlap_join) on the query surface: which users' sessions
+    ran concurrently, with the overlap duration. Spark has no overlap
+    join — declared naively it plans as a BroadcastNestedLoopJoin over
+    all session pairs (the theta-join cliff band_join killed for
+    point-in-band); the operator bucket-decomposes BOTH interval sides
+    into hour buckets, equi-joins on the bucket, and emits each pair
+    exactly once from the bucket containing the overlap's start — no
+    dedup exchange, no nested loop. The oracle pays the honest theta
+    join, so the decomposition's exactly-once emission is what the
+    hash gate proves."""
+    from .operators.joins import interval_overlap_join
+    from .operators.sessionize import sessionize
+    sess = sessionize(_events(spark, sf_dir), "user_id", "ts",
+                      gap_s=1800).localCheckpoint(eager=False)
+    a = sess.select(F.col("user_id").alias("user_a"),
+                    F.col("session_start").alias("sa"),
+                    F.col("session_end").alias("ea"))
+    b = sess.select(F.col("user_id").alias("user_b"),
+                    F.col("session_start").alias("sb"),
+                    F.col("session_end").alias("eb"))
+    out = interval_overlap_join(
+        a, b, left_cols=("sa", "ea"), right_cols=("sb", "eb"),
+        bucket_width=3600,
+        extra_cond=F.col("user_a") < F.col("user_b"))
+    return out.select(
+        "user_a", "user_b",
+        F.col("sa").alias("start_a"), F.col("sb").alias("start_b"),
+        (F.least("ea", "eb") - F.greatest("sa", "sb")).alias("overlap_s"))
+
+
 # ===========================================================================
 # Training-data pipeline operators (documents / embeddings tables) —
 # engine extensions beyond the reference surface, per the build brief.
