@@ -1333,6 +1333,85 @@ def test_band_join_drops_degenerate_and_inverted_bands(spark):
     assert sorted(map(tuple, got)) == [(1, "real"), (2, "real")]
 
 
+def test_interval_overlap_join_matches_naive_theta_join(spark):
+    """Bucket-decomposed interval×interval overlap join ≡ the naive
+    closed-interval theta join, on adversarial shapes: touching
+    endpoints (overlap of exactly one point), point intervals,
+    containment, multi-bucket spans, bucket-boundary-aligned starts
+    and ends, and disjoint pairs. Exactly-once emission is part of the
+    check — a pair overlapping across many shared buckets must appear
+    ONCE (no dedup exchange exists to save a double emission)."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_analysis_spark.operators.joins import (
+        interval_overlap_join)
+
+    left = spark.createDataFrame(
+        [("a", 0, 10), ("b", 10, 20), ("c", 5, 5), ("d", 0, 95),
+         ("e", 30, 40), ("f", 70, 70)],
+        ["lid", "sa", "ea"])
+    right = spark.createDataFrame(
+        [("x", 10, 10), ("y", 3, 72), ("z", 41, 69), ("w", 96, 99),
+         ("v", 0, 0)],
+        ["rid", "sb", "eb"])
+    naive = (left.crossJoin(right)
+             .where((F.col("sa") <= F.col("eb"))
+                    & (F.col("sb") <= F.col("ea")))
+             .select("lid", "rid"))
+    expected = sorted(map(tuple, naive.collect()))
+    assert len(expected) == len(set(expected))  # sane fixture
+    for w in (7, 10, 100):  # misaligned, aligned, single-bucket widths
+        got = interval_overlap_join(
+            left, right, left_cols=("sa", "ea"), right_cols=("sb", "eb"),
+            bucket_width=w).select("lid", "rid").collect()
+        got = sorted(map(tuple, got))
+        assert got == expected, (w, got)
+
+
+def test_interval_overlap_join_drops_inverted_intervals(spark):
+    """Inverted intervals (end < start) are empty under the closed-
+    interval predicate and must be dropped — not crash F.sequence's
+    pinned +1 step on a descending bucket range, and not fan out junk
+    rows that the residual filter happens to discard."""
+    from user_behavior_analysis_spark.operators.joins import (
+        interval_overlap_join)
+
+    left = spark.createDataFrame(
+        [("ok", 0, 30), ("inv", 50, 10)], ["lid", "sa", "ea"])
+    right = spark.createDataFrame(
+        [("r1", 20, 25), ("rinv", 90, 5)], ["rid", "sb", "eb"])
+    got = interval_overlap_join(
+        left, right, left_cols=("sa", "ea"), right_cols=("sb", "eb"),
+        bucket_width=8).select("lid", "rid").collect()
+    assert sorted(map(tuple, got)) == [("ok", "r1")]
+
+
+def test_interval_overlap_join_extra_cond_and_self_join(spark):
+    """Self-join path as concurrent_sessions uses it: extra_cond
+    enforces pair ordering inside the join condition (each unordered
+    pair once, no self-pairs), with per-pair overlap durations matching
+    the naive computation."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_analysis_spark.operators.joins import (
+        interval_overlap_join)
+
+    sess = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 60), (3, 100, 130), (4, 131, 140)],
+        ["uid", "st", "en"])
+    a = sess.select(F.col("uid").alias("ua"), F.col("st").alias("sa"),
+                    F.col("en").alias("ea"))
+    b = sess.select(F.col("uid").alias("ub"), F.col("st").alias("sb"),
+                    F.col("en").alias("eb"))
+    got = interval_overlap_join(
+        a, b, left_cols=("sa", "ea"), right_cols=("sb", "eb"),
+        bucket_width=16, extra_cond=F.col("ua") < F.col("ub"))
+    rows = {(r["ua"], r["ub"]):
+            min(r["ea"], r["eb"]) - max(r["sa"], r["sb"])
+            for r in got.collect()}
+    assert rows == {(1, 2): 10, (1, 3): 0}
+
+
 def test_histogram_quantiles_within_bin_width_of_exact(spark, sf_dir):
     """The binned quantile upper edge must sit within one 16-wide bin
     of the exact percentile, and at-or-above it (upper-edge report)."""

@@ -560,6 +560,25 @@ def test_embedding_neardup_cell_join_shape(spark, sf_dir):
     assert m and "tab" in m.group(1) and "bucket" in m.group(1), plan
 
 
+def test_concurrent_sessions_overlap_join_shape(spark, sf_dir):
+    """The session×session overlap self-join must execute as a hash
+    join on the exploded interval bucket — both sides are corpus-scaled
+    (every session explodes), so the join is pinned shuffle-hash: no
+    broadcast build flipping at scale, and never the BNLJ/cartesian the
+    raw theta declaration would plan (band_join precedent). Exactly-
+    once emission means no distinct/dedup aggregation may appear above
+    the join."""
+    plan = plan_of(spark, "concurrent_sessions", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # join keys on the interval bucket, dedup-free (residual keeps the
+    # overlap's first bucket) — no Aggregate above the join output
+    m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
+    assert m and "_oj_b" in m.group(1), plan
+
+
 def test_histogram_quantiles_two_hash_aggregations(spark, sf_dir):
     """Two hash aggregations (docs → (lang, bin) partial+final →
     per-lang quantile rows) with map-side combine; the cumulative

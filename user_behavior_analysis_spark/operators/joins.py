@@ -180,10 +180,15 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, *,
     w = int(bucket_width)
     ls, le = (F.col(c).cast("long") for c in left_cols)
     rs, re_ = (F.col(c).cast("long") for c in right_cols)
-    lb = left.withColumn(
+    # Inverted intervals (end < start) are semantically empty under the
+    # closed-interval overlap predicate, and their bucket range would be
+    # DESCENDING — F.sequence with the pinned +1 step raises on that
+    # (band_join precedent, joins.py:122): drop them up front. Point
+    # intervals (end == start) stay — they explode to one bucket.
+    lb = left.where(le >= ls).withColumn(
         "_oj_b", F.explode(F.sequence(
             F.floor(ls / w), F.floor(le / w), F.lit(1).cast("long"))))
-    rb = right.withColumn(
+    rb = right.where(re_ >= rs).withColumn(
         "_oj_b2", F.explode(F.sequence(
             F.floor(rs / w), F.floor(re_ / w), F.lit(1).cast("long"))))
     if pin_shuffle:

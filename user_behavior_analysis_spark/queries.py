@@ -6142,6 +6142,32 @@ def txtable_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every round by scripts/full_correctness.py (all entries, same comparison).
 # ---------------------------------------------------------------------------
 
+#: names with a green row in CORRECTNESS_r05.json (the driver's round-5
+#: newest-50 window: 50/50 green). embedding_neardup was green here but
+#: its registered n_planes became corpus-derived in round 6 (VERDICT r5
+#: "next round" #5) — dropped from the tuple, same precedent as the r2
+#: note below, so the NEW semantics rotate back into the driver window.
+_R05_DRIVER_VERIFIED = (
+    "txtable_merge_snapshot", "line_dedup", "concurrent_sessions",
+    "segment_revenue_salted", "quality_weighted_sample",
+    "signups_hourly_gapfilled", "incremental_dedup", "zorder_layout",
+    "setjoin_allpairs", "semantic_diversity_sample",
+    "temperature_mix_weights", "histogram_quantiles", "price_band_revenue",
+    "lm_bigram_surprisal", "context_chunks", "paragraph_dedup",
+    "ann_lsh_topk", "customer_spend_deciles", "discount_quantity_corr",
+    "bilateral_trade", "funnel_steps", "label_centroid_report",
+    "tokenizer_fertility", "lang_id_confusion", "revenue_trend",
+    "data_quality_report", "ab_test_conversion", "rfm_segments",
+    "heavy_hitters_cms", "curation_pipeline", "media_resize_plan",
+    "media_byte_histogram", "session_paths", "training_shards",
+    "substring_containment", "pii_scan", "domain_rebalance_sample",
+    "lexical_diversity", "boilerplate_ngrams", "dominant_suppliers",
+    "important_parts", "returns_by_priority", "best_supplier_per_part",
+    "product_type_profit", "returns_unpivot", "monthly_returns_pivot",
+    "part_supplier_diversity", "events_dow_hour_profile",
+    "customer_running_spend",
+)
+
 #: names with a green row in CORRECTNESS_r04.json (the driver's round-4
 #: newest-50 window: 50/50 green).
 _R04_DRIVER_VERIFIED = (
@@ -6219,12 +6245,12 @@ def _reorder_for_driver() -> None:
     # committed full-registry artifact and the judge's local re-run),
     # never the queries added this round.
     verified = (set(_R02_DRIVER_VERIFIED) | set(_R03_DRIVER_VERIFIED)
-                | set(_R04_DRIVER_VERIFIED))
+                | set(_R04_DRIVER_VERIFIED) | set(_R05_DRIVER_VERIFIED))
     fresh = [n for n in QUERIES if n not in verified][::-1]
     seen = set(fresh)
     ordered_verified = []
-    for tup in (_R04_DRIVER_VERIFIED, _R03_DRIVER_VERIFIED,
-                _R02_DRIVER_VERIFIED):
+    for tup in (_R05_DRIVER_VERIFIED, _R04_DRIVER_VERIFIED,
+                _R03_DRIVER_VERIFIED, _R02_DRIVER_VERIFIED):
         for n in tup:
             if n in QUERIES and n not in seen:
                 ordered_verified.append(n)
