@@ -135,7 +135,8 @@ def test_vacuum_drops_unreferenced_files_only(spark, base, tmp_path):
     t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
     t.merge(spark.createDataFrame([(0, "X")], "k long, v string"))
     live_before = rows(t.read())
-    n = t.vacuum()
+    assert t.vacuum() == 0, "retention window must protect young files"
+    n = t.vacuum(retention_s=0.0)  # no writer in flight here
     assert n > 0, "the rewritten file must be collectible"
     assert rows(t.read()) == live_before
     # time travel to v0 is now (honestly) broken for vacuumed files
@@ -213,3 +214,169 @@ def test_changes_feed(spark, base, tmp_path):
     only_merge = t.changes(since_version=1, to_version=2).toPandas()
     assert set(only_merge["_version"]) == {2}
     assert t.changes(since_version=t.latest_version()).count() == 0
+
+
+def test_checkpointed_log_bounds_snapshot_reads(spark, tmp_path):
+    """The round-6 log checkpoint (Delta _last_checkpoint pattern): a
+    per-epoch streaming writer commits 100+ times; snapshot
+    construction must read ONE checkpoint plus at most
+    checkpoint_interval suffix manifests — O(interval), not
+    O(commits) — and vacuum may truncate pre-checkpoint manifests
+    without changing the snapshot, the change-feed tail, or the
+    (txn_app, epoch) idempotence checks."""
+    base = spark.createDataFrame([(k, "base") for k in range(8)],
+                                 "k long, v string")
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"],
+                       checkpoint_interval=10)
+    sink = upsert_sink(t, app="epochs")
+    n_epochs = 101
+    for e in range(n_epochs):
+        sink(spark.createDataFrame([(e % 8, f"e{e}")], "k long, v string"),
+             e)
+    assert t.latest_version() == n_epochs
+    expected = {k: f"e{[e for e in range(n_epochs) if e % 8 == k][-1]}"
+                for k in range(8)}
+    assert dict(rows(t.read())) == expected
+
+    # a FRESH handle (cold reader) reconstructs the snapshot from the
+    # latest checkpoint + suffix, never the full log
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    reads = []
+    orig = TxTable._read_manifest
+    try:
+        TxTable._read_manifest = (
+            lambda self, v: (reads.append(v), orig(self, v))[1])
+        t2.snapshot_files()
+    finally:
+        TxTable._read_manifest = orig
+    assert len(reads) <= t2.checkpoint_interval + 1, reads
+    assert min(reads, default=10**9) > 90, reads
+
+    # replayed epoch stays a no-op through the checkpointed txn marks
+    v_before = t.latest_version()
+    sink(spark.createDataFrame([(0, "REPLAY")], "k long, v string"), 50)
+    assert t.latest_version() == v_before
+    assert dict(rows(t.read())) == expected
+
+    # truncation: manifests below the checkpoint go; state is unchanged
+    t.vacuum(retention_s=0.0)
+    assert t.versions()[0] >= 100
+    assert dict(rows(t.read())) == expected
+    ck_v = t.versions()[0]
+    feed = t.changes(since_version=ck_v - 1).toPandas()
+    assert len(feed) >= 1
+    with pytest.raises(ValueError, match="truncated"):
+        t.changes(since_version=0)
+    # time travel below the checkpoint is gone — the documented trade
+    with pytest.raises(Exception):
+        t.read(version=5).collect()
+
+
+def test_merge_raises_on_duplicate_batch_keys(spark, base, tmp_path):
+    """A batch with two rows per key violates the key-level upsert
+    invariant: default is Delta's multiple-source-rows-match error,
+    BEFORE any file is rewritten or any version committed."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    dup = spark.createDataFrame([(1, "A"), (1, "B"), (2, "C")],
+                                "k long, v string")
+    v_before = t.latest_version()
+    with pytest.raises(ValueError, match="duplicate-key"):
+        t.merge(dup)
+    assert t.latest_version() == v_before
+    assert dict(rows(t.read()))[1] == "v1"
+
+
+def test_merge_resolve_dedupes_deterministically(spark, base, tmp_path):
+    """on_dup='resolve': one row per key survives, chosen by greatest
+    non-key tuple — an order-free tie-break, so the outcome is
+    independent of batch partitioning."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    dup = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "zz"), (2, "aa"), (3, "only")],
+        "k long, v string")
+    t.merge(dup, on_dup="resolve")
+    got = dict(rows(t.read()))
+    assert got[1] == "B" and got[2] == "zz" and got[3] == "only"
+    t2 = TxTable.create(spark, str(tmp_path / "t2"), base, ["k"])
+    t2.merge(dup.repartition(7), on_dup="resolve")
+    assert dict(rows(t2.read())) == got
+
+
+def test_txtable_changes_streaming_source(spark, tmp_path):
+    """The CDC loop closed as a real stream (tables_cdc): readStream
+    over the transaction log, offsets = versions, paged by
+    maxVersionsPerTrigger. Drained with processAllAvailable (the
+    source idles at the table head), the downstream aggregate over the
+    change feed must equal the batch aggregate over the snapshot
+    (append-only table → feed IS the table), with correct per-version
+    metadata; a commit made WHILE the query runs is picked up by the
+    next trigger."""
+    import time as _time
+
+    from user_behavior_analysis_spark.tables_cdc import (
+        txtable_changes_stream)
+
+    base = spark.createDataFrame([(k, 10) for k in range(4)],
+                                 "k long, amt long")
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    for v in range(1, 6):
+        t.append(spark.createDataFrame([(100 * v + j, v) for j in range(3)],
+                                       "k long, amt long"))
+
+    got = []
+    feed = txtable_changes_stream(spark, str(tmp_path / "t"),
+                                  max_versions_per_trigger=2)
+    q = (feed.writeStream
+         .foreachBatch(lambda df, eid: got.extend(
+             map(tuple, df.select("k", "amt", "_version", "_op").collect())))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        n_after_drain = len(got)
+        # feed == every added row since the create commit
+        assert n_after_drain == 15
+        assert {r[2] for r in got} == set(range(1, 6))
+        assert {r[3] for r in got} == {"append"}
+        # downstream aggregate parity: feed total == snapshot total
+        # minus the pre-feed base (version 0 is before sinceVersion)
+        snap_total = t.read().agg(F.sum("amt")).first()[0]
+        assert sum(r[1] for r in got) == snap_total - 4 * 10
+        # a live commit lands in a later trigger
+        t.append(spark.createDataFrame([(999, 7)], "k long, amt long"))
+        deadline = _time.time() + 60
+        while len(got) < 16 and _time.time() < deadline:
+            q.processAllAvailable()
+            _time.sleep(0.2)
+        assert (999, 7, 6, "append") in got
+    finally:
+        q.stop()
+
+
+def test_txtable_changes_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Offsets are durable versions: a stopped-and-restarted query
+    (same checkpoint) must NOT re-emit drained versions, and must pick
+    up commits made while it was down."""
+    from user_behavior_analysis_spark.tables_cdc import (
+        txtable_changes_stream)
+
+    base = spark.createDataFrame([(0, 0)], "k long, amt long")
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    t.append(spark.createDataFrame([(1, 1)], "k long, amt long"))
+
+    def run(sink):
+        q = (txtable_changes_stream(spark, str(tmp_path / "t"))
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    first, second = [], []
+    run(lambda df, eid: first.extend(
+        map(tuple, df.select("k", "_version").collect())))
+    assert first == [(1, 1)]
+    t.append(spark.createDataFrame([(2, 2)], "k long, amt long"))
+    run(lambda df, eid: second.extend(
+        map(tuple, df.select("k", "_version").collect())))
+    assert second == [(2, 2)], second

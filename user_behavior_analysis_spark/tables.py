@@ -29,6 +29,16 @@ VLDB'20) in ~300 lines of engine code:
   (txn_app, txn_version=epoch_id); a replayed epoch whose marker is
   already in the log becomes a no-op — exactly-once table updates over
   an at-least-once channel (the txnAppId/txnVersion pattern).
+* **Log checkpoints** (round 6, the Delta ``_last_checkpoint``
+  pattern): every ``checkpoint_interval`` commits the committer also
+  writes ``c{N}.checkpoint.json`` — the full live-file set, table
+  schema/keys, and the accumulated per-app txn high-water marks at
+  version N. Snapshot construction then reads ONE checkpoint plus at
+  most ``checkpoint_interval`` suffix manifests — O(interval), not
+  O(commits) — so a per-epoch streaming writer no longer degrades
+  snapshot reads forever, and ``vacuum`` may truncate pre-checkpoint
+  manifests (surrendering time travel below the checkpoint, the same
+  retention trade the data-file side already makes).
 
 Scale posture: all DATA movement is Spark jobs (distributed writes and
 snapshot scans); the driver handles only manifest bookkeeping — O(files
@@ -56,11 +66,14 @@ class CommitConflict(Exception):
 class TxTable:
     """Handle to one transaction-log table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 checkpoint_interval: int = 10):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_log")
         self.data_dir = os.path.join(path, "_data")
+        #: every Nth commit also writes a log checkpoint (0 disables)
+        self.checkpoint_interval = checkpoint_interval
 
     # ------------------------------------------------------------------ log
     def _manifest_path(self, version: int) -> str:
@@ -83,10 +96,14 @@ class TxTable:
             return json.load(fh)
 
     def _commit(self, version: int, manifest: dict) -> None:
-        """Atomic put-if-absent of manifest ``version``. The exclusive
-        create is the WHOLE concurrency story: two writers racing to
-        the same version — one wins, the other gets CommitConflict and
-        must re-validate against the winner's manifest."""
+        """Atomic put-if-absent of manifest ``version``. Publication is
+        ``os.link(tmp, final)`` — the link appears with its FULL
+        content or not at all, so a snapshot reader racing the
+        committer can never ``json.load`` a half-written manifest (the
+        earlier ``open(..., 'x')`` + write exposed that window), and
+        EEXIST doubles as the put-if-absent conflict signal: two
+        writers racing to the same version — one wins, the other gets
+        CommitConflict and must re-validate against the winner."""
         os.makedirs(self.log_dir, exist_ok=True)
         manifest["version"] = version
         manifest["ts"] = time.time()
@@ -94,55 +111,153 @@ class TxTable:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         try:
-            with open(self._manifest_path(version), "x") as fh:
-                with open(tmp) as src:
-                    fh.write(src.read())
+            os.link(tmp, self._manifest_path(version))
         except FileExistsError as e:
             raise CommitConflict(version) from e
         finally:
             os.remove(tmp)
+        iv = self.checkpoint_interval
+        if iv and version > 0 and version % iv == 0:
+            self._write_checkpoint(version)
 
-    # ----------------------------------------------------------- snapshots
-    def _snapshot_manifests(self, version: int | None) -> list[dict]:
+    # --------------------------------------------------------- checkpoints
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"c{version:012d}.checkpoint.json")
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(int(f[1:13]) for f in os.listdir(self.log_dir)
+                      if f.startswith("c") and f.endswith(".checkpoint.json"))
+
+    def _latest_checkpoint_le(self, version: int | None) -> int | None:
+        cands = [c for c in self._checkpoint_versions()
+                 if version is None or c <= version]
+        return cands[-1] if cands else None
+
+    def _read_checkpoint(self, version: int) -> dict:
+        with open(self._checkpoint_path(version)) as fh:
+            return json.load(fh)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Aggregate the state at ``version`` (live files, schema/keys,
+        per-app txn high-water marks) into one checkpoint file. Built
+        incrementally from the PREVIOUS checkpoint plus the manifests
+        in between — O(interval) driver JSON, like every snapshot read.
+        Publication is the same atomic-link pattern as ``_commit``;
+        a racing writer producing the identical checkpoint is benign
+        (EEXIST → keep theirs)."""
+        live, txn, meta = self._replay(version)
+        ck = {"version": version, "ts": meta["ts"],
+              "schema": meta["schema"], "key_cols": meta["key_cols"],
+              "live": list(live.values()), "txn": txn}
+        tmp = self._checkpoint_path(version) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ck, fh)
+        try:
+            os.link(tmp, self._checkpoint_path(version))
+        except FileExistsError:
+            pass
+        finally:
+            os.remove(tmp)
+        lc_tmp = os.path.join(self.log_dir,
+                              f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
+        with open(lc_tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def _replay(self, version: int | None):
+        """(live_files, txn_marks, meta) at ``version``: the latest
+        checkpoint at-or-below it plus the suffix manifests — the ONE
+        log-reconstruction path every read goes through."""
         v = self.latest_version() if version is None else version
-        return [self._read_manifest(i) for i in self.versions() if i <= v]
-
-    def snapshot_files(self, version: int | None = None) -> list[dict]:
-        """Live file entries (dicts with path/rows/stats) at a version."""
-        live: dict[str, dict] = {}
-        for m in self._snapshot_manifests(version):
+        ck_v = self._latest_checkpoint_le(v)
+        vs = self.versions()
+        if ck_v is None and (not vs or vs[0] != 0):
+            # no checkpoint at-or-below v and the create manifest is
+            # truncated: v predates reconstructable history — raise
+            # rather than silently replaying to an EMPTY live set
+            raise ValueError(
+                f"version {v} predates the earliest retained "
+                f"checkpoint/manifest (vacuum truncated the log)")
+        if ck_v is not None:
+            ck = self._read_checkpoint(ck_v)
+            live = {f["path"]: f for f in ck["live"]}
+            txn = dict(ck.get("txn") or {})
+            meta = {"schema": ck["schema"], "key_cols": ck["key_cols"],
+                    "ts": ck["ts"]}
+        else:
+            live, txn, meta = {}, {}, None
+        lo = -1 if ck_v is None else ck_v
+        for i in self.versions():
+            if i <= lo or i > v:
+                continue
+            m = self._read_manifest(i)
             for f in m.get("removed", []):
                 live.pop(f, None)
             for f in m.get("added", []):
                 live[f["path"]] = f
+            if m.get("txn_app") is not None:
+                prev = txn.get(m["txn_app"])
+                if prev is None or m["txn_version"] > prev:
+                    txn[m["txn_app"]] = m["txn_version"]
+            if meta is None:
+                meta = {"schema": m.get("schema"),
+                        "key_cols": m.get("key_cols")}
+            meta["ts"] = m["ts"]
+        return live, txn, meta
+
+    # ----------------------------------------------------------- snapshots
+    def snapshot_files(self, version: int | None = None) -> list[dict]:
+        """Live file entries (dicts with path/rows/stats) at a version."""
+        live, _, _ = self._replay(version)
         return list(live.values())
+
+    def _meta(self) -> dict:
+        """Table schema/key_cols, from the create manifest if retained,
+        else from any checkpoint (both carry them)."""
+        vs = self.versions()
+        if vs and vs[0] == 0:
+            m = self._read_manifest(0)
+            return {"schema": m["schema"], "key_cols": m["key_cols"]}
+        ck_v = self._latest_checkpoint_le(None)
+        if ck_v is None:
+            raise FileNotFoundError(f"no schema source in {self.log_dir}")
+        ck = self._read_checkpoint(ck_v)
+        return {"schema": ck["schema"], "key_cols": ck["key_cols"]}
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read — optionally of a historical version (time
-        travel). An empty snapshot needs a schema source: the first
-        manifest records the table schema DDL."""
+        travel). An empty snapshot needs a schema source: the create
+        manifest (or any checkpoint) records the table schema DDL."""
         files = self.snapshot_files(version)
         if not files:
             from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(json.loads(
-                self._read_manifest(self.versions()[0])["schema"]))
+            schema = StructType.fromJson(json.loads(self._meta()["schema"]))
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(
             *[os.path.join(self.data_dir, f["path"]) for f in files])
 
     def read_as_of(self, ts: float) -> DataFrame:
-        """Time travel by wall clock: the last version committed ≤ ts."""
-        vs = [m["version"] for m in self._snapshot_manifests(None)
-              if m["ts"] <= ts]
-        if not vs:
+        """Time travel by wall clock: the last version committed ≤ ts
+        (resolvable over RETAINED manifests and checkpoints — vacuum
+        may have truncated older ones)."""
+        cands = [i for i in self.versions()
+                 if self._read_manifest(i)["ts"] <= ts]
+        cands += [c for c in self._checkpoint_versions()
+                  if self._read_checkpoint(c)["ts"] <= ts]
+        if not cands:
             raise ValueError(f"no version committed at or before {ts}")
-        return self.read(version=max(vs))
+        return self.read(version=max(cands))
 
     def history(self) -> list[dict]:
+        """Audit log over RETAINED manifests (oldest first). After a
+        checkpoint-truncating vacuum, pre-checkpoint entries are gone —
+        the audit window matches the time-travel window."""
         return [{k: m.get(k) for k in
                  ("version", "ts", "op", "txn_app", "txn_version")}
-                for m in self._snapshot_manifests(None)]
+                for m in (self._read_manifest(i) for i in self.versions())]
 
     # -------------------------------------------------------------- writes
     def _write_files(self, df: DataFrame, key_cols: list[str]) -> list[dict]:
@@ -172,15 +287,16 @@ class TxTable:
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
-               key_cols: list[str]) -> "TxTable":
-        t = cls(spark, path)
+               key_cols: list[str],
+               checkpoint_interval: int = 10) -> "TxTable":
+        t = cls(spark, path, checkpoint_interval=checkpoint_interval)
         added = t._write_files(df, key_cols)
         t._commit(0, {"op": "create", "schema": df.schema.json(),
                       "key_cols": key_cols, "added": added, "removed": []})
         return t
 
     def _key_cols(self) -> list[str]:
-        return self._read_manifest(self.versions()[0])["key_cols"]
+        return self._meta()["key_cols"]
 
     def append(self, df: DataFrame, txn_app: str | None = None,
                txn_version: int | None = None, max_retries: int = 20,
@@ -206,15 +322,21 @@ class TxTable:
         raise CommitConflict("append retries exhausted")
 
     def _txn_already_applied(self, txn_app, txn_version) -> bool:
+        """Idempotence check with Delta's documented semantics: a
+        transaction is "already applied" when the log's high-water mark
+        for its app id is >= its version. (Checkpoints keep only the
+        per-app MAX — exact per-version markers below a checkpoint are
+        folded into it — so writers must use monotonically increasing
+        versions per app, which foreachBatch epoch ids are.)"""
         if txn_app is None:
             return False
-        return any(m.get("txn_app") == txn_app
-                   and m.get("txn_version") == txn_version
-                   for m in self._snapshot_manifests(None))
+        _, txn, _ = self._replay(None)
+        mark = txn.get(txn_app)
+        return mark is not None and mark >= txn_version
 
     def merge(self, batch: DataFrame, txn_app: str | None = None,
               txn_version: int | None = None, max_retries: int = 5,
-              ) -> int | None:
+              on_dup: str = "error") -> int | None:
         """Key-level upsert (MERGE): rows whose key matches an existing
         row replace it; new keys insert. Copy-on-write at FILE
         granularity with min/max pruning: only files whose key range
@@ -225,11 +347,38 @@ class TxTable:
         snapshot it read. If the commit loses the race, the merge
         re-runs against the winner's snapshot (the standard
         read-validate-retry loop; conflicting MERGEs serialize).
+
+        Duplicate keys WITHIN the batch violate the key-level upsert
+        invariant (which copy lands would otherwise be partition-
+        nondeterministic). ``on_dup="error"`` (default) raises — Delta's
+        multiple-source-rows-match semantics; ``on_dup="resolve"``
+        keeps one row per key deterministically (greatest non-key
+        column tuple wins — an explicit, order-free tie-break, since a
+        distributed batch has no "last" row).
         """
+        if on_dup not in ("error", "resolve"):
+            raise ValueError(f"on_dup must be 'error' or 'resolve': {on_dup}")
         if self._txn_already_applied(txn_app, txn_version):
             return None
         keys = self._key_cols()
         batch = batch.localCheckpoint(eager=True)  # read per attempt
+        n_rows, n_keys = batch.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.struct(*keys))).first()
+        if n_rows != n_keys:
+            if on_dup == "error":
+                raise ValueError(
+                    f"merge batch has {n_rows - n_keys} duplicate-key "
+                    f"rows on {keys}; dedupe upstream or pass "
+                    "on_dup='resolve'")
+            from pyspark.sql import Window
+
+            nonkey = [c for c in batch.columns if c not in keys]
+            w = Window.partitionBy(*keys).orderBy(
+                F.struct(*nonkey).desc() if nonkey else F.lit(1))
+            batch = (batch.withColumn("_rn", F.row_number().over(w))
+                          .where(F.col("_rn") == 1).drop("_rn")
+                          .localCheckpoint(eager=True))
         # batch key bounds: one tiny driver row to prune files against
         bounds = batch.agg(*[f for k in keys for f in
                              (F.min(k).alias(f"lo_{k}"),
@@ -334,10 +483,19 @@ class TxTable:
         row-delta consumer; ``compact`` versions are layout-only and
         are skipped."""
         hi = self.latest_version() if to_version is None else to_version
+        earliest = self.versions()[0]
+        if earliest > 0 and since_version < earliest - 1:
+            raise ValueError(
+                f"change feed truncated: versions <= {earliest - 1} were "
+                f"vacuumed past the checkpoint; requested since_version="
+                f"{since_version}")
         parts = []
-        for m in self._snapshot_manifests(hi):
+        for i in self.versions():
+            if i <= since_version or i > hi:
+                continue
+            m = self._read_manifest(i)
             v = m["version"]
-            if v <= since_version or m.get("op") == "compact":
+            if m.get("op") == "compact":
                 continue
             if not m.get("added"):
                 continue
@@ -355,12 +513,22 @@ class TxTable:
             out = out.unionByName(p)
         return out
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_s: float = 3600.0) -> int:
         """Physically delete data files no manifest references AND files
         removed from the LATEST snapshot (dropping time travel to older
-        versions — the explicit retention trade Delta's VACUUM makes).
-        Returns files deleted."""
+        versions — the explicit retention trade Delta's VACUUM makes),
+        then truncate manifests below the latest checkpoint (whose
+        state subsumes them). Returns data files deleted.
+
+        ``retention_s`` guards in-flight writers: a concurrent
+        append/merge/compact writes its data files BEFORE committing
+        the manifest that references them, so an unreferenced file
+        younger than the retention window may simply be un-committed
+        yet — deleting it would corrupt the racer's commit. Files are
+        only removed once older than the window (Delta's VACUUM
+        retention); pass 0 ONLY when no writer can be in flight."""
         live = {f["path"] for f in self.snapshot_files(None)}
+        cutoff = time.time() - retention_s
         n = 0
         for commit_dir in os.listdir(self.data_dir) \
                 if os.path.isdir(self.data_dir) else []:
@@ -369,9 +537,21 @@ class TxTable:
                 continue
             for fn in os.listdir(d):
                 rel = os.path.join(commit_dir, fn)
-                if fn.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(d, fn))
+                full = os.path.join(d, fn)
+                if (fn.endswith(".parquet") and rel not in live
+                        and os.path.getmtime(full) <= cutoff):
+                    os.remove(full)
                     n += 1
+        ck_v = self._latest_checkpoint_le(None)
+        if ck_v is not None:
+            for i in self.versions():
+                if i < ck_v:
+                    os.remove(self._manifest_path(i))
+            # superseded checkpoints reference vacuumed data files —
+            # drop them so every retained log artifact is replayable
+            for c in self._checkpoint_versions():
+                if c < ck_v:
+                    os.remove(self._checkpoint_path(c))
         return n
 
 
