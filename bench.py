@@ -60,6 +60,16 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # The driver captures only the LAST stdout line and has truncated
+    # the per-query dict before (BENCH_r05 "parsed": null) — so also
+    # persist the full record to a stable machine-readable artifact
+    # next to this script (committed per round as BENCH_LOCAL_r{N}).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
     print(json.dumps(out))
 
 

@@ -75,10 +75,24 @@ SUBSET = [
     "ann_lsh_topk", "semantic_diversity_sample", "price_band_revenue",
     "temperature_mix_weights", "user_sessions", "returns_cube",
     "data_quality_report", "collocation_pmi",
-    # registered geometry fixes n_planes (oracle stability), so this
-    # entry carries the fixed-knob quadratic floor; the knob-scaled
-    # subquadratic path is measured in scripts/ann_scale_probe.py
+    # round 6: the registered knob is now corpus-derived (planes from
+    # count), so this entry rides the knob-scaled operator curve
     "embedding_neardup",
+    # round-6 widening (VERDICT r5 item 8): the previously-unprobed
+    # families — table format, salted/interval joins, CEP, funnels,
+    # clustering/CC, trained ANN, text scoring, reference window twins.
+    # concurrent_sessions note: 10x users over the SAME time span
+    # means ~100x overlapping session PAIRS — mandatory output, so its
+    # ratio reads against output growth (the pair-family caveat).
+    "txtable_change_feed", "txtable_merge_snapshot", "concurrent_sessions",
+    "segment_revenue_salted", "funnel_steps", "cohort_retention",
+    "basket_pairs", "neardup_triangles", "lm_bigram_surprisal",
+    "doc_repetition", "lang_id_confusion", "pii_scan", "curation_pipeline",
+    "unique_visitors_hourly", "marketing_by_channel", "ad_stats_by_geo",
+    "tx_match_interval_join", "order_timeout", "login_fail_cep",
+    "dedup_exact", "dedup_clusters", "semantic_dedup_clusters",
+    "ann_ivf_topk", "ann_pq_topk", "customer_spend_deciles",
+    "event_transitions",
 ]
 
 
@@ -160,6 +174,56 @@ def streaming_spot_check(spark, x10_dir: str, work_dir: str) -> dict:
     return report
 
 
+def txtable_probe(spark, sf_dir: str, work_dir: str) -> dict:
+    """TxTable whole-path probe at a given domain (VERDICT r5 item 8):
+    table build from orders, a MERGE touching a NARROW key range (the
+    file-pruning case the format exists for — records the hit rate:
+    files rewritten / files live), OPTIMIZE, a change-feed read, and a
+    snapshot read. Run at sf0.1 and the 10x domain, the ratios show
+    whether the driver-side manifest bookkeeping or the file-pruned
+    rewrite ever grows faster than the data."""
+    import shutil
+
+    from user_behavior_analysis_spark.tables import TxTable
+
+    path = os.path.join(work_dir, "txprobe")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"))
+    n = orders.count()
+    row: dict = {"rows": n}
+    t0 = time.perf_counter()
+    t = TxTable.create(spark, path,
+                       orders.repartitionByRange(32, "o_orderkey"),
+                       ["o_orderkey"])
+    row["create_s"] = round(time.perf_counter() - t0, 2)
+    # narrow-range MERGE: ~1/32 of the key domain -> ~1 hot file
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    cut = lo + (hi - lo) // 32
+    batch = (orders.where(F.col("o_orderkey") <= cut)
+                   .withColumn("price", F.col("price") + 1.0))
+    n_live = len(t.snapshot_files(None))
+    t0 = time.perf_counter()
+    t.merge(batch)
+    row["merge_s"] = round(time.perf_counter() - t0, 2)
+    rewritten = len(t._read_manifest(t.latest_version())["removed"])
+    row["files_live"] = n_live
+    row["files_rewritten"] = rewritten
+    row["prune_hit_rate"] = round(1 - rewritten / max(n_live, 1), 3)
+    t0 = time.perf_counter()
+    t.compact(n_files=32)
+    row["compact_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    row["changes_rows"] = t.changes(since_version=0).count()
+    row["changes_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    assert t.read().count() == n
+    row["snapshot_read_s"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(path, ignore_errors=True)
+    return row
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1synth"
     spark = get_spark("sf1-scale-probe")
@@ -183,6 +247,11 @@ def main() -> None:
         row["ratio"] = round(row["x10_s"] / max(row["sf01_s"], 1e-9), 1)
         out[name] = row
         print(json.dumps({name: row}), flush=True)
+    out["txtable"] = {
+        "sf01": txtable_probe(spark, BASE, out_dir),
+        "x10": txtable_probe(spark, out_dir, out_dir),
+    }
+    print(json.dumps({"txtable": out["txtable"]}), flush=True)
     out["streaming_spot_check"] = streaming_spot_check(
         spark, out_dir, out_dir)
     print(json.dumps({"streaming_spot_check":

@@ -1328,3 +1328,122 @@ def test_incremental_dedup_stream_refresh_catches_cross_batch_dup(
     twin_id = twin.first()["doc_id"]
     orig_id = first.first()["doc_id"]
     assert got[twin_id] == ("exact_dup", orig_id), got
+
+
+def _plant_unique_arrivals(spark, sf_dir, tmp_path, n_first=2):
+    """Three arrival files -> three epochs: two batches of docs UNIQUE
+    vs the corpus, then a twin of the second batch's doc. Returns
+    (corpus, doc_stream_builder, ids) with distinct file mtimes so the
+    epoch order is deterministic."""
+    import time as _time
+
+    from user_behavior_analysis_spark.operators.dedup import (
+        incremental_dedup_status)
+    from user_behavior_analysis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    cands = docs.where(F.col("doc_id") % 10 == 0)
+    uniq_ids = (incremental_dedup_status(corpus, cands, "text", "doc_id")
+                .where(F.col("status") == "unique")
+                .orderBy("doc_id").limit(n_first + 1)
+                .select(F.col("doc_id").alias("_uid")))
+    uniqs = cands.join(uniq_ids, cands["doc_id"] == F.col("_uid"),
+                       "left_semi").orderBy("doc_id") \
+                 .localCheckpoint(eager=True)
+    e0 = uniqs.limit(n_first)
+    e1 = uniqs.subtract(e0).limit(1).localCheckpoint(eager=True)
+    twin = e1.withColumn("doc_id", F.col("doc_id") + 9_000_000)
+    arrivals = str(tmp_path / "arrivals")
+    for part in (e0, e1, twin):
+        part.coalesce(1).write.mode("append").parquet(arrivals)
+        _time.sleep(1.1)
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false").parquet(arrivals))
+
+    return corpus, stream, {"e1": e1.first()["doc_id"],
+                            "twin": twin.first()["doc_id"]}
+
+
+def test_refresh_index_replay_in_memory_guard(spark, sf_dir, tmp_path):
+    """ADVICE r5: a replayed epoch must NOT re-classify against an
+    index that already absorbed it (its own unique docs would flip to
+    exact_dup of themselves) nor absorb twice. Same sink restarted in
+    one driver process -> the in-memory guard re-delivers the RECORDED
+    verdicts for the failed epoch."""
+    from user_behavior_analysis_spark.streaming.jobs import (
+        incremental_dedup_stream)
+
+    corpus, stream, ids = _plant_unique_arrivals(spark, sf_dir, tmp_path)
+    seen, fail_once = [], {"armed": True}
+
+    def on_batch(df, epoch_id):
+        rows = {r.doc_id: (r.status, r.match_id) for r in df.collect()}
+        seen.append((epoch_id, rows))
+        if epoch_id == 1 and fail_once.pop("armed", False):
+            raise RuntimeError("sink outage after absorb")
+
+    writer = incremental_dedup_stream(
+        stream(), corpus, "text", "doc_id", on_batch, refresh_index=True
+    ).option("checkpointLocation", str(tmp_path / "ck")) \
+     .trigger(availableNow=True)
+    q = writer.start()
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+    q2 = writer.start()  # same fn closure: the memory guard's case
+    q2.awaitTermination(300)
+
+    by_epoch = {}
+    for eid, rows in seen:
+        by_epoch.setdefault(eid, []).append(rows)
+    # epoch 1 delivered twice (failure, then replay) with IDENTICAL
+    # verdicts: the unique doc stays unique — never dup-of-itself
+    assert len(by_epoch[1]) == 2 and by_epoch[1][0] == by_epoch[1][1]
+    assert by_epoch[1][0][ids["e1"]][0] == "unique"
+    # and the index absorbed epoch 1 exactly once: the twin still dups
+    # against the ORIGINAL id (a double absorb would also offer the
+    # replay-inserted copy; a missed absorb would read unique)
+    assert by_epoch[2][0][ids["twin"]] == ("exact_dup", ids["e1"])
+
+
+def test_refresh_index_replay_state_dir_wal(spark, sf_dir, tmp_path):
+    """Driver-restart form: a FRESH builder (new in-memory index) with
+    the same state_dir + streaming checkpoint must rebuild the index
+    from the WAL, re-deliver the failed epoch's recorded verdicts
+    unchanged, and still catch the next epoch's twin — proving the
+    rebuilt index contains the replayed epoch's survivors without a
+    duplicate absorb."""
+    from user_behavior_analysis_spark.streaming.jobs import (
+        incremental_dedup_stream)
+
+    corpus, stream, ids = _plant_unique_arrivals(spark, sf_dir, tmp_path)
+    seen, fail_once = [], {"armed": True}
+
+    def on_batch(df, epoch_id):
+        rows = {r.doc_id: (r.status, r.match_id) for r in df.collect()}
+        seen.append((epoch_id, rows))
+        if epoch_id == 1 and fail_once.pop("armed", False):
+            raise RuntimeError("driver death after absorb+marker")
+
+    def run():
+        return incremental_dedup_stream(
+            stream(), corpus, "text", "doc_id", on_batch,
+            refresh_index=True, state_dir=str(tmp_path / "wal")
+        ).option("checkpointLocation", str(tmp_path / "ck")) \
+         .trigger(availableNow=True).start()
+
+    q = run()
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+    q2 = run()  # fresh index + WAL restore — the restart case
+    q2.awaitTermination(300)
+
+    by_epoch = {}
+    for eid, rows in seen:
+        by_epoch.setdefault(eid, []).append(rows)
+    assert len(by_epoch[1]) == 2 and by_epoch[1][0] == by_epoch[1][1]
+    assert by_epoch[1][0][ids["e1"]][0] == "unique"
+    assert by_epoch[2][0][ids["twin"]] == ("exact_dup", ids["e1"])

@@ -229,7 +229,8 @@ def incremental_dedup_stream(doc_stream: DataFrame, corpus: DataFrame,
                              text_col: str, id_col: str,
                              on_batch, ngram: int = 3,
                              threshold: float = 0.8,
-                             refresh_index: bool = False):
+                             refresh_index: bool = False,
+                             state_dir: str | None = None):
     """Streaming incremental dedup — the stream-static probe shape: a
     document stream is classified per micro-batch against a pre-staged
     corpus index (``operators.dedup.corpus_dedup_index``, built ONCE
@@ -257,12 +258,75 @@ def incremental_dedup_stream(doc_stream: DataFrame, corpus: DataFrame,
     ``on_batch(result_df, epoch_id)`` receives each classified batch;
     returns the started-query handle builder (caller adds sink opts /
     trigger and ``.start()``).
+
+    **At-least-once safety of the maintained index** (ADVICE r5):
+    foreachBatch may REPLAY an epoch (sink failure, driver retry).
+    With ``refresh_index=True`` a naive replay would re-classify
+    against an index that already absorbed that epoch's survivors —
+    flipping its own docs from "unique" to "exact_dup" — and absorb a
+    second time, duplicating fingerprint/shingle rows. The guard
+    tracks the last-absorbed epoch: a replayed epoch skips
+    classify/absorb entirely and re-delivers the RECORDED verdicts
+    (kept in memory for the latest epoch — the only one foreachBatch
+    retries within a run).
+
+    ``state_dir`` extends the guard across driver restarts with a
+    write-ahead log: each epoch persists its verdicts and unique
+    survivors as parquet BEFORE absorbing, and advances a marker file
+    atomically AFTER. On construction the index is rebuilt by
+    re-absorbing the recorded survivors of every epoch at-or-below the
+    marker, in epoch order — so a restarted query (same streaming
+    checkpoint, same state_dir) resumes with exactly the index state
+    its offsets imply, and a replayed epoch reads its recorded
+    verdicts back from the WAL. A crash BETWEEN absorb and the marker
+    write loses only the in-memory absorb — the rebuilt index excludes
+    that epoch, so its replay re-classifies against the correct
+    pre-epoch state.
     """
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
     from ..operators.dedup import IncrementalDedupIndex
 
     index = IncrementalDedupIndex(corpus, text_col, id_col, ngram)
+    spark = corpus.sparkSession
+    state: dict = {"last_absorbed": -1, "verdicts": None}
+    if state_dir:
+        _os.makedirs(state_dir, exist_ok=True)
+
+    def _vdir(e: int) -> str:
+        return _os.path.join(state_dir, f"verdicts_{e}")
+
+    def _sdir(e: int) -> str:
+        return _os.path.join(state_dir, f"survivors_{e}")
+
+    def _marker() -> str:
+        return _os.path.join(state_dir, "_last_absorbed.json")
+
+    if refresh_index and state_dir and _os.path.exists(_marker()):
+        with open(_marker()) as fh:
+            last = _json.load(fh)["epoch"]
+        recorded = sorted(
+            int(d.rsplit("_", 1)[1]) for d in _os.listdir(state_dir)
+            if d.startswith("survivors_"))
+        for e in recorded:
+            if e <= last:
+                index.absorb(spark.read.parquet(_sdir(e)))
+        state["last_absorbed"] = last
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if refresh_index and epoch_id <= state["last_absorbed"]:
+            rec = state["verdicts"]
+            if rec is not None and rec[0] == epoch_id:
+                on_batch(rec[1], epoch_id)
+                return
+            if state_dir and _os.path.isdir(_vdir(epoch_id)):
+                on_batch(spark.read.parquet(_vdir(epoch_id)), epoch_id)
+                return
+            raise RuntimeError(
+                f"epoch {epoch_id} already absorbed but its verdicts "
+                f"are not recorded (replay beyond the retained window)")
         batch_df = batch_df.localCheckpoint(eager=True)  # read 2-3x
         out = index.classify(batch_df, threshold=threshold)
         if refresh_index:
@@ -271,7 +335,17 @@ def incremental_dedup_stream(doc_stream: DataFrame, corpus: DataFrame,
                            .select(F.col("doc_id").alias("_uid")))
             uniq = batch_df.join(
                 uniq_ids, batch_df[id_col] == F.col("_uid"), "left_semi")
+            if state_dir:  # WAL before the in-memory state mutates
+                out.write.mode("overwrite").parquet(_vdir(epoch_id))
+                uniq.write.mode("overwrite").parquet(_sdir(epoch_id))
             index.absorb(uniq)
+            if state_dir:
+                tmp = _marker() + f".{_uuid.uuid4().hex}.tmp"
+                with open(tmp, "w") as fh:
+                    _json.dump({"epoch": epoch_id}, fh)
+                _os.replace(tmp, _marker())
+            state["last_absorbed"] = epoch_id
+            state["verdicts"] = (epoch_id, out)
         on_batch(out, epoch_id)
 
     return doc_stream.writeStream.foreachBatch(fn)
