@@ -380,3 +380,73 @@ def test_txtable_changes_stream_resumes_from_checkpoint(spark, tmp_path):
     run(lambda df, eid: second.extend(
         map(tuple, df.select("k", "_version").collect())))
     assert second == [(2, 2)], second
+
+
+def test_cdc_incremental_curation_loop(spark, sf_dir, tmp_path):
+    """The loop VERDICT r5 item 4 exists for, closed end-to-end: raw
+    documents land in a TxTable over three commits; the curation job
+    consumes its CDC STREAM (tables_cdc), classifies each delta
+    against a maintained corpus index (refresh_index=True — later
+    deltas dedup against earlier deltas' survivors), and MERGEs the
+    verdicts into a curated TxTable exactly-once via txn markers.
+    Cross-delta dedup must hold through the whole chain (a twin planted
+    two commits after its original classifies as its dup), and
+    re-running the drained stream must not move the curated table."""
+    from user_behavior_analysis_spark.operators.dedup import (
+        incremental_dedup_status)
+    from user_behavior_analysis_spark.sources import load_table
+    from user_behavior_analysis_spark.streaming.jobs import (
+        incremental_dedup_stream)
+    from user_behavior_analysis_spark.tables_cdc import (
+        txtable_changes_stream)
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    cands = docs.where(F.col("doc_id") % 10 == 0)
+    uniq_ids = (incremental_dedup_status(corpus, cands, "text", "doc_id")
+                .where(F.col("status") == "unique")
+                .orderBy("doc_id").limit(3)
+                .select(F.col("doc_id").alias("_uid")))
+    uniqs = cands.join(uniq_ids, cands["doc_id"] == F.col("_uid"),
+                       "left_semi").orderBy("doc_id") \
+                 .localCheckpoint(eager=True)
+    d0 = uniqs.limit(2)
+    d1 = uniqs.subtract(d0).limit(1).localCheckpoint(eager=True)
+    twin = d1.withColumn("doc_id", F.col("doc_id") + 9_000_000)
+
+    raw = TxTable.create(spark, str(tmp_path / "raw"), docs.limit(0),
+                         ["doc_id"])
+    for delta in (d0, d1, twin):
+        raw.append(delta)
+    verdict_schema = incremental_dedup_status(
+        corpus, docs.limit(0), "text", "doc_id").schema
+    curated = TxTable.create(
+        spark, str(tmp_path / "curated"),
+        spark.createDataFrame([], verdict_schema), ["doc_id"])
+
+    def run():
+        feed = txtable_changes_stream(spark, str(tmp_path / "raw"),
+                                      max_versions_per_trigger=1) \
+            .drop("_version", "_op")
+        q = incremental_dedup_stream(
+            feed, corpus, "text", "doc_id",
+            on_batch=lambda out, eid: curated.merge(
+                out, txn_app="curation", txn_version=eid),
+            refresh_index=True,
+        ).option("checkpointLocation", str(tmp_path / "ck")).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    got = {r["doc_id"]: (r["status"], r["match_id"])
+           for r in curated.read().collect()}
+    orig = d1.first()["doc_id"]
+    tid = twin.first()["doc_id"]
+    assert len(got) == 4
+    assert got[orig][0] == "unique"
+    assert got[tid] == ("exact_dup", orig), got
+    # exactly-once: draining again (same checkpoint — no new versions)
+    # must leave the curated table at the same version
+    v = curated.latest_version()
+    run()
+    assert curated.latest_version() == v
