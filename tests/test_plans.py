@@ -579,6 +579,19 @@ def test_concurrent_sessions_overlap_join_shape(spark, sf_dir):
     assert m and "_oj_b" in m.group(1), plan
 
 
+def test_semantic_dedup_clusters_no_nested_loop(spark, sf_dir):
+    """Round-6 re-key: the edge stage rides the SAME pinned LSH-cell
+    self-join as embedding_neardup (its own shape test pins SHJ on
+    (tab, bucket)); this pin guards the query-level composition — the
+    final assembled plan (CC output joined back to the corpus) must
+    never contain a nested-loop/cartesian fallback or a corpus-scaled
+    broadcast build."""
+    plan = plan_of(spark, "semantic_dedup_clusters", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_histogram_quantiles_two_hash_aggregations(spark, sf_dir):
     """Two hash aggregations (docs → (lang, bin) partial+final →
     per-lang quantile rows) with map-side combine; the cumulative

@@ -1008,8 +1008,11 @@ def _emb_lsh_planes(n: int) -> int:
                 _EMB_LSH_MAX_PLANES)
 
 
-_EMB_NEARDUP_ORACLE = f"""
-WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+#: shared candidate CTE chain (derived-planes RP-LSH buckets → label
+#: residual → exact cosine) — used by BOTH the pair query's oracle and
+#: the clusters oracle, so the two stay the same construction by
+#: definition.
+_EMB_LSH_CAND_CTES = f"""n AS (SELECT count(*) AS cnt FROM embeddings),
 params AS (
   SELECT COALESCE(MIN(CAST(p.range AS INTEGER)), {_EMB_LSH_MAX_PLANES})
          AS planes
@@ -1046,7 +1049,10 @@ sig AS (
   SELECT c.id_a, c.id_b, {_cos_sql('a.e', 'b.e')} AS cos
   FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
   WHERE a.label = b.label
-)
+)"""
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH {_EMB_LSH_CAND_CTES}
 SELECT id_a, id_b, round(cos, 3) AS cos_r
 FROM pairs WHERE cos >= {_NEARDUP_COS}
 """
@@ -1078,11 +1084,10 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMANTIC_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE vv AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+WITH RECURSIVE {_EMB_LSH_CAND_CTES},
 verified AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM vv a JOIN vv b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE {_cos_sql('a.e', 'b.e')} >= {_NEARDUP_COS}
+  SELECT id_a AS doc_a, id_b AS doc_b
+  FROM pairs WHERE cos >= {_NEARDUP_COS}
 ), edges AS (
   SELECT doc_a AS u, doc_b AS v FROM verified
   UNION
@@ -1109,16 +1114,27 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of ``dedup_clusters`` (which resolves MinHash-LSH text pairs) —
     together they close both dedup families with a consumable drop set.
 
-    100 TB shape: pair generation stays blocked (within coarse cells,
-    never all-pairs); component resolution is O(log diameter)
+    100 TB shape — round-6 re-key: the edge stage was still the
+    label-block all-pairs operator, the exact O(ΣB²) cliff the r5
+    re-key killed for embedding_neardup, and the widened 10x probe
+    caught it (71.9x wall at 10x, SCALE10X_r06 pre-fix). Edges now
+    come from the SAME derived-planes RP-LSH candidate path
+    (embedding_neardup_lsh_pairs: per-cell populations ~constant as
+    the corpus grows, label as residual, exact-cosine verify), and the
+    oracle reuses the shared candidate CTE chain so the construction
+    is mirrored by definition. Component resolution is O(log diameter)
     pointer-jumping rounds, one node-keyed and one edge-keyed shuffle
     per round, lineage truncated per round (operators/dedup.py
-    connected_components). Oracle: recursive transitive-closure CTE."""
+    connected_components). Oracle: recursive transitive-closure CTE
+    over the mirrored candidate edges."""
     from .operators.dedup import dedup_clusters
-    from .operators.similarity import embedding_neardup_pairs
+    from .operators.similarity import embedding_neardup_lsh_pairs
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = (embedding_neardup_pairs(emb, "vec_id", "embedding", "label",
-                                     threshold=_NEARDUP_COS)
+    pairs = (embedding_neardup_lsh_pairs(
+                 emb, "vec_id", "embedding", threshold=_NEARDUP_COS,
+                 n_tables=_EMB_LSH_TABLES,
+                 n_planes=_emb_lsh_planes(emb.count()),
+                 residual_col="label")
              .select(F.col("id_a").alias("doc_a"),
                      F.col("id_b").alias("doc_b")))
     out = dedup_clusters(emb, pairs, id_col="vec_id")
@@ -6303,9 +6319,11 @@ _R02_DRIVER_VERIFIED = (
     "dedup_ngram_jaccard", "simhash_fingerprints", "simhash_neardup",
     # embedding_neardup was verified here in r2 but re-keyed (LSH-cell
     # blocks) in round 5 — dropped from the tuple so the NEW semantics
-    # rotate back into the driver's hard-signal window.
+    # rotate back into the driver's hard-signal window. Same for
+    # semantic_dedup_clusters in round 6 (edge stage re-keyed onto the
+    # derived-planes LSH candidates).
     "ann_bruteforce_topk", "ann_blocked_topk",
-    "semantic_dedup_clusters", "document_profile", "media_metadata",
+    "document_profile", "media_metadata",
     "pricing_summary", "shipping_priority", "local_supplier_volume",
     "revenue_forecast", "order_priority_count", "returned_item_losses",
     "token_stats", "rolling_fingerprints", "promo_revenue", "nation_rollup",
