@@ -450,3 +450,62 @@ def test_cdc_incremental_curation_loop(spark, sf_dir, tmp_path):
     v = curated.latest_version()
     run()
     assert curated.latest_version() == v
+
+
+def test_read_pruned_skips_files(spark, base, tmp_path):
+    """Data skipping on the READ path: a narrow key-range read over a
+    range-partitioned table must scan only the intersecting files
+    (manifest min/max stats decide driver-side), and return exactly
+    what the full scan + filter returns."""
+    t = TxTable.create(spark, str(tmp_path / "t"),
+                       base.repartitionByRange(8, "k"), ["k"])
+    n_files = len(t.snapshot_files(None))
+    assert n_files >= 8
+    got = t.read_pruned({"k": (10, 12)})
+    assert len(got.inputFiles()) <= 2, got.inputFiles()
+    expect = rows(t.read().where((F.col("k") >= 10) & (F.col("k") <= 12)))
+    assert rows(got) == expect == [(10, "v10"), (11, "v11"), (12, "v12")]
+    # disjoint range -> empty result, zero files
+    assert t.read_pruned({"k": (10_000, 20_000)}).count() == 0
+
+
+def test_append_schema_evolution_additive_only(spark, base, tmp_path):
+    """Schema contract on append: exact columns by default; additive
+    evolution behind merge_schema=True (old files read as nulls for
+    the new column — the declared-schema read, no footer merging);
+    dropping columns always refused. The change feed and a
+    post-evolution MERGE must see the widened schema too."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    widened = spark.createDataFrame([(500, "w", 0.9)],
+                                    "k long, v string, score double")
+    with pytest.raises(ValueError, match="adds columns"):
+        t.append(widened)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        t.append(spark.createDataFrame([(501,)], "k long"))
+    v = t.append(widened, merge_schema=True)
+    assert v == 1
+    out = t.read()
+    assert "score" in out.columns
+    vals = {r["k"]: r["score"] for r in out.collect()}
+    assert vals[500] == 0.9 and vals[0] is None
+    # post-evolution merge carries the widened schema
+    t.merge(spark.createDataFrame([(0, "upd", 0.5)],
+                                  "k long, v string, score double"))
+    vals = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert vals[0] == ("upd", 0.5) and vals[1] == ("v1", None)
+    # change feed unifies across the evolution (nulls for old commits)
+    feed = t.changes(since_version=0).toPandas()
+    assert "score" in feed.columns
+    # CDC streaming source sees the widened schema and null-fills
+    from user_behavior_analysis_spark.tables_cdc import (
+        txtable_changes_stream)
+    got = []
+    q = (txtable_changes_stream(spark, str(tmp_path / "t"))
+         .writeStream.foreachBatch(lambda df, e: got.extend(
+             map(tuple, df.select("k", "score", "_version").collect())))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    by_k = {g[0]: g for g in got}
+    assert by_k[500][1] == 0.9
+    assert any(g[1] is None for g in got if g[0] != 500)

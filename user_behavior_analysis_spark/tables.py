@@ -201,10 +201,16 @@ class TxTable:
                 prev = txn.get(m["txn_app"])
                 if prev is None or m["txn_version"] > prev:
                     txn[m["txn_app"]] = m["txn_version"]
-            if meta is None:
-                meta = {"schema": m.get("schema"),
-                        "key_cols": m.get("key_cols")}
-            meta["ts"] = m["ts"]
+            if m.get("schema"):  # create, or a schema-evolving commit
+                if meta is None:
+                    meta = {"schema": m["schema"],
+                            "key_cols": m.get("key_cols")}
+                else:
+                    meta["schema"] = m["schema"]
+                    if m.get("key_cols"):
+                        meta["key_cols"] = m["key_cols"]
+            if meta is not None:
+                meta["ts"] = m["ts"]
         return live, txn, meta
 
     # ----------------------------------------------------------- snapshots
@@ -213,31 +219,73 @@ class TxTable:
         live, _, _ = self._replay(version)
         return list(live.values())
 
-    def _meta(self) -> dict:
-        """Table schema/key_cols, from the create manifest if retained,
-        else from any checkpoint (both carry them)."""
-        vs = self.versions()
-        if vs and vs[0] == 0:
-            m = self._read_manifest(0)
-            return {"schema": m["schema"], "key_cols": m["key_cols"]}
-        ck_v = self._latest_checkpoint_le(None)
-        if ck_v is None:
+    def _meta(self, version: int | None = None) -> dict:
+        """Table schema/key_cols AT a version — the LATEST schema the
+        log records at-or-below it (schema-evolving appends update it;
+        checkpoints carry it forward past truncation)."""
+        _, _, meta = self._replay(version)
+        if meta is None or not meta.get("schema"):
             raise FileNotFoundError(f"no schema source in {self.log_dir}")
-        ck = self._read_checkpoint(ck_v)
-        return {"schema": ck["schema"], "key_cols": ck["key_cols"]}
+        return meta
+
+    def _schema_at(self, version: int | None = None):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(
+            json.loads(self._meta(version)["schema"]))
+
+    def _read_files(self, files: list[dict],
+                    version: int | None = None) -> DataFrame:
+        """Scan file entries WITH the declared table schema: parquet
+        columns match by name, files predating an additive schema
+        evolution yield nulls for the newer columns — no footer-merge
+        pass, stable column order."""
+        schema = self._schema_at(version)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.data_dir, f["path"]) for f in files])
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read — optionally of a historical version (time
         travel). An empty snapshot needs a schema source: the create
         manifest (or any checkpoint) records the table schema DDL."""
-        files = self.snapshot_files(version)
-        if not files:
-            from pyspark.sql.types import StructType
+        return self._read_files(self.snapshot_files(version), version)
 
-            schema = StructType.fromJson(json.loads(self._meta()["schema"]))
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
-            *[os.path.join(self.data_dir, f["path"]) for f in files])
+    def read_pruned(self, bounds: dict[str, tuple],
+                    version: int | None = None) -> DataFrame:
+        """Snapshot read with FILE SKIPPING: only files whose key-range
+        stats can intersect ``bounds`` ({key_col: (lo, hi)}) are
+        scanned — the read-path twin of MERGE's pruning (Delta data
+        skipping). The manifest stats make this a driver-side O(files)
+        decision; the exact predicate must still be applied by the
+        caller (stats prune files, not rows) — this returns the pruned
+        scan WITH the bounds re-applied as a residual filter, so the
+        result equals ``read().where(bounds)`` while touching only the
+        intersecting files. Returns the filtered DataFrame.
+
+        100 TB shape: a point/range lookup on a compacted (or
+        Z-ordered) table reads O(matching files), not the table — the
+        difference between a scan and an index probe."""
+        files = self.snapshot_files(version)
+        keep = []
+        for f in files:
+            ok = True
+            for k, (lo, hi) in bounds.items():
+                st = f.get("stats", {}).get(k)
+                if st is None or st[0] is None:
+                    continue  # no stats -> cannot prune, keep
+                if hi < st[0] or lo > st[1]:
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
+        df = self._read_files(keep, version)
+        cond = None
+        for k, (lo, hi) in bounds.items():
+            c = (F.col(k) >= F.lit(lo)) & (F.col(k) <= F.lit(hi))
+            cond = c if cond is None else (cond & c)
+        return df.where(cond) if cond is not None else df
 
     def read_as_of(self, ts: float) -> DataFrame:
         """Time travel by wall clock: the last version committed ≤ ts
@@ -298,18 +346,62 @@ class TxTable:
     def _key_cols(self) -> list[str]:
         return self._meta()["key_cols"]
 
+    def _conform(self, df: DataFrame, extra_ok: bool = False) -> DataFrame:
+        """Schema ENFORCEMENT on the write path (Delta's contract):
+        every written batch is cast to the declared table schema, so
+        the physical parquet types never drift from the schema the
+        reads declare. Without this, innocuous expression typing —
+        ``decimal(12,2) + 1000`` widening to decimal(13,2) — would
+        write files the declared-schema scan then refuses (caught by
+        the round-6 verify sweep on txtable_merge_snapshot). Spark 4
+        runs ANSI mode by default, so a value that genuinely cannot
+        fit the declared type raises instead of nulling out. With
+        ``extra_ok`` (additive schema evolution), columns beyond the
+        table schema pass through with their own types."""
+        schema = self._schema_at()
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields]
+        if extra_ok:
+            known = {f.name for f in schema.fields}
+            cols += [F.col(c) for c in df.columns if c not in known]
+        return df.select(*cols)
+
     def append(self, df: DataFrame, txn_app: str | None = None,
                txn_version: int | None = None, max_retries: int = 20,
-               ) -> int | None:
+               merge_schema: bool = False) -> int | None:
         """Blind append — always safe under concurrency, so a conflict
         just re-commits at the next version. Returns the committed
         version, or None if the (txn_app, txn_version) idempotence
-        marker shows this transaction already committed."""
+        marker shows this transaction already committed.
+
+        Schema contract: the batch must carry exactly the table's
+        columns — a silent drift would poison every later read. With
+        ``merge_schema=True``, ADDITIVE evolution is allowed (batch =
+        table columns + new ones): the commit records the widened
+        schema, and every read declares it, so files predating the
+        evolution yield nulls for the new columns (Delta's
+        mergeSchema contract). Dropping or retyping columns is refused
+        — that rewrites history, which is a migration, not an append."""
         if self._txn_already_applied(txn_app, txn_version):
             return None
+        cur_cols = [f.name for f in self._schema_at().fields]
+        missing = set(cur_cols) - set(df.columns)
+        extra = set(df.columns) - set(cur_cols)
+        if missing:
+            raise ValueError(f"append batch lacks table columns "
+                             f"{sorted(missing)}")
+        if extra and not merge_schema:
+            raise ValueError(f"append batch adds columns {sorted(extra)}; "
+                             "pass merge_schema=True for additive "
+                             "evolution")
+        df = self._conform(df, extra_ok=bool(extra))
+        if extra:
+            df = df.select(*cur_cols, *sorted(extra))
         added = self._write_files(df, self._key_cols())
         m = {"op": "append", "added": added, "removed": [],
              "txn_app": txn_app, "txn_version": txn_version}
+        if extra:
+            m["schema"] = df.schema.json()
         for _ in range(max_retries):
             if self._txn_already_applied(txn_app, txn_version):
                 return None
@@ -361,7 +453,9 @@ class TxTable:
         if self._txn_already_applied(txn_app, txn_version):
             return None
         keys = self._key_cols()
-        batch = batch.localCheckpoint(eager=True)  # read per attempt
+        # schema enforcement: cast to the declared table schema so the
+        # written files' parquet types never drift from the reads
+        batch = self._conform(batch).localCheckpoint(eager=True)
         n_rows, n_keys = batch.agg(
             F.count(F.lit(1)),
             F.count_distinct(F.struct(*keys))).first()
@@ -398,8 +492,7 @@ class TxTable:
                     for k in keys)
                 (hot if inter else cold).append(f)
             if hot:
-                old = self.spark.read.parquet(
-                    *[os.path.join(self.data_dir, f["path"]) for f in hot])
+                old = self._read_files(hot, base_v)
                 keep = old.join(batch.select(*keys).distinct(),
                                 keys, "left_anti")
                 merged = batch.unionByName(keep)
@@ -499,18 +592,20 @@ class TxTable:
                 continue
             if not m.get("added"):
                 continue
-            part = self.spark.read.parquet(
+            part = self.spark.read.schema(self._schema_at(v)).parquet(
                 *[os.path.join(self.data_dir, f["path"])
                   for f in m["added"]])
             parts.append(part.withColumn("_version", F.lit(v))
                              .withColumn("_op", F.lit(m.get("op"))))
         if not parts:
-            empty = self.read(version=self.versions()[0]).limit(0)
+            empty = self.read().limit(0)
             return (empty.withColumn("_version", F.lit(0))
                          .withColumn("_op", F.lit("")).limit(0))
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # schema-evolving commits widen later parts; earlier rows
+            # carry nulls for the newer columns
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def vacuum(self, retention_s: float = 3600.0) -> int:

@@ -66,20 +66,27 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _table_schema(path: str) -> StructType:
-    """Table schema without a SparkSession: the create manifest (or any
-    checkpoint) records the schema JSON — both are plain driver-side
-    files (tables.TxTable._meta's contract)."""
-    vs = _manifest_versions(path)
-    if vs and vs[0] == 0:
-        return StructType.fromJson(
-            json.loads(_read_manifest(path, 0)["schema"]))
+    """LATEST table schema without a SparkSession: the highest-version
+    log artifact (manifest or checkpoint) carrying a schema wins —
+    schema-evolving appends update it, checkpoints carry it past
+    truncation (tables.TxTable._meta's contract)."""
+    best_v, best = -1, None
+    for v in _manifest_versions(path):
+        m = _read_manifest(path, v)
+        if m.get("schema") and v > best_v:
+            best_v, best = v, m["schema"]
     d = _log_dir(path)
     cks = sorted(f for f in os.listdir(d)
-                 if f.startswith("c") and f.endswith(".checkpoint.json"))
-    if not cks:
+                 if f.startswith("c") and f.endswith(".checkpoint.json")) \
+        if os.path.isdir(d) else []
+    if cks:
+        with open(os.path.join(d, cks[-1])) as fh:
+            ck = json.load(fh)
+        if ck["version"] > best_v:
+            best_v, best = ck["version"], ck["schema"]
+    if best is None:
         raise FileNotFoundError(f"not a TxTable: {path}")
-    with open(os.path.join(d, cks[-1])) as fh:
-        return StructType.fromJson(json.loads(json.load(fh)["schema"]))
+    return StructType.fromJson(json.loads(best))
 
 
 class _FilePart(InputPartition):
@@ -130,6 +137,11 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
         tbl = pq.read_table(partition.file_path)
         target = to_arrow_schema(self._schema)
+        for i, name in enumerate(target.names):
+            if name not in tbl.column_names:
+                # file predates an additive schema evolution: null-fill
+                tbl = tbl.append_column(
+                    name, pa.nulls(tbl.num_rows, target.types[i]))
         tbl = tbl.select(target.names).cast(target)
         n = tbl.num_rows
         tbl = tbl.append_column(
