@@ -220,6 +220,12 @@ def txtable_probe(spark, sf_dir: str, work_dir: str) -> dict:
     t0 = time.perf_counter()
     assert t.read().count() == n
     row["snapshot_read_s"] = round(time.perf_counter() - t0, 2)
+    # stats-pruned point-range read (round 6): files touched + wall
+    t0 = time.perf_counter()
+    pruned = t.read_pruned({"o_orderkey": (lo, lo + (hi - lo) // 64)})
+    row["pruned_read_rows"] = pruned.count()
+    row["pruned_read_s"] = round(time.perf_counter() - t0, 2)
+    row["pruned_read_files"] = len(pruned.inputFiles())
     shutil.rmtree(path, ignore_errors=True)
     return row
 
