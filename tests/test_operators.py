@@ -1731,3 +1731,42 @@ def test_curation_run_incremental_table(spark, sf_dir, tmp_path):
     assert rep2["table"]["rows"] == n1 == rep2["dedup_kept"]
     ids = [r["doc_id"] for r in t.read().select("doc_id").collect()]
     assert len(ids) == len(set(ids)), "duplicate doc_ids after merge"
+
+
+def test_interval_overlap_join_property_vs_theta(spark):
+    """Property test: on ARBITRARY interval sets (random bounds,
+    including inverted and point intervals) and several bucket widths,
+    the bucket-decomposed overlap join must emit exactly the pairs the
+    naive closed-interval theta join emits over the VALID intervals —
+    each pair exactly once."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from user_behavior_analysis_spark.operators.joins import (
+        interval_overlap_join)
+
+    iv = st.tuples(st.integers(0, 60), st.integers(0, 60))
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(iv, min_size=1, max_size=10),
+           st.lists(iv, min_size=1, max_size=10),
+           st.sampled_from([5, 7, 16, 64]))
+    def check(lv, rv, w):
+        left = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(lv)],
+            "lid long, sa long, ea long")
+        right = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(rv)],
+            "rid long, sb long, eb long")
+        naive = (left.where(F.col("ea") >= F.col("sa"))
+                 .crossJoin(right.where(F.col("eb") >= F.col("sb")))
+                 .where((F.col("sa") <= F.col("eb"))
+                        & (F.col("sb") <= F.col("ea")))
+                 .select("lid", "rid"))
+        expected = sorted(map(tuple, naive.collect()))
+        got = interval_overlap_join(
+            left, right, left_cols=("sa", "ea"), right_cols=("sb", "eb"),
+            bucket_width=w).select("lid", "rid").collect()
+        assert sorted(map(tuple, got)) == expected, (lv, rv, w)
+
+    check()

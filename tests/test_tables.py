@@ -536,3 +536,51 @@ def test_concurrent_merges_serialize(spark, base, tmp_path):
     assert all(got[i * 25] == f"m{i}" for i in range(4)), got
     assert len(got) == 100  # pure updates: no row gained or lost
     assert t.latest_version() == 4
+
+
+def test_txtable_model_based_random_ops(spark, tmp_path):
+    """Model-based property test: arbitrary interleavings of append /
+    merge / compact, replayed against a plain in-memory model
+    (append = add rows; merge = keyed replace+insert; compact = no
+    content change), with a small checkpoint interval so the
+    checkpointed-log read path engages mid-sequence. The final
+    snapshot AND a historical version must match the model's state."""
+    import uuid as _uuid
+
+    from hypothesis import given, settings, strategies as st
+
+    batch = st.lists(
+        st.tuples(st.integers(0, 14), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=4, unique_by=lambda t: t[0])
+    op = st.one_of(st.tuples(st.just("append"), batch),
+                   st.tuples(st.just("merge"), batch),
+                   st.tuples(st.just("compact"), st.none()))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(op, min_size=1, max_size=6),
+           st.sampled_from([1, 2, 4]))
+    def check(ops, ck_interval):
+        path = str(tmp_path / f"m{_uuid.uuid4().hex[:8]}")
+        t = TxTable.create(
+            spark, path,
+            spark.createDataFrame([(100, "base")], "k long, v string"),
+            ["k"], checkpoint_interval=ck_interval)
+        model = [(100, "base")]
+        history = {0: sorted(model)}
+        for kind, data in ops:
+            if kind == "append":
+                t.append(spark.createDataFrame(data, "k long, v string"))
+                model = model + data
+            elif kind == "merge":
+                t.merge(spark.createDataFrame(data, "k long, v string"))
+                keys = {k for k, _ in data}
+                model = [r for r in model if r[0] not in keys] + data
+            else:
+                t.compact(n_files=2)
+            history[t.latest_version()] = sorted(model)
+        assert rows(t.read()) == sorted(model), (ops, ck_interval)
+        # time travel to the middle of the sequence
+        mid = sorted(history)[len(history) // 2]
+        assert rows(t.read(version=mid)) == history[mid], (ops, mid)
+
+    check()
