@@ -1770,3 +1770,32 @@ def test_interval_overlap_join_property_vs_theta(spark):
         assert sorted(map(tuple, got)) == expected, (lv, rv, w)
 
     check()
+
+
+def test_sequence_pack_arithmetic(spark):
+    """Packing invariants on a controlled corpus: per-shard bins cover
+    the token stream contiguously (sum of seq_tokens == total tokens),
+    every straddler actually crosses a 2048 boundary, and the number
+    of straddlers per shard is bounded by the number of interior
+    boundaries (next-fit-with-splitting: at most one straddler per
+    boundary)."""
+    import tempfile, os
+
+    from user_behavior_analysis_spark.queries import QUERIES
+    # ~50 docs x ~120 tokens -> several bins per shard
+    rows = [(i, " ".join(f"w{j}" for j in range(40 + (i * 37) % 160)),
+             "en", "s") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = QUERIES["sequence_pack"](spark, d).toPandas()
+    total_tokens = sum(40 + (i * 37) % 160 for i in range(200))
+    assert int(out["seq_tokens"].sum()) == total_tokens
+    assert int(out["n_docs"].sum()) == 200
+    for shard, grp in out.groupby("shard"):
+        g = grp.sort_values("bin")
+        # bins are contiguous from 0
+        assert list(g["bin"]) == list(range(len(g))), g
+        # at most one straddler per interior boundary of the stream
+        n_boundaries = (int(g["seq_tokens"].sum()) - 1) // 2048
+        assert int(g["straddlers"].sum()) <= n_boundaries, g

@@ -579,6 +579,23 @@ def test_concurrent_sessions_overlap_join_shape(spark, sf_dir):
     assert m and "_oj_b" in m.group(1), plan
 
 
+def test_sequence_pack_no_global_sort(spark, sf_dir):
+    """The packing offset is a PER-SHARD window — the classic mistake
+    is one global cumsum (a single-partition window that serializes
+    the corpus). Pin: the window partitions by shard, no
+    SinglePartition exchange anywhere, exactly two hash exchanges
+    (shard window + (shard, bin) aggregate)."""
+    plan = plan_of(spark, "sequence_pack", sf_dir)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert re.search(r"Window .*windowspecdefinition\(shard", plan), plan
+    # ONE exchange: the (shard, bin) aggregate reuses the shard-hash
+    # partitioning the window already established (shard is a prefix
+    # of the grouping keys), so no second shuffle exists to pin
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    m = re.search(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert m and "shard" in m.group(1), plan
+
+
 def test_semantic_dedup_clusters_no_nested_loop(spark, sf_dir):
     """Round-6 re-key: the edge stage rides the SAME pinned LSH-cell
     self-join as embedding_neardup (its own shape test pins SHJ on

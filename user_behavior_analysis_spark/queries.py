@@ -6221,6 +6221,83 @@ def txtable_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum("price").cast("double").alias("revenue")))
 
 
+_SEQ_PACK_LEN, _SEQ_PACK_SHARDS = 2048, 8
+
+_SEQ_PACK_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_SEQ_PACK_SHARDS} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+), offs AS (
+  SELECT shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+           AS start_off
+  FROM d
+)
+SELECT shard, CAST(start_off // {_SEQ_PACK_LEN} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+       CAST(SUM(CASE WHEN n_tok > 0 AND
+                 start_off // {_SEQ_PACK_LEN}
+                 <> (start_off + n_tok - 1) // {_SEQ_PACK_LEN}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS straddlers
+FROM offs GROUP BY shard, bin
+"""
+
+
+@query("sequence_pack", _SEQ_PACK_ORACLE)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style SEQUENCE PACKING layout: documents concatenated into
+    fixed-length (2048-token) training sequences, next-fit with
+    boundary splitting (a doc starting in bin B counts there; a
+    straddler contributes its tail to B+1 — context_chunks is the
+    row-level splitter). Per (shard, bin): docs started, tokens
+    started, boundary straddlers — the packing-efficiency report a
+    pretraining data job emits before writing shards.
+
+    100 TB shape: the ONLY stateful step is a per-shard running token
+    offset — a window partitioned by the hash shard, so each of the
+    O(shards) partitions sums independently; there is NO global sort
+    and NO single-partition window anywhere (the classic packing
+    mistake is one global cumsum). Doc order inside a shard is the
+    md5(doc_id) key — deterministic, engine-identical, and
+    shuffle-stable, the property every reproducible-packing run needs.
+    Plan: ONE exchange total — the (shard, bin) aggregate reuses the
+    shard-hash partitioning the window established (shard is a prefix
+    of the grouping keys), so the whole query is scan → shuffle(shard)
+    → window → map-side+final aggregate (pinned in
+    test_sequence_pack_no_global_sort)."""
+    from pyspark.sql import Window
+
+    from .functions.text import md5_prefix_hash, token_count
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tok"),
+        F.pmod(md5_prefix_hash(F.col("doc_id").cast("string")),
+               F.lit(_SEQ_PACK_SHARDS)).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"))
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    offs = d.withColumn("start_off",
+                        F.sum("n_tok").over(w) - F.col("n_tok"))
+    sl = F.lit(_SEQ_PACK_LEN)
+    return (offs
+            .groupBy("shard",
+                     F.floor(F.col("start_off") / sl).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("seq_tokens"),
+                 F.sum(((F.col("n_tok") > 0)
+                        & (F.floor(F.col("start_off") / sl)
+                           != F.floor((F.col("start_off")
+                                       + F.col("n_tok") - 1) / sl)))
+                       .cast("long")).alias("straddlers")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-exposure ordering.
 #
