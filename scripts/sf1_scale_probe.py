@@ -93,6 +93,10 @@ SUBSET = [
     "dedup_exact", "dedup_clusters", "semantic_dedup_clusters",
     "ann_ivf_topk", "ann_pq_topk", "customer_spend_deciles",
     "event_transitions",
+    # this session's additions: the k-NN join rides the derived-planes
+    # LSH cells (mandatory output = k rows per vector, linear by
+    # construction); SCD2 + sequence_pack are single-exchange windows
+    "knn_join", "scd2_dimension", "sequence_pack",
 ]
 
 

@@ -1689,6 +1689,43 @@ def test_embedding_neardup_lsh_finds_planted_pairs(spark):
         assert abs(true - r["cos"]) < 1e-9
 
 
+def test_knn_join_lsh_semantics(spark):
+    """knn_join: (a) a planted EXACT duplicate shares every LSH
+    signature, so it is always a candidate and must surface as the
+    rank-1 neighbor with cos≈1; (b) no self-matches; (c) per-vid ranks
+    are 1..n with cos non-increasing and the neighbor-id tie-break
+    deterministic; (d) the residual column isolates partitions (an
+    identical vector under another label never appears as a
+    neighbor)."""
+    import numpy as np
+
+    from user_behavior_analysis_spark.operators.similarity import (
+        knn_join_lsh)
+    rng = np.random.default_rng(29)
+    base = rng.normal(size=(30, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(int(i), row.tolist(), "a") for i, row in enumerate(base)]
+    rows.append((200, base[3].tolist(), "a"))   # exact dup of 3
+    rows.append((500, base[3].tolist(), "b"))   # same vector, other label
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = knn_join_lsh(vecs, "vec_id", "embedding", k=2,
+                       residual_col="label").toPandas()
+    assert (out["vid"] != out["nb"]).all(), "self match leaked"
+    assert 500 not in set(out["nb"]) and 500 not in set(out["vid"]), \
+        "residual predicate leaked"
+    by3 = out[out["vid"] == 3].sort_values("rank")
+    assert list(by3["nb"])[:1] == [200], by3
+    assert by3["cos"].iloc[0] > 1 - 1e-9
+    by200 = out[out["vid"] == 200].sort_values("rank")
+    assert list(by200["nb"])[:1] == [3]
+    for _, grp in out.groupby("vid"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        cs = list(g["cos"])
+        assert all(cs[i] >= cs[i + 1] - 1e-12 for i in range(len(cs) - 1))
+
+
 def test_mix_weight_quantization_off_boundary(spark, sf_dir):
     """temperature_mix_weights quantizes pow(tokens, 0.7) to micro-units
     with round(); JVM and libm pow may differ by ~1 ulp, which could

@@ -630,3 +630,35 @@ def test_gapfilled_series_generates_the_time_dimension(spark, sf_dir):
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan \
         or "Checkpoint" in plan or plan.count("Scan parquet") == 1, plan
+
+
+def test_knn_join_cell_join_and_group_limit(spark, sf_dir):
+    """knn_join rides the pinned embedding_neardup LSH-cell self-join
+    (SHJ on (tab, bucket) — both sides corpus-scaled, never broadcast,
+    never BNLJ) and adds exactly one ranking stage; the rank<=k filter
+    must plan as WindowGroupLimit so only k rows per vector survive to
+    the rank exchange's reduce side — a corpus-wide sort-then-filter
+    would ship every candidate pair twice."""
+    plan = plan_of(spark, "knn_join", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
+    assert m and "tab" in m.group(1) and "bucket" in m.group(1), plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_scd2_dimension_single_user_exchange(spark, sf_dir):
+    """SCD2 compresses runs WITHOUT a (user, run_id) re-aggregation:
+    run starts survive a lag() filter, then lead()/row_number() rank
+    them — all three windows partition by user_id, so exactly ONE hash
+    exchange exists, no HashAggregate, and never a corpus-wide
+    single-partition window."""
+    plan = plan_of(spark, "scd2_dimension", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    m = re.search(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert m and "user_id" in m.group(1), plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "HashAggregate" not in plan, plan

@@ -1447,3 +1447,90 @@ def test_refresh_index_replay_state_dir_wal(spark, sf_dir, tmp_path):
     assert len(by_epoch[1]) == 2 and by_epoch[1][0] == by_epoch[1][1]
     assert by_epoch[1][0][ids["e1"]][0] == "unique"
     assert by_epoch[2][0][ids["twin"]] == ("exact_dup", ids["e1"])
+
+
+def _temporal_fixture_dirs(tmp_path):
+    """Two file-streams with ENGINEERED cross-batch disorder: the right
+    (dimension) version at ts=20 arrives one micro-batch AFTER the left
+    (fact) row at ts=25 it must enrich. Sentinel rows (key 99, ts=1000)
+    advance the watermark past every real fact at the end."""
+    ldir, rdir = tmp_path / "facts", tmp_path / "dims"
+    ldir.mkdir(), rdir.mkdir()
+    lfiles = [
+        [(3, 1, 25), (1, 1, 5)],            # batch 0: ts25 BEFORE dim ts20
+        [(2, 1, 20), (4, 1, 12), (5, 2, 15)],
+        [(99, 99, 1000)],                   # sentinel: wm -> 950
+        # after wm=950 pruned key 1's history to its single latest
+        # version (ts20) — this fact must still enrich from it
+        [(6, 1, 960)],
+        [(98, 98, 2000)],                   # sentinel: wm -> 1950
+    ]
+    rfiles = [
+        [(1, 10, 100)],
+        [(1, 20, 200)],                     # late-arriving dim version
+        [(99, 1000, 999)],                  # sentinel
+        [(97, 2000, 997)],                  # sentinel (keeps files paired)
+    ]
+    for i, rows in enumerate(lfiles):
+        pd.DataFrame(rows, columns=["fact_id", "k", "ts_s"]) \
+            .to_parquet(ldir / f"part-{i:03d}.parquet", index=False)
+    for i, rows in enumerate(rfiles):
+        pd.DataFrame(rows, columns=["k", "ts_s", "price"]) \
+            .to_parquet(rdir / f"part-{i:03d}.parquet", index=False)
+    return str(ldir), str(rdir)
+
+
+def test_temporal_join_stream_cross_batch_disorder(spark, tmp_path):
+    """Event-time temporal join: results must equal the batch asof_join
+    regardless of arrival order ACROSS micro-batches — the case the
+    O(1)-state last_touch_stream shape cannot handle. Covers: late
+    dimension version enriching an earlier-arrived fact (disorder),
+    inclusive same-ts match, fact before any version (NULL), key with
+    no dimension at all (NULL)."""
+    import json
+
+    from user_behavior_analysis_spark.operators.asof import asof_join
+    from user_behavior_analysis_spark.streaming.stateful import (
+        temporal_join_stream)
+
+    ldir, rdir = _temporal_fixture_dirs(tmp_path)
+
+    def _stream(path, schema):
+        df = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+        return df.withColumn("ts", F.timestamp_seconds(F.col("ts_s"))) \
+                 .drop("ts_s")
+
+    facts = _stream(ldir, "fact_id long, k long, ts_s long")
+    dims = _stream(rdir, "k long, ts_s long, price long")
+    out = run_stream(
+        spark,
+        temporal_join_stream(facts, dims, key="k", left_ts="ts",
+                             right_ts="ts", watermark="50 seconds"),
+        "append", "temporal_stream")
+    got = {
+        int(json.loads(r.lpay)["fact_id"]):
+            (int(r.k), int(r.ts),
+             json.loads(r.rpay)["price"] if r.rpay is not None else None)
+        for r in out.itertuples()
+    }
+    # batch twin over the SAME rows, restricted to watermark-passed facts
+    lb = spark.read.parquet(ldir).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    rb = spark.read.parquet(rdir).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    # final wm = 2000-50 = 1950: every fact except the last sentinel
+    # (ts 2000) must have emitted — including the first sentinel (99)
+    exp_rows = asof_join(lb.where("fact_id != 98"), rb,
+                         left_on="k", right_on="k",
+                         left_ts="ts", right_ts="ts",
+                         payload=["price"]).collect()
+    exp = {int(r.fact_id): (int(r.k), int(r.ts.timestamp()),
+                            None if r.price is None else int(r.price))
+           for r in exp_rows}
+    assert got == exp, (got, exp)
+    # the disorder case specifically: fact ts25 got the batch-later dim
+    assert got[3][2] == 200
+    # the prune case: fact ts960 (arrived after wm passed every dim
+    # version) enriched from the RETAINED latest-below-watermark entry
+    assert got[6][2] == 200

@@ -554,7 +554,9 @@ def test_txtable_model_based_random_ops(spark, tmp_path):
         min_size=1, max_size=4, unique_by=lambda t: t[0])
     op = st.one_of(st.tuples(st.just("append"), batch),
                    st.tuples(st.just("merge"), batch),
-                   st.tuples(st.just("compact"), st.none()))
+                   st.tuples(st.just("compact"), st.none()),
+                   st.tuples(st.just("replace_where"),
+                             st.tuples(st.integers(0, 14), batch)))
 
     @settings(max_examples=6, deadline=None)
     @given(st.lists(op, min_size=1, max_size=6),
@@ -575,6 +577,13 @@ def test_txtable_model_based_random_ops(spark, tmp_path):
                 t.merge(spark.createDataFrame(data, "k long, v string"))
                 keys = {k for k, _ in data}
                 model = [r for r in model if r[0] not in keys] + data
+            elif kind == "replace_where":
+                thresh, rows_ = data
+                region = [r for r in rows_ if r[0] >= thresh]
+                t.replace_where(
+                    f"k >= {thresh}",
+                    spark.createDataFrame(region, "k long, v string"))
+                model = [r for r in model if r[0] < thresh] + region
             else:
                 t.compact(n_files=2)
             history[t.latest_version()] = sorted(model)
@@ -584,3 +593,49 @@ def test_txtable_model_based_random_ops(spark, tmp_path):
         assert rows(t.read(version=mid)) == history[mid], (ops, mid)
 
     check()
+
+
+def test_replace_where_backfill(spark, tmp_path):
+    """replace_where: one commit deletes the predicate region and
+    inserts the batch; files wholly outside the region carry over by
+    reference; rows outside the predicate in the batch are refused;
+    time travel still sees the pre-backfill region; the change feed
+    carries the commit."""
+    lo = spark.createDataFrame(
+        [(i, "old") for i in range(100)], "k long, v string")
+    hi = spark.createDataFrame(
+        [(i, "old") for i in range(1000, 1100)], "k long, v string")
+    t = TxTable.create(spark, str(tmp_path / "t"),
+                       lo.repartitionByRange(2, "k"), ["k"])
+    t.append(hi.repartitionByRange(2, "k"))
+    v0_files = {f["path"] for f in t.snapshot_files(0)}
+
+    # refuse out-of-region writes
+    bad = spark.createDataFrame([(5, "X"), (2000, "X")], "k long, v string")
+    with pytest.raises(ValueError, match="outside predicate"):
+        t.replace_where("k >= 1000", bad)
+
+    # backfill the high region with half the rows, new values
+    fresh = spark.createDataFrame(
+        [(i, "new") for i in range(1000, 1050)], "k long, v string")
+    v = t.replace_where("k >= 1000", fresh)
+    got = dict(rows(t.read()))
+    assert len(got) == 150
+    assert got[0] == "old" and got[1000] == "new" and 1099 not in got
+    # low-range files never rewritten
+    m = t._read_manifest(v)
+    assert m["op"] == "replace_where" and m["predicate"] == "k >= 1000"
+    assert not (set(m["removed"]) & v0_files), \
+        "files outside the predicate region must carry over untouched"
+    assert m["removed"], "the matching file(s) must be rewritten"
+    # time travel: pre-backfill snapshot intact
+    before = dict(rows(t.read(version=v - 1)))
+    assert before[1099] == "old" and len(before) == 200
+    # change feed carries the commit (inserted region rows)
+    ch = t.changes(since_version=v - 1, to_version=v)
+    assert ch.where("_op = 'replace_where'").count() >= 50
+    # idempotent replay via txn marker
+    again = t.replace_where("k >= 1000", fresh, txn_app="bf", txn_version=1)
+    assert again == v + 1
+    assert t.replace_where("k >= 1000", fresh,
+                           txn_app="bf", txn_version=1) is None

@@ -240,6 +240,44 @@ def embedding_neardup_lsh_pairs(vectors: DataFrame, id_col: str,
     )
 
 
+def knn_join_lsh(vectors: DataFrame, id_col: str, vec_col: str, k: int,
+                 *, n_tables: int = 8, n_planes: int = 4, dim: int = 64,
+                 seed: int = 7, residual_col: str | None = None) -> DataFrame:
+    """Corpus-wide k-NN JOIN: every vector gets its ``k`` nearest
+    neighbors (exact cosine, deterministic ties on neighbor id) among
+    its RP-LSH cell candidates — the all-rows generalization of the
+    query-set ``*_topk`` family and the retrieval twin of
+    ``embedding_neardup_lsh_pairs`` (same candidate generator, no
+    threshold: ranking replaces the cut).
+
+    Scale shape on top of the pair generator's: candidates symmetrize
+    map-side (each undirected pair feeds both endpoints' lists), then
+    ONE additional exchange on the vector id ranks per-vector — Spark
+    plans the rank filter as WindowGroupLimit, so only k rows per
+    vector survive each side of that exchange. Candidate volume — and
+    so the whole join — stays bounded per vector as the corpus grows
+    when ``n_planes`` is sized with the corpus (see the pair
+    generator's docstring); recall of the true top-k is the standard
+    OR-amplified LSH guarantee, highest for the near-duplicate
+    neighbors that dominate curation use.
+
+    Output: (vid, nb, cos, rank) with rank in [1, k]; vectors whose
+    cells yield no candidate emit nothing (no fallback scan — at 100 TB
+    a brute-force fallback would dwarf the LSH path; widen
+    ``n_tables`` instead if coverage matters more than cost).
+    """
+    pairs = embedding_neardup_lsh_pairs(
+        vectors, id_col, vec_col, threshold=-2.0, n_tables=n_tables,
+        n_planes=n_planes, dim=dim, seed=seed, residual_col=residual_col)
+    sym = pairs.select(
+        F.col("id_a").alias("vid"), F.col("id_b").alias("nb"), "cos",
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("vid"), F.col("id_a").alias("nb"), "cos"))
+    w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("nb"))
+    return (sym.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k))
+
+
 def _rp_hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes: integer weight
     w[p][d] = (md5_int(seed_p_d) mod 2001) - 1000 — reproducible on any

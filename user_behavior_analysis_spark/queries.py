@@ -1142,6 +1142,107 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "keep")
 
 
+_KNN_JOIN_K = 3
+
+_KNN_JOIN_ORACLE = f"""
+WITH {_EMB_LSH_CAND_CTES},
+sym AS (
+  SELECT id_a AS vid, id_b AS nb, cos FROM pairs
+  UNION ALL
+  SELECT id_b AS vid, id_a AS nb, cos FROM pairs
+), ranked AS (
+  SELECT vid, nb, cos, CAST(row_number() OVER (
+      PARTITION BY vid ORDER BY cos DESC, nb) AS INTEGER) AS rank
+  FROM sym
+)
+SELECT vid, nb, round(cos, 3) AS cos_r, rank
+FROM ranked WHERE rank <= {_KNN_JOIN_K}
+"""
+
+
+@query("knn_join", _KNN_JOIN_ORACLE)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN JOIN: top-{_KNN_JOIN_K} neighbors for EVERY
+    embedding (not a fixed query set like the ``ann_*_topk`` family),
+    candidates from the same derived-planes RP-LSH cells as
+    embedding_neardup / semantic_dedup_clusters, exact cosine ranking
+    with neighbor-id tie-break. The retrieval shape behind semantic
+    dedup triage, hard-negative mining, and cluster labeling — at
+    100 TB the all-pairs k-NN join is only feasible cell-restricted,
+    and the cell geometry self-sizes with the corpus (n_planes derived
+    from count, per-cell population ~constant). Oracle rides the
+    shared candidate CTE chain, so both engines rank the exact same
+    candidate set; ranks stay hash-comparable because the cosine folds
+    are IEEE-identical (same construction the ann_bruteforce_topk gate
+    already proves)."""
+    from .operators.similarity import knn_join_lsh
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join_lsh(
+        emb, "vec_id", "embedding", k=_KNN_JOIN_K,
+        n_tables=_EMB_LSH_TABLES, n_planes=_emb_lsh_planes(emb.count()),
+        residual_col="label")
+    return out.select("vid", "nb", F.round("cos", 3).alias("cos_r"),
+                      "rank")
+
+
+_SCD2_ORACLE = """
+WITH src AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_k,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+  FROM events WHERE lower(event_type) = 'view'
+), lagged AS (
+  SELECT user_id, item_k, ts_s,
+         lag(item_k) OVER (PARTITION BY user_id
+                           ORDER BY ts_s, event_id) AS k_prev
+  FROM src
+), starts AS (
+  SELECT user_id, item_k, ts_s FROM lagged
+  WHERE k_prev IS NULL OR item_k <> k_prev
+)
+SELECT user_id, item_k, ts_s AS valid_from,
+       lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_s)
+            AS INTEGER) AS version
+FROM starts
+"""
+
+
+@query("scd2_dimension", _SCD2_ORACLE)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: compress each user's
+    'view' item stream into change intervals — one row per RUN of equal
+    item ids, [valid_from, valid_to) with valid_to NULL on the open
+    (current) version, plus a per-user version number. The warehouse
+    pattern behind every point-in-time dimension the as-of join
+    (operators/asof.py, last_touch_attribution) consumes; the interval
+    form is what a MERGE into a dimension table would write.
+
+    Plan shape at scale: run starts are found with lag() and SURVIVE
+    the filter (gaps-and-islands without the groupBy: a run's start row
+    IS its compressed output, so no (user, run_id) re-aggregation — and
+    no second exchange: all three windows share partitionBy(user_id),
+    one hash exchange total, sorts reused). Events ride a single
+    column-pruned scan; ties broken on event_id so versions are
+    deterministic under any partition layout."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    src = (ev.where(F.lower(F.col("event_type")) == "view")
+             .select("user_id",
+                     F.get_json_object("props", "$.k")
+                      .cast("int").alias("item_k"),
+                     F.col("ts").cast("long").alias("ts_s"), "event_id"))
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    starts = (src.withColumn("k_prev", F.lag("item_k").over(w))
+                 .where(F.col("k_prev").isNull()
+                        | (F.col("item_k") != F.col("k_prev"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts_s")
+    return starts.select(
+        "user_id", "item_k", F.col("ts_s").alias("valid_from"),
+        F.lead("ts_s").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"))
+
+
 # --- text analysis: per-document profile -----------------------------------
 
 _PROFILE_ORACLE = r"""

@@ -32,6 +32,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -403,6 +404,125 @@ def uv_bloom_stream(events: DataFrame, ts_col: str, id_col: str,
             UV_BLOOM_ELEM_SCHEMA if per_element else UV_BLOOM_OUT_SCHEMA,
             _UV_BLOOM_STATE_SCHEMA, "update",
             GroupStateTimeout.NoTimeout)
+    )
+
+
+_TEMPORAL_STATE_SCHEMA = T.StructType([
+    T.StructField("rts", T.ArrayType(T.LongType())),
+    T.StructField("rpay", T.ArrayType(T.StringType())),
+    T.StructField("lts", T.ArrayType(T.LongType())),
+    T.StructField("lpay", T.ArrayType(T.StringType())),
+])
+
+
+def temporal_join_stream(left: DataFrame, right: DataFrame, *,
+                         key: str, left_ts: str, right_ts: str,
+                         watermark: str = "10 seconds") -> DataFrame:
+    """Event-time temporal (as-of) join — Flink's
+    ``FOR SYSTEM_TIME AS OF`` over a versioned table, the streaming
+    twin of ``operators/asof.asof_join``: every left row is enriched
+    with the payload of the latest right row at-or-before its event
+    time (NULL when none), with results that do NOT depend on arrival
+    order across micro-batches.
+
+    ``last_touch_stream`` keeps O(1) state and resolves in-batch
+    disorder only — a right (dimension) version arriving one batch
+    AFTER a left row it should have enriched is silently missed. This
+    operator is the general, disorder-correct build: left rows BUFFER
+    in state until the watermark passes their event time (so the right
+    history at-or-below that time is complete — later-arriving older
+    rights would be late-dropped by the watermark filter anyway), then
+    emit via an event-time timer in timestamp order. The right history
+    prunes to entries >= watermark plus the single latest entry below
+    it (the as-of value for every future left), so per-key state is
+    O(versions inside the lateness horizon + 1), never the full
+    version history — the Flink temporal-join state contract.
+
+    Inputs may carry any column sets: payloads travel as JSON packs
+    (``to_json(struct(*))``) so state schemas stay fixed; unpack with
+    ``from_json`` downstream. Rights sharing (key, ts) resolve
+    last-write-wins — pre-dedupe for cross-engine determinism (same
+    contract as the batch operator's docstring). Emission: one row per
+    left, ``(key, ts, lpay, rpay)``, append mode; ``ts`` in epoch
+    seconds. The watermark is applied per input BEFORE the union, so
+    the stateful operator sees the MIN of both sides' watermarks — a
+    lagging dimension stream correctly holds back fact emission.
+    """
+    lp = [c for c in left.columns if c not in (key, left_ts)]
+    rp = [c for c in right.columns if c not in (key, right_ts)]
+    l_in = left.withWatermark(left_ts, watermark).select(
+        F.col(key).alias("k"), F.col(left_ts).alias("ts"),
+        F.to_json(F.struct(*lp)).alias("pack"),
+        F.lit(True).alias("is_left"))
+    r_in = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("k"), F.col(right_ts).alias("ts"),
+        F.to_json(F.struct(*rp)).alias("pack"),
+        F.lit(False).alias("is_left"))
+    out_schema = T.StructType([
+        T.StructField("k", left.schema[key].dataType),
+        T.StructField("ts", T.LongType()),
+        T.StructField("lpay", T.StringType()),
+        T.StructField("rpay", T.StringType()),
+    ])
+    out_cols = ["k", "ts", "lpay", "rpay"]
+
+    def _emit_and_rearm(k, state, rts, rpay, lts, lpay):
+        """Emit every buffered left the watermark has passed, prune the
+        right history, persist state, arm the timer for the rest."""
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        out, keep_l = [], []
+        for ts, pay in sorted(zip(lts, lpay)):
+            if ts <= wm_s:
+                # latest right at-or-before ts (inclusive, batch parity)
+                hit = None
+                for rt, rp_ in zip(rts, rpay):
+                    if rt <= ts and (hit is None or rt >= hit[0]):
+                        hit = (rt, rp_)
+                out.append((k, ts, pay, hit[1] if hit else None))
+            else:
+                keep_l.append((ts, pay))
+        # prune rights: all >= wm, plus the latest one below wm
+        below = [(rt, rp_) for rt, rp_ in zip(rts, rpay) if rt < wm_s]
+        keep_r = [(rt, rp_) for rt, rp_ in zip(rts, rpay) if rt >= wm_s]
+        if below:
+            keep_r.append(max(below))
+        keep_r.sort()
+        state.update(([t for t, _ in keep_r], [p for _, p in keep_r],
+                      [t for t, _ in keep_l], [p for _, p in keep_l]))
+        if keep_l:
+            state.setTimeoutTimestamp(
+                max(min(t for t, _ in keep_l) * 1000,
+                    state.getCurrentWatermarkMs() + 1))
+        return out
+
+    def handle(key_t: tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key_t
+        rts, rpay, lts, lpay = (
+            state.get if state.exists else ([], [], [], []))
+        rts, rpay, lts, lpay = (list(rts), list(rpay),
+                                list(lts), list(lpay))
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                ts_s = int(row.ts.value // 1_000_000_000)
+                if row.is_left:
+                    lts.append(ts_s)
+                    lpay.append(row.pack)
+                elif ts_s in rts:          # last-write-wins on (k, ts)
+                    rpay[rts.index(ts_s)] = row.pack
+                else:
+                    rts.append(ts_s)
+                    rpay.append(row.pack)
+        out = _emit_and_rearm(k, state, rts, rpay, lts, lpay)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        l_in.unionByName(r_in)
+        .groupBy("k")
+        .applyInPandasWithState(handle, out_schema,
+                                _TEMPORAL_STATE_SCHEMA, "append",
+                                GroupStateTimeout.EventTimeTimeout)
     )
 
 

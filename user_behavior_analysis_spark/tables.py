@@ -512,6 +512,70 @@ class TxTable:
                 continue
         raise CommitConflict("merge retries exhausted")
 
+    def replace_where(self, predicate: str, df: DataFrame,
+                      txn_app: str | None = None,
+                      txn_version: int | None = None,
+                      max_retries: int = 5) -> int | None:
+        """Atomic predicate-scoped overwrite — Delta's ``replaceWhere``,
+        the backfill primitive: in ONE commit, delete every row matching
+        ``predicate`` and insert ``df`` (whose rows must ALL match the
+        predicate — writing outside the declared region is refused, so
+        a backfill can never silently clobber neighbors).
+
+        Copy-on-write at file granularity: one distributed scan flags
+        which live files hold >=1 matching row (O(files) driver rows,
+        the same bounded class as _write_files' stats pass); untouched
+        files carry over by reference, touched files are rewritten
+        keeping only their non-matching rows. Readers of older versions
+        are unaffected (time travel intact); concurrency follows the
+        merge loop — read-validate-retry on commit conflict, orphaned
+        files collected by vacuum.
+        """
+        if self._txn_already_applied(txn_app, txn_version):
+            return None
+        keys = self._key_cols()
+        pred = F.expr(predicate)
+        df = self._conform(df).localCheckpoint(eager=True)
+        n_outside = df.where(~F.coalesce(pred, F.lit(False))).count()
+        if n_outside:
+            raise ValueError(
+                f"replace_where batch has {n_outside} rows outside "
+                f"predicate ({predicate}); the batch must only write "
+                "the region it replaces")
+        for _ in range(max_retries):
+            if self._txn_already_applied(txn_app, txn_version):
+                return None
+            base_v = self.latest_version()
+            files = self.snapshot_files(base_v)
+            hot = []
+            if files:
+                matched = (self._read_files(files, base_v)
+                           .where(pred)
+                           .groupBy(F.input_file_name().alias("_f"))
+                           .count().collect())
+                # file basenames are uuid-unique per written file
+                hot_names = {os.path.basename(r["_f"].replace("file:", ""))
+                             for r in matched}
+                hot = [f for f in files
+                       if os.path.basename(f["path"]) in hot_names]
+            if hot:
+                keep = self._read_files(hot, base_v).where(
+                    ~F.coalesce(pred, F.lit(False)))
+                merged = df.unionByName(keep)
+            else:
+                merged = df
+            added = self._write_files(merged, keys)
+            try:
+                self._commit(base_v + 1, {
+                    "op": "replace_where", "predicate": predicate,
+                    "added": added,
+                    "removed": [f["path"] for f in hot],
+                    "txn_app": txn_app, "txn_version": txn_version})
+                return base_v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("replace_where retries exhausted")
+
     def compact(self, n_files: int = 8,
                 zorder_cols: tuple[str, str] | None = None,
                 max_retries: int = 5) -> int:
