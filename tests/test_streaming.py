@@ -1534,3 +1534,82 @@ def test_temporal_join_stream_cross_batch_disorder(spark, tmp_path):
     # the prune case: fact ts960 (arrived after wm passed every dim
     # version) enriched from the RETAINED latest-below-watermark entry
     assert got[6][2] == 200
+
+
+def test_temporal_join_stream_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart durability: buffered facts and the pruned dim
+    history live in the state store, so a second query started from the
+    SAME checkpoint after new files arrive must complete the join with
+    no loss and no duplicates — union of both runs' outputs equals the
+    batch asof_join."""
+    import json
+
+    from user_behavior_analysis_spark.operators.asof import asof_join
+    from user_behavior_analysis_spark.streaming.stateful import (
+        temporal_join_stream)
+
+    ldir, rdir = tmp_path / "facts", tmp_path / "dims"
+    ldir.mkdir(), rdir.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def _write(d, name, rows, cols):
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            d / name, index=False)
+
+    # phase 1: facts buffered (watermark never reaches them), dims staged
+    _write(ldir, "part-000.parquet", [(1, 1, 30), (2, 1, 8)],
+           ["fact_id", "k", "ts_s"])
+    _write(rdir, "part-000.parquet", [(1, 10, 100), (1, 25, 250)],
+           ["k", "ts_s", "price"])
+
+    def _run():
+        collected = []
+        facts = (spark.readStream.schema("fact_id long, k long, ts_s long")
+                 .option("maxFilesPerTrigger", 1).parquet(str(ldir))
+                 .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+                 .drop("ts_s"))
+        dims = (spark.readStream.schema("k long, ts_s long, price long")
+                .option("maxFilesPerTrigger", 1).parquet(str(rdir))
+                .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+                .drop("ts_s"))
+        out = temporal_join_stream(facts, dims, key="k", left_ts="ts",
+                                   right_ts="ts", watermark="50 seconds")
+        q = (out.writeStream.outputMode("append")
+             .foreachBatch(lambda df, _eid: collected.extend(df.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return collected
+
+    out1 = _run()
+
+    # phase 2 (after the first query FINISHED): a dim version older than
+    # fact 1 arrives late, plus sentinels to push the watermark
+    _write(rdir, "part-001.parquet", [(1, 28, 280), (99, 1000, 999)],
+           ["k", "ts_s", "price"])
+    _write(ldir, "part-001.parquet", [(99, 99, 1000)],
+           ["fact_id", "k", "ts_s"])
+    out2 = _run()
+
+    got = {}
+    for out in (out1, out2):
+        for r in out:
+            fid = int(json.loads(r.lpay)["fact_id"])
+            assert fid not in got, f"duplicate emission for fact {fid}"
+            got[fid] = (int(r.k), int(r.ts),
+                        json.loads(r.rpay)["price"]
+                        if r.rpay is not None else None)
+    lb = spark.read.parquet(str(ldir)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    rb = spark.read.parquet(str(rdir)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    exp = {int(r.fact_id): (int(r.k), int(r.ts.timestamp()),
+                            None if r.price is None else int(r.price))
+           for r in asof_join(lb, rb, left_on="k", right_on="k",
+                              left_ts="ts", right_ts="ts",
+                              payload=["price"]).collect()
+           if int(r.fact_id) != 99}
+    assert got == exp, (got, exp)
+    # the restart-specific case: fact 1 (buffered across the restart)
+    # was enriched by the dim version that arrived AFTER the restart
+    assert got[1][2] == 280

@@ -639,3 +639,55 @@ def test_replace_where_backfill(spark, tmp_path):
     assert again == v + 1
     assert t.replace_where("k >= 1000", fresh,
                            txn_app="bf", txn_version=1) is None
+
+
+def test_streaming_restatement_sink_converges(spark, tmp_path):
+    """restatement_sink: an update-mode windowed aggregate streamed
+    through replace_where restates each reopened window WHOLESALE —
+    after the drain the table equals the batch aggregate (the late
+    event that reopened the first window is counted exactly once, not
+    merged twice), commits carry op=replace_where, and epoch replay is
+    a no-op via the txn marker."""
+    import pandas as pd
+
+    from user_behavior_analysis_spark.streaming import jobs
+    from user_behavior_analysis_spark.tables import restatement_sink
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # window [0,3600) gets 2 events in batch 0 and REOPENS with 1 more
+    # in batch 1; window [3600,7200) closes with 1 event
+    pd.DataFrame({"ts_s": [100, 200, 4000]}).to_parquet(
+        src / "part-000.parquet", index=False)
+    pd.DataFrame({"ts_s": [300, 8000]}).to_parquet(
+        src / "part-001.parquet", index=False)
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([], "window_start long, window_end long, "
+                                  "cnt long"),
+        ["window_start"])
+    ev = (spark.readStream.schema("ts_s long")
+          .option("maxFilesPerTrigger", 1).parquet(str(src))
+          .withColumn("ts", F.timestamp_seconds(F.col("ts_s"))))
+    agg = jobs.windowed_count_stream(ev, "ts", "1 hour", None, [],
+                                     watermark="2 hours")
+    q = (agg.writeStream.outputMode("update")
+         .foreachBatch(restatement_sink(t, "window_start"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {r["window_start"]: r["cnt"] for r in t.read().collect()}
+    assert got == {0: 3, 3600: 1, 7200: 1}, got
+    ops = [h["op"] for h in t.history()]
+    assert "replace_where" in ops, ops
+    # replay the last epoch by hand: marker makes it a no-op
+    v = t.latest_version()
+    last_epoch = max(h["txn_version"] for h in t.history()
+                     if h.get("txn_app") == "restate")
+    restatement_sink(t, "window_start")(
+        spark.createDataFrame([(0, 3600, 999)],
+                              "window_start long, window_end long, "
+                              "cnt long"), last_epoch)
+    assert t.latest_version() == v and dict(got)[0] == 3

@@ -722,3 +722,36 @@ def upsert_sink(table: TxTable, keys_ignored=None, app: str = "stream"):
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         table.merge(batch_df, txn_app=app, txn_version=epoch_id)
     return fn
+
+
+def restatement_sink(table: TxTable, partition_col: str,
+                     app: str = "restate"):
+    """foreachBatch tail: exactly-once PARTITION RESTATEMENT — each
+    micro-batch's rows REPLACE the full content of every
+    ``partition_col`` value they touch (one atomic ``replace_where``
+    per epoch, ``IN``-list predicate). The delete-capable complement
+    of ``upsert_sink``: an update-mode windowed aggregate re-emits a
+    window whenever late data reopens it, and restating the window
+    wholesale converges the table to the batch recompute even when
+    rows VANISH from the new statement (a key-level merge can only
+    add or overwrite).
+
+    Contract: the batch must carry the COMPLETE new content of every
+    partition it touches — true for window-grain update-mode
+    aggregates and for foreachBatch jobs that recompute whole
+    windows/partitions; keyed partial deltas belong to ``upsert_sink``.
+    ``partition_col`` must be numeric (epoch-second window starts, the
+    repo convention) so the IN-list predicate needs no quoting; the
+    per-epoch distinct() is bounded by partitions-per-batch, the same
+    driver class as the touched-partition collect in sinks.py.
+    Replayed epochs are no-ops via the (app, epoch_id) marker."""
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        vals = sorted(
+            r[0] for r in batch_df.select(partition_col).distinct()
+                                  .collect() if r[0] is not None)
+        if not vals:
+            return
+        pred = f"{partition_col} IN ({', '.join(str(v) for v in vals)})"
+        table.replace_where(pred, batch_df,
+                            txn_app=app, txn_version=epoch_id)
+    return fn
