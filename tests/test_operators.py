@@ -1836,3 +1836,32 @@ def test_sequence_pack_arithmetic(spark):
         # at most one straddler per interior boundary of the stream
         n_boundaries = (int(g["seq_tokens"].sum()) - 1) // 2048
         assert int(g["straddlers"].sum()) <= n_boundaries, g
+
+
+def test_uv_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
+    """The HLL rollup's two claims: (1) the period total from unioning
+    DAILY sketches equals the one-shot sketch over the whole period
+    EXACTLY (union is deterministic + lossless for this construction —
+    the property that makes sketch reuse sound); (2) per-day estimates
+    and the total are within 5% of the exact distinct counts."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.sources import load_table
+
+    out = {r["day_start"]: r["uv_est"]
+           for r in QUERIES["uv_sketch_rollup"](spark, sf_dir).collect()}
+    pv = load_table(spark, sf_dir, "events").where(
+        F.lower("event_type") == "view").select(
+        (F.col("ts").cast("long") - (F.col("ts").cast("long") % 86400))
+        .alias("day_start"), "user_id")
+    oneshot = pv.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+         .cast("long")).first()[0]
+    assert out[-1] == oneshot, "daily-union total != one-shot sketch"
+    exact = {r["day_start"]: r["uv"] for r in
+             pv.groupBy("day_start")
+               .agg(F.count_distinct("user_id").alias("uv")).collect()}
+    exact[-1] = pv.agg(F.count_distinct("user_id")).first()[0]
+    assert set(out) == set(exact)
+    for day, est in out.items():
+        assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), \
+            (day, est, exact[day])

@@ -662,3 +662,18 @@ def test_scd2_dimension_single_user_exchange(spark, sf_dir):
     assert m and "user_id" in m.group(1), plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_uv_sketch_rollup_scans_facts_once(spark, sf_dir):
+    """The rollup's contract: the fact table feeds the daily sketches
+    ONCE (one parquet scan, one day-keyed exchange building
+    ObjectHashAggregate sketch buffers); both consumers — per-day
+    estimates and the period union — reuse the staged sketch relation,
+    whose union exchange is constant-size (|days| rows of KB
+    sketches)."""
+    plan = plan_of(spark, "uv_sketch_rollup", sf_dir)
+    assert plan.count("FileScan") + plan.count("Scan parquet") <= 1, plan
+    assert "hll_union_agg" in plan, plan
+    assert "hll_sketch_agg" not in plan.replace("partial_hll_sketch_agg",
+                                                ""), \
+        "daily sketches must come from the staged relation, not a rebuild"

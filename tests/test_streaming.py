@@ -1613,3 +1613,56 @@ def test_temporal_join_stream_checkpoint_restart(spark, tmp_path):
     # the restart-specific case: fact 1 (buffered across the restart)
     # was enriched by the dim version that arrived AFTER the restart
     assert got[1][2] == 280
+
+
+def test_sketch_rollup_table_parity_and_collapse(spark, sf_dir,
+                                                 split_events_dir,
+                                                 tmp_path):
+    """Mergeable-aggregate table: streaming per-epoch HLL partials
+    appended to a TxTable must yield — via union-on-read — EXACTLY the
+    batch uv_sketch_rollup estimates (HLL union is lossless, so
+    partial-per-epoch vs one-shot is bit-identical); collapsing the
+    partials into one row per day changes row count, not estimates;
+    epoch replay is a no-op."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.streaming.jobs import (
+        collapse_sketch_rollup, sketch_rollup_estimates,
+        sketch_rollup_sink)
+    from user_behavior_analysis_spark.tables import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "sk"),
+        spark.createDataFrame([], "day_start long, epoch long, sk binary"),
+        ["day_start"])
+    ev = stream_events(spark, split_events_dir).where(
+        F.lower("event_type") == "view")
+    q = (ev.writeStream.outputMode("append")
+         .foreachBatch(sketch_rollup_sink(t))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    stream_est = {r["day_start"]: r["uv_est"]
+                  for r in sketch_rollup_estimates(t).collect()}
+    batch_est = {r["day_start"]: r["uv_est"]
+                 for r in QUERIES["uv_sketch_rollup"](spark, sf_dir)
+                 .collect()}
+    assert stream_est == batch_est, (stream_est, batch_est)
+
+    n_partials = t.read().count()
+    assert n_partials > len(stream_est) - 1, \
+        "expected multiple per-epoch partials before collapse"
+    collapse_sketch_rollup(t)
+    assert t.read().count() == len(stream_est) - 1  # one row per day
+    assert {r["day_start"]: r["uv_est"]
+            for r in sketch_rollup_estimates(t).collect()} == stream_est
+    hist_ops = [h["op"] for h in t.history()]
+    assert hist_ops[-1] == "replace_where"
+    # at-least-once replay of a recorded epoch: marker makes it a no-op
+    v = t.latest_version()
+    last_epoch = max(h["txn_version"] for h in t.history()
+                     if h.get("txn_app") == "uv_sketch")
+    sketch_rollup_sink(t)(
+        spark.createDataFrame([(0,)], "user_id long").withColumn(
+            "ts", F.timestamp_seconds(F.lit(0))), last_epoch)
+    assert t.latest_version() == v

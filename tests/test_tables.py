@@ -691,3 +691,72 @@ def test_streaming_restatement_sink_converges(spark, tmp_path):
                               "window_start long, window_end long, "
                               "cnt long"), last_epoch)
     assert t.latest_version() == v and dict(got)[0] == 3
+
+
+def test_diff_between_versions(spark, tmp_path):
+    """diff(v_from, v_to): end-state row diff keyed on key_cols —
+    inserts carry the new row, deletes the old, a key rewritten twice
+    shows once as a single update, untouched keys don't show, and
+    null-valued fields compare null-safely (no phantom updates)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(0, "a"), (1, "b"), (2, None), (3, "d")],
+                              "k long, v string"), ["k"])
+    # v1: update k1 (first time); v2: update k1 again + insert k9
+    t.merge(spark.createDataFrame([(1, "B1")], "k long, v string"))
+    t.merge(spark.createDataFrame([(1, "B2"), (9, "z")],
+                                  "k long, v string"))
+    # v3: delete k3 region wholesale
+    t.replace_where("k = 3", spark.createDataFrame([],
+                                                   "k long, v string"))
+    got = {r["k"]: (r["v"], r["_change"])
+           for r in t.diff(0).collect()}
+    assert got == {1: ("B2", "update"), 9: ("z", "insert"),
+                   3: ("d", "delete")}, got
+    # intermediate window: only what changed between v1 and v2
+    mid = {r["k"]: (r["v"], r["_change"])
+           for r in t.diff(1, 2).collect()}
+    assert mid == {1: ("B2", "update"), 9: ("z", "insert")}, mid
+    # null-safe: k2 (v NULL both sides) must never appear
+    assert 2 not in got and 2 not in mid
+
+
+def test_restore_reverts_by_reference(spark, base, tmp_path):
+    """RESTORE: after a bad merge + replace_where, restore(1) makes the
+    next version read exactly as v1 did with ZERO data rewrite (the
+    restore manifest's added paths are the old snapshot's files by
+    reference); the bad versions stay time-travelable; diff across the
+    restore is empty vs the restored target."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    t.append(spark.createDataFrame([(100, "v100")], "k long, v string"))
+    good = rows(t.read())
+    v1_files = {f["path"] for f in t.snapshot_files(1)}
+    t.merge(spark.createDataFrame([(0, "BAD")], "k long, v string"))
+    t.replace_where("k >= 90",
+                    spark.createDataFrame([], "k long, v string"))
+    assert rows(t.read()) != good
+    v = t.restore(1)
+    assert rows(t.read()) == good
+    m = t._read_manifest(v)
+    assert m["op"] == "restore" and m["restored_version"] == 1
+    assert {f["path"] for f in t.snapshot_files(v)} == v1_files, \
+        "restore must reference the old files, not rewrite them"
+    # bad history still time-travelable; diff(v1, latest) is empty
+    assert dict(rows(t.read(version=2)))[0] == "BAD"
+    assert t.diff(1, v).count() == 0
+
+
+def test_diff_across_schema_evolution(spark, tmp_path):
+    """diff across an additive schema evolution: pre-evolution rows
+    compare the new column as NULL, so only rows whose evolved value is
+    actually non-null (or otherwise changed) surface."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(0, "a"), (1, "b")], "k long, v string"),
+        ["k"])
+    t.append(spark.createDataFrame([(2, "c", 7)],
+                                   "k long, v string, w long"),
+             merge_schema=True)
+    got = {r["k"]: (r["v"], r["w"], r["_change"])
+           for r in t.diff(0).collect()}
+    assert got == {2: ("c", 7, "insert")}, got

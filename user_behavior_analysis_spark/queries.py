@@ -155,6 +155,46 @@ def unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "window_end", "uv_approx")
 
 
+@query("uv_sketch_rollup")
+def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch UV rollup: per-day Datasketches HLL sketches of
+    the viewer set (native ``hll_sketch_agg``, lgK=12), then the PERIOD
+    total from ``hll_union_agg`` over the daily sketches — no rescan of
+    the events. The pattern that makes distinct-counting tractable at
+    100 TB: the fact table is read once into kilobyte sketches keyed by
+    the finest grain; every coarser rollup (week/month/ad-hoc range) is
+    a union over sketches, a constant-size exchange. The same shape the
+    reference's Redis-bitmap UV job approximates with a shared mutable
+    bitmap (UvWithBloomFilter.scala:64-75), minus the external store
+    and with a mergeable, reusable artifact.
+
+    Approximate by design -> rows-only driver check (same class as
+    unique_visitors_approx); the hard evidence is in pytest:
+    union-of-daily == one-shot-over-period EXACTLY (HLL union is
+    deterministic and lossless for this construction), and estimates
+    within 5% of the exact distinct at both test sfs. Output: one row
+    per day plus the period total as day_start = -1."""
+    pv = _events(spark, sf_dir).where(F.lower("event_type") == "view")
+    # stage the daily sketches (|days| rows × ~KB): both consumers —
+    # per-day estimates and the union rollup — must reuse them, or the
+    # union's two branches each rescan the fact table (the first plan
+    # did exactly that; localCheckpoint is the repo's staging idiom)
+    daily_sk = (pv.select((F.col("ts").cast("long") - (F.col("ts")
+                           .cast("long") % 86400)).alias("day_start"),
+                          "user_id")
+                  .groupBy("day_start")
+                  .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+                  .localCheckpoint(eager=True))
+    per_day = daily_sk.select(
+        "day_start",
+        F.hll_sketch_estimate("sk").cast("long").alias("uv_est"))
+    total = daily_sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+         .cast("long").alias("uv_est")).select(
+        F.lit(-1).cast("long").alias("day_start"), "uv_est")
+    return per_day.unionByName(total)
+
+
 # --- A9: AppMarketing — total marketing events, 1h sliding every 10 min ----
 # Reference: market-analysis/.../AppMarketing.scala:31-40 ('error' plays the
 # filtered-out UNINSTALL behavior).
@@ -6269,6 +6309,84 @@ def txtable_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("o_orderpriority").alias("priority"))
              .agg(F.count(F.lit(1)).alias("n_orders"),
                   F.sum("price").cast("double").alias("revenue")))
+
+
+_TXTABLE_DIFF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 4 < 3
+), mbatch AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS price
+  FROM orders WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 4 = 3
+), v_merged AS (
+  SELECT * FROM mbatch
+  UNION ALL
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM mbatch)
+), final AS (
+  SELECT * FROM v_merged WHERE o_orderkey % 16 <> 5
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, price * 2 AS price
+  FROM v_merged WHERE o_orderkey % 32 = 5
+), d AS (
+  SELECT COALESCE(f.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+              WHEN f.o_orderkey IS NULL THEN 'delete'
+              WHEN f.price <> b.price
+                OR f.o_orderpriority <> b.o_orderpriority THEN 'update'
+         END AS _change,
+         CASE WHEN f.o_orderkey IS NULL
+              THEN b.o_orderpriority ELSE f.o_orderpriority
+         END AS priority,
+         CASE WHEN f.o_orderkey IS NULL THEN b.price ELSE f.price
+         END AS price
+  FROM base b FULL OUTER JOIN final f ON b.o_orderkey = f.o_orderkey
+)
+SELECT o_orderkey, priority, CAST(price AS DOUBLE) AS price, _change
+FROM d WHERE _change IS NOT NULL
+"""
+
+
+@query("txtable_version_diff", _TXTABLE_DIFF_ORACLE)
+def txtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TxTable.diff under the hash gate: create (3/4 of orders) →
+    MERGE (update every %8==0 key +1000, insert the %4==3 quarter) →
+    replace_where backfill of the o_orderkey%16==5 region keeping only
+    the %32==5 half at doubled price — then diff(v0, latest). The
+    oracle recomputes base and final states relationally and derives
+    the expected insert/update/delete set, so the END-STATE semantics
+    of the whole write stack (merge + predicate-scoped overwrite +
+    full-outer snapshot diff with post-image rows, deletes carrying
+    the old row) are value-exact through real commits, not a mock.
+    Same 100 TB shape as txtable_merge_snapshot plus diff's ONE
+    key-keyed full-outer join between two pruned snapshot reads."""
+    import tempfile
+
+    from .tables import TxTable
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        _dec("o_totalprice").alias("price"))
+    base = orders.where(F.col("o_orderkey") % 4 < 3)
+    batch = (orders.where(F.col("o_orderkey") % 8 == 0)
+                   .withColumn("price", F.col("price") + 1000)
+             .unionByName(orders.where(F.col("o_orderkey") % 4 == 3)))
+    path = tempfile.mkdtemp(prefix="txtable_vdiff_")
+    t = TxTable.create(spark, path,
+                       base.repartitionByRange(8, "o_orderkey"),
+                       ["o_orderkey"])
+    t.merge(batch)
+    region = (t.read().where("o_orderkey % 32 = 5")
+              .withColumn("price", F.col("price") * 2))
+    t.replace_where("o_orderkey % 16 = 5", region)
+    return t.diff(0).select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"),
+        F.col("price").cast("double").alias("price"), "_change")
 
 
 _TXTABLE_CDC_ORACLE = """

@@ -97,6 +97,78 @@ def uv_approx_stream(events: DataFrame, ts_col: str, duration: str,
     )
 
 
+def sketch_rollup_sink(table, ts_col: str = "ts", id_col: str = "user_id",
+                       lg_k: int = 12, app: str = "uv_sketch"):
+    """foreachBatch tail maintaining a MERGEABLE-AGGREGATE TABLE: each
+    micro-batch reduces to one Datasketches HLL sketch row per (day,
+    epoch) and APPENDS it — no read-modify-write, no per-key merge, one
+    blind-append commit per epoch (txn marker makes replays no-ops).
+    Correct because HLL union is a monoid: the day's true sketch is the
+    union of its partials, taken lazily at READ time
+    (``sketch_rollup_estimates``) and physically collapsed on a
+    maintenance cadence (``collapse_sketch_rollup``) exactly like
+    small-file compaction. This is the production shape for
+    distinct-counting at 100 TB: the firehose reduces map-side to
+    KB-sized partials, the table stores partials, and every consumer
+    (day, week, ad-hoc range) unions what it needs — the fact stream is
+    never rescanned.
+
+    Table schema: (day_start long, epoch long, sk binary), keys
+    [day_start]."""
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        part = (batch_df
+                .select((F.col(ts_col).cast("long")
+                         - (F.col(ts_col).cast("long") % 86400))
+                        .alias("day_start"), id_col)
+                .groupBy("day_start")
+                .agg(F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("sk"))
+                .withColumn("epoch", F.lit(int(epoch_id))))
+        if part.isEmpty():
+            return
+        table.append(part.select("day_start", "epoch", "sk"),
+                     txn_app=app, txn_version=epoch_id)
+    return fn
+
+
+def sketch_rollup_estimates(table) -> DataFrame:
+    """Read path of the sketch table: per-day UV estimates from the
+    union of that day's partial sketches, plus the period total as
+    day_start = -1 — identical output contract to the batch
+    ``uv_sketch_rollup`` query. Constant-size exchanges: the table
+    holds O(days x epochs-since-collapse) KB rows."""
+    daily = (table.read()
+             .groupBy("day_start")
+             .agg(F.hll_union_agg("sk", F.lit(False)).alias("sk")))
+    daily = daily.localCheckpoint(eager=True)
+    per_day = daily.select(
+        "day_start",
+        F.hll_sketch_estimate("sk").cast("long").alias("uv_est"))
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+         .cast("long").alias("uv_est")).select(
+        F.lit(-1).cast("long").alias("day_start"), "uv_est")
+    return per_day.unionByName(total)
+
+
+def collapse_sketch_rollup(table) -> int:
+    """Maintenance: physically union each day's partials into ONE row
+    (epoch = -1) in a single atomic replace_where commit over the
+    touched days — the monoid-table analog of small-file compaction.
+    Estimates are unchanged (union is associative + lossless); read
+    cost drops from O(days x epochs) rows to O(days)."""
+    collapsed = (table.read()
+                 .groupBy("day_start")
+                 .agg(F.hll_union_agg("sk", F.lit(False)).alias("sk"))
+                 .withColumn("epoch", F.lit(-1).cast("long"))
+                 .select("day_start", "epoch", "sk")
+                 .localCheckpoint(eager=True))
+    days = [r[0] for r in collapsed.select("day_start").collect()]
+    if not days:
+        return table.latest_version()
+    pred = f"day_start IN ({', '.join(str(d) for d in days)})"
+    return table.replace_where(pred, collapsed)
+
+
 def session_window_stream(events: DataFrame, ts_col: str, key: str,
                           gap: str, watermark: str = "5 seconds") -> DataFrame:
     """Streaming sessionization via the native session_window —

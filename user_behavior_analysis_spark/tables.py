@@ -672,6 +672,78 @@ class TxTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """Delta RESTORE: make the table's NEXT version read exactly as
+        ``version`` did — committed as a new manifest whose 'added' is
+        the old snapshot's file list BY REFERENCE (no data rewrite, no
+        Spark job) and whose 'removed' is every current-only file.
+        History stays linear: the bad versions remain time-travelable
+        until vacuum, and the restore itself is an audited commit
+        (op='restore', restored_version recorded). Fails if the target
+        version's files were already vacuumed (the read raises).
+
+        The escape hatch after a bad backfill/merge: O(files) driver
+        work, zero data movement — the payoff of log-structured tables.
+        """
+        target = self.snapshot_files(version)
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            cur = {f["path"] for f in self.snapshot_files(base_v)}
+            tgt_paths = {f["path"] for f in target}
+            try:
+                self._commit(base_v + 1, {
+                    "op": "restore", "restored_version": version,
+                    "added": target,
+                    "removed": sorted(cur - tgt_paths)})
+                return base_v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("restore retries exhausted")
+
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level diff between two snapshots, keyed on the table's
+        key columns: one row per changed key with ``_change`` in
+        ('insert', 'delete', 'update') — deletes carry the OLD row,
+        updates the NEW one (Delta CDF's post-image convention). The
+        audit primitive ``changes()`` cannot provide: the change feed
+        only sees per-commit ADDS (copy-on-write re-adds carried rows),
+        while this compares end states, so a key rewritten five times
+        between the versions shows once, and deletes (replace_where)
+        show at all.
+
+        Scale shape: ONE key-keyed full-outer join between the two
+        snapshot scans — both sides file-pruned reads of only live
+        files; no driver rows. Requires keys unique per snapshot (the
+        merge/replace_where invariant)."""
+        keys = self._key_cols()
+        old = self.read(version=v_from)
+        new = self.read(version=v_to)
+        val_cols = [c for c in new.columns if c not in keys]
+        # across an additive schema evolution the older snapshot lacks
+        # the newer columns — compare them as NULL (matching what the
+        # declared-schema read yields for pre-evolution files)
+        old_has = set(old.columns)
+        o_vals = [(F.col(c) if c in old_has
+                   else F.lit(None).cast(new.schema[c].dataType)).alias(c)
+                  for c in val_cols]
+        o = old.select(*keys, F.struct(*o_vals).alias("_old"),
+                       F.lit(True).alias("_in_old"))
+        n = new.select(*keys, F.struct(*val_cols).alias("_new"),
+                       F.lit(True).alias("_in_new"))
+        j = o.join(n, keys, "full_outer")
+        status = (
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+             .when(F.col("_in_new").isNull(), F.lit("delete"))
+             .when(F.col("_old") != F.col("_new"), F.lit("update")))
+        pick = F.when(F.col("_change") == "delete",
+                      F.col("_old")).otherwise(F.col("_new"))
+        return (j.withColumn("_change", status)
+                 .where(F.col("_change").isNotNull())
+                 .withColumn("_row", pick)
+                 .select(*keys,
+                         *[F.col(f"_row.{c}").alias(c) for c in val_cols],
+                         "_change"))
+
     def vacuum(self, retention_s: float = 3600.0) -> int:
         """Physically delete data files no manifest references AND files
         removed from the LATEST snapshot (dropping time travel to older
