@@ -1865,3 +1865,28 @@ def test_uv_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
     for day, est in out.items():
         assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), \
             (day, est, exact[day])
+
+
+def test_dedup_keep_best_elects_quality_not_minid(spark):
+    """keep-best vs min-id: in a planted near-dup cluster where the
+    LATER doc is longer, keep_best elects the longer one while the
+    min-id resolution keeps the earlier — the exact case the
+    production survivor rule exists for. Ties on score fall back to
+    the smallest id; singletons keep themselves."""
+    from user_behavior_analysis_spark.operators.dedup import (
+        dedup_clusters, dedup_clusters_keep_best)
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 5)],
+        "doc_id long, n_chars long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "doc_a long, doc_b long")
+    best = {r["doc_id"]: (r["cluster_rep"], r["keep"])
+            for r in dedup_clusters_keep_best(
+                docs, pairs, "doc_id", "n_chars").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 30 chars -> smallest id 2 wins
+    assert best == {1: (1, False), 2: (1, True), 3: (1, False),
+                    9: (9, True)}, best
+    minid = {r["doc_id"]: r["keep"]
+             for r in dedup_clusters(docs, pairs).collect()}
+    assert minid[1] and not minid[2], "min-id keeps 1 - the contrast case"

@@ -1666,3 +1666,107 @@ def test_sketch_rollup_table_parity_and_collapse(spark, sf_dir,
         spark.createDataFrame([(0,)], "user_id long").withColumn(
             "ts", F.timestamp_seconds(F.lit(0))), last_epoch)
     assert t.latest_version() == v
+
+
+def test_temporal_join_idle_ttl_evicts(spark, tmp_path):
+    """idle_ttl_s: a key whose dimension goes silent past the TTL is
+    evicted by its event-time timer, so a later fact joins NULL; the
+    identical replay WITHOUT the TTL retains the latest version and
+    enriches the same fact — the documented trade, both directions."""
+    import json
+
+    from user_behavior_analysis_spark.streaming.stateful import (
+        temporal_join_stream)
+
+    def build(base, ttl):
+        ldir, rdir = base / "facts", base / "dims"
+        ldir.mkdir(), rdir.mkdir()
+        # Timeline (wm = MIN over both sources, advances at batch END;
+        # a timer only fires in a batch where its key has NO data):
+        #  b0: dim k1@10 arrives                        wm -> 0
+        #  b1: sentinels push                           wm -> 350
+        #  b2: LOW-ts sentinels (k1 silent): eviction timer (10+ttl
+        #      =110 <= 350) fires here                  wm -> 352
+        #  b3: late fact k1@360 (> wm 352, accepted)    wm -> 353
+        #  b4: high sentinels                           wm -> 650,
+        #      then the no-data batch emits the fact
+        r_files = [[(1, 10, 100)], [(97, 400, 997)], [(93, 402, 993)],
+                   [(90, 403, 990)], [(91, 700, 991)]]
+        l_files = [[(0, 99, 400)], [(96, 96, 420)], [(94, 94, 405)],
+                   [(1, 1, 360)], [(92, 92, 700)]]
+        for i, rows_ in enumerate(r_files):
+            pd.DataFrame(rows_, columns=["k", "ts_s", "price"]) \
+                .to_parquet(rdir / f"part-{i:03d}.parquet", index=False)
+        for i, rows_ in enumerate(l_files):
+            pd.DataFrame(rows_, columns=["fact_id", "k", "ts_s"]) \
+                .to_parquet(ldir / f"part-{i:03d}.parquet", index=False)
+
+        facts = (spark.readStream.schema("fact_id long, k long, ts_s long")
+                 .option("maxFilesPerTrigger", 1).parquet(str(ldir))
+                 .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+                 .drop("ts_s"))
+        dims = (spark.readStream.schema("k long, ts_s long, price long")
+                .option("maxFilesPerTrigger", 1).parquet(str(rdir))
+                .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+                .drop("ts_s"))
+        return temporal_join_stream(facts, dims, key="k", left_ts="ts",
+                                    right_ts="ts",
+                                    watermark="50 seconds",
+                                    idle_ttl_s=ttl)
+
+    def price_of(out_rows, fid):
+        for r in out_rows:
+            if json.loads(r.lpay)["fact_id"] == fid:
+                return (None if r.rpay is None
+                        else json.loads(r.rpay)["price"])
+        raise AssertionError(f"fact {fid} never emitted: {out_rows}")
+
+    for sub, ttl, want in (("ttl", 100, None), ("nottl", None, 100)):
+        base = tmp_path / sub
+        base.mkdir()
+        collected = []
+        q = (build(base, ttl).writeStream.outputMode("append")
+             .foreachBatch(lambda df, _e: collected.extend(df.collect()))
+             .option("checkpointLocation", str(base / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert price_of(collected, 1) == want, (sub, collected)
+
+
+def test_rules_gate_picks_up_midstream_rule_change(spark, tmp_path):
+    """Broadcast-state analog: the rules TxTable is re-resolved every
+    epoch, so a rule merged DURING epoch 0 (by the sink itself, i.e.
+    strictly between micro-batches) changes what epoch 1 passes —
+    same event type blocked at epoch 0, passing at epoch 1."""
+    from user_behavior_analysis_spark.streaming.jobs import rules_gate
+    from user_behavior_analysis_spark.tables import TxTable
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i in range(2):
+        pd.DataFrame({"ts_s": [100 + i, 200 + i],
+                      "event_type": ["view", "click"]}).to_parquet(
+            src / f"part-{i:03d}.parquet", index=False)
+    rules = TxTable.create(
+        spark, str(tmp_path / "rules"),
+        spark.createDataFrame([("view",)], "event_type string"),
+        ["event_type"])
+
+    seen = {}
+
+    def apply_fn(kept, epoch_id):
+        seen[epoch_id] = sorted(
+            r["event_type"] for r in kept.select("event_type").collect())
+        if epoch_id == 0:
+            rules.merge(spark.createDataFrame([("click",)],
+                                              "event_type string"))
+
+    ev = (spark.readStream.schema("ts_s long, event_type string")
+          .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (ev.writeStream.outputMode("append")
+         .foreachBatch(rules_gate(rules, "event_type", apply_fn))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert seen[0] == ["view"], seen
+    assert seen[1] == ["click", "view"], seen

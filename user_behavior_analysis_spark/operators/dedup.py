@@ -260,6 +260,40 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def dedup_clusters_keep_best(docs: DataFrame, pairs: DataFrame,
+                             id_col: str = "doc_id",
+                             score_col: str = "n_chars") -> DataFrame:
+    """``dedup_clusters`` with QUALITY-AWARE survivor election: instead
+    of the smallest id, each cluster keeps its highest-``score_col``
+    member (ties → smallest id) — the RefinedWeb/production rule
+    ("keep the longest/cleanest duplicate"), which min-id resolution
+    gets wrong whenever the best copy is not the first-crawled one.
+
+    Scale shape on top of the component resolution: one
+    cluster_rep-keyed max_by aggregate (the argmax rides a struct
+    ordering, no window/sort) and one cluster_rep-keyed join back —
+    both on the same key, and the argmax relation is one row per
+    cluster. Deterministic under any partitioning: the max_by struct
+    (score, -id) never ties between distinct docs."""
+    comps = connected_components(pairs, max_iter=25)
+    assign = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(score_col).alias("_score"))
+            .join(comps.select(F.col("node").alias("doc_id"), "rep"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("rep", F.col("doc_id")).alias("cluster_rep"),
+                    "_score"))
+    best = assign.groupBy("cluster_rep").agg(
+        F.max_by("doc_id", F.struct(F.col("_score"),
+                                    (-F.col("doc_id")).alias("_nid")))
+         .alias("best_id"))
+    return (assign.join(best, "cluster_rep")
+                  .select("doc_id", "cluster_rep",
+                          (F.col("doc_id") == F.col("best_id"))
+                          .alias("keep")))
+
+
 def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           bits: int = 16, max_hamming: int = 3,
                           max_bucket: int = 1000) -> DataFrame:

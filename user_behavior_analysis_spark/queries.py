@@ -772,6 +772,56 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_LSH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM small a JOIN small b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_rep FROM reach GROUP BY u
+), assign AS (
+  SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), best AS (
+  SELECT cluster_rep, doc_id AS best_id FROM (
+    SELECT cluster_rep, doc_id, row_number() OVER (
+        PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) AS rn
+    FROM assign) t WHERE rn = 1
+)
+SELECT a.doc_id, a.cluster_rep, a.doc_id = b.best_id AS keep
+FROM assign a JOIN best b USING (cluster_rep)
+"""
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster resolution: every near-dup cluster keeps
+    its LONGEST member (n_chars, ties → smallest id) instead of the
+    smallest id — the RefinedWeb/production survivor rule, which
+    min-id election gets wrong whenever the best copy is not the
+    first-crawled one. Same MinHash-LSH candidate chain as
+    dedup_clusters; the election is one cluster-keyed max_by over a
+    (score, -id) struct — no window, no sort — plus one cluster-keyed
+    join back. Oracle mirrors with the recursive component CTE and a
+    rank-1 window."""
+    from .operators.dedup import dedup_clusters_keep_best, \
+        minhash_lsh_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                              num_hashes=_NUM_HASHES, bands=_BANDS)
+    return dedup_clusters_keep_best(docs, pairs, "doc_id", "n_chars")
+
+
 # --- full dedup pipeline: candidates → verify → clusters → keep/drop --------
 
 _PIPELINE_THRESHOLD = 0.8

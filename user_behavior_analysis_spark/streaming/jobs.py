@@ -97,6 +97,25 @@ def uv_approx_stream(events: DataFrame, ts_col: str, duration: str,
     )
 
 
+def rules_gate(table, on, apply_fn):
+    """foreachBatch tail implementing Flink's BROADCAST-STATE pattern
+    on Spark's terms: a small, mutable RULES relation (here a TxTable)
+    is re-resolved at EVERY epoch and broadcast-semi-joined against the
+    batch, so rule changes committed mid-stream take effect from the
+    next micro-batch — no restart, no stale broadcast variable (a
+    stream-static join would freeze the file list at plan time; the
+    per-epoch snapshot read is what makes the rules dynamic).
+
+    ``on``: join column(s) the rules key on; ``apply_fn(kept_df,
+    epoch_id)`` receives the surviving rows. Rules are assumed small
+    (broadcast); the batch side never shuffles."""
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        rules = table.read()
+        kept = batch_df.join(F.broadcast(rules), on, "left_semi")
+        apply_fn(kept, epoch_id)
+    return fn
+
+
 def sketch_rollup_sink(table, ts_col: str = "ts", id_col: str = "user_id",
                        lg_k: int = 12, app: str = "uv_sketch"):
     """foreachBatch tail maintaining a MERGEABLE-AGGREGATE TABLE: each

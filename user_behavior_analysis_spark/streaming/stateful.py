@@ -417,7 +417,8 @@ _TEMPORAL_STATE_SCHEMA = T.StructType([
 
 def temporal_join_stream(left: DataFrame, right: DataFrame, *,
                          key: str, left_ts: str, right_ts: str,
-                         watermark: str = "10 seconds") -> DataFrame:
+                         watermark: str = "10 seconds",
+                         idle_ttl_s: int | None = None) -> DataFrame:
     """Event-time temporal (as-of) join — Flink's
     ``FOR SYSTEM_TIME AS OF`` over a versioned table, the streaming
     twin of ``operators/asof.asof_join``: every left row is enriched
@@ -447,6 +448,13 @@ def temporal_join_stream(left: DataFrame, right: DataFrame, *,
     seconds. The watermark is applied per input BEFORE the union, so
     the stateful operator sees the MIN of both sides' watermarks — a
     lagging dimension stream correctly holds back fact emission.
+
+    ``idle_ttl_s``: optional Flink-style state TTL — a key with no
+    buffered facts whose dimension has been silent for ``idle_ttl_s``
+    past the watermark is EVICTED (timer-driven); facts arriving after
+    eviction join NULL. Without it, per-key state is the retained
+    latest version forever — the honest working set of a temporal
+    join over an unbounded key space.
     """
     lp = [c for c in left.columns if c not in (key, left_ts)]
     rp = [c for c in right.columns if c not in (key, right_ts)]
@@ -487,11 +495,27 @@ def temporal_join_stream(left: DataFrame, right: DataFrame, *,
         if below:
             keep_r.append(max(below))
         keep_r.sort()
+        latest_rt = keep_r[-1][0] if keep_r else None
+        if not keep_l and idle_ttl_s is not None and (
+                latest_rt is None or wm_s > latest_rt + idle_ttl_s):
+            # idle-key eviction (Flink state-TTL analog): no buffered
+            # facts and no dim traffic for idle_ttl_s past the
+            # watermark — drop the key's state entirely. A fact
+            # arriving later joins NULL (the documented TTL trade);
+            # without a TTL, dimension state is the product's working
+            # set and lives forever.
+            state.remove()
+            return out
         state.update(([t for t, _ in keep_r], [p for _, p in keep_r],
                       [t for t, _ in keep_l], [p for _, p in keep_l]))
         if keep_l:
             state.setTimeoutTimestamp(
                 max(min(t for t, _ in keep_l) * 1000,
+                    state.getCurrentWatermarkMs() + 1))
+        elif idle_ttl_s is not None and latest_rt is not None:
+            # arm the eviction timer; fires when the watermark passes it
+            state.setTimeoutTimestamp(
+                max((latest_rt + idle_ttl_s) * 1000,
                     state.getCurrentWatermarkMs() + 1))
         return out
 
