@@ -97,7 +97,7 @@ SUBSET = [
     # LSH cells (mandatory output = k rows per vector, linear by
     # construction); SCD2 + sequence_pack are single-exchange windows
     "knn_join", "scd2_dimension", "sequence_pack",
-    "uv_sketch_rollup", "txtable_version_diff",
+    "uv_sketch_rollup", "txtable_version_diff", "dedup_keep_best",
 ]
 
 

@@ -1890,3 +1890,55 @@ def test_dedup_keep_best_elects_quality_not_minid(spark):
     minid = {r["doc_id"]: r["keep"]
              for r in dedup_clusters(docs, pairs).collect()}
     assert minid[1] and not minid[2], "min-id keeps 1 - the contrast case"
+
+
+def test_asof_join_matches_naive_reference_on_random_data(spark):
+    """asof_join vs a row-by-row Python reference over three seeded
+    random datasets: for every left row the latest right payload with
+    right_ts <= left_ts (inclusive), NULL when none; right side unique
+    per (key, ts) per the operator's determinism contract; NULL right
+    keys/timestamps never match."""
+    import random
+
+    from user_behavior_analysis_spark.operators.asof import asof_join
+
+    for seed in (3, 17, 41):
+        rnd = random.Random(seed)
+        lrows = [(i, rnd.randrange(4), rnd.randrange(25))
+                 for i in range(60)]
+        rkeys = {(rnd.randrange(4), rnd.randrange(25))
+                 for _ in range(30)}
+        rrows = [(k, ts, 100 * k + ts) for k, ts in rkeys]
+        rrows.append((None, 1, -1))     # NULL key: never matches
+        left = spark.createDataFrame(
+            lrows, "lid long, k long, ts long")
+        right = spark.createDataFrame(
+            rrows, "k long, ts long, payload long")
+        got = {r["lid"]: r["payload"]
+               for r in asof_join(left, right, left_on="k", right_on="k",
+                                  left_ts="ts", right_ts="ts",
+                                  payload=["payload"]).collect()}
+        for lid, k, ts in lrows:
+            best = None
+            for (rk, rts, p) in rrows:
+                if rk == k and rts <= ts and (
+                        best is None or rts > best[0]):
+                    best = (rts, p)
+            want = best[1] if best else None
+            assert got[lid] == want, (seed, lid, k, ts, got[lid], want)
+
+
+def test_replace_where_null_predicate_rows_refused(spark, tmp_path):
+    """A batch row on which the predicate evaluates to NULL is OUTSIDE
+    the declared region (SQL three-valued logic) — replace_where must
+    refuse it, not silently write it."""
+    import pytest as _pytest
+
+    from user_behavior_analysis_spark.tables import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(0, "a")], "k long, v string"), ["k"])
+    bad = spark.createDataFrame([(1, None)], "k long, v string")
+    with _pytest.raises(ValueError, match="outside predicate"):
+        t.replace_where("v = 'a'", bad)

@@ -760,3 +760,18 @@ def test_diff_across_schema_evolution(spark, tmp_path):
     got = {r["k"]: (r["v"], r["w"], r["_change"])
            for r in t.diff(0).collect()}
     assert got == {2: ("c", 7, "insert")}, got
+
+
+def test_vacuum_after_restore_keeps_restored_files(spark, base, tmp_path):
+    """restore() re-references OLD files; a subsequent vacuum must
+    treat them as live (they are the current snapshot) and only drop
+    the reverted versions' uniquely-referenced files."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    good = rows(t.read())
+    t.merge(spark.createDataFrame([(0, "BAD")], "k long, v string"))
+    t.restore(0)
+    t.vacuum(retention_s=0.0)
+    assert rows(t.read()) == good, "vacuum deleted restored files"
+    # the bad version is no longer readable (its rewrite was collected)
+    with pytest.raises(Exception):
+        t.read(version=1).collect()
