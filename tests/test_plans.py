@@ -8,6 +8,8 @@ dimension broadcasts, and facts never becoming broadcast builds.
 
 import re
 
+from pyspark.sql import functions as F
+
 from user_behavior_analysis_spark.queries import QUERIES
 
 
@@ -677,3 +679,52 @@ def test_uv_sketch_rollup_scans_facts_once(spark, sf_dir):
     assert "hll_sketch_agg" not in plan.replace("partial_hll_sketch_agg",
                                                 ""), \
         "daily sketches must come from the staged relation, not a rebuild"
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The 100 TB skew defense the session confs promise: with AQE
+    skew-join on, a sort-merge join whose probe side is dominated by
+    one hot key must be re-planned at RUNTIME into a skew-split join
+    (final adaptive plan reports skew=true) — no salting needed.
+    Thresholds are lowered so test-sized data qualifies; the salted
+    variant (segment_revenue_salted) remains the explicit fallback for
+    engines/paths without AQE."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes", "65536")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 100 < 98, F.lit(7))
+             .otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"))
+        dim = spark.range(2000).select(F.col("id").alias("k"),
+                                       F.lit("d").alias("dv"))
+        # execute THIS DataFrame (a write/count builds its own query
+        # execution whose AQE state we couldn't inspect), then read its
+        # final adaptive plan
+        # execute the JOIN itself: a downstream aggregate would add a
+        # shuffle above the join, and AQE declines skew-splitting when
+        # that breaks a required distribution (unless forced)
+        # keep the wide payload in the OUTPUT: a pruned/pushed-down
+        # projection would shrink the hot partition below the threshold
+        j = big.join(dim, "k").select("pad")
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:2000]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
