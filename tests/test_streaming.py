@@ -1770,3 +1770,73 @@ def test_rules_gate_picks_up_midstream_rule_change(spark, tmp_path):
     q.awaitTermination(300)
     assert seen[0] == ["view"], seen
     assert seen[1] == ["click", "view"], seen
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_temporal_join_random_splits_match_batch(spark, tmp_path, seed):
+    """Randomized batch-boundary property: random facts/dims split into
+    random micro-batch files (rows shuffled within files, so arrival
+    order is arbitrary on BOTH axes) must still reproduce the batch
+    asof_join exactly for every watermark-passed fact — the operator's
+    core claim under the adversarial layout a replay can't control."""
+    import json
+    import random
+
+    from user_behavior_analysis_spark.operators.asof import asof_join
+    from user_behavior_analysis_spark.streaming.stateful import (
+        temporal_join_stream)
+
+    rnd = random.Random(seed)
+    # ts domain starts at 1: Spark's stateful late filter drops rows
+    # with ts <= CURRENT watermark, and the initial watermark is 0 —
+    # an event at epoch-second 0 is "late" before any data arrives (a
+    # real Spark boundary semantic, reproduced in isolation; batch has
+    # no watermark, so parity at ts=0 is unattainable by design)
+    facts = [(i, rnd.randrange(4), 1 + rnd.randrange(100))
+             for i in range(40)]
+    dims = [(k, ts, 1000 * k + ts)
+            for (k, ts) in {(rnd.randrange(4), 1 + rnd.randrange(100))
+                            for _ in range(25)}]
+    ldir, rdir = tmp_path / "f", tmp_path / "d"
+    ldir.mkdir(), rdir.mkdir()
+
+    def spill(rows, d, cols, sentinel):
+        rnd.shuffle(rows)
+        cuts = sorted(rnd.sample(range(1, len(rows)), 3))
+        parts = [rows[a:b] for a, b in
+                 zip([0] + cuts, cuts + [len(rows)])]
+        parts.append([sentinel])
+        for i, p in enumerate(parts):
+            pd.DataFrame(p, columns=cols).to_parquet(
+                d / f"part-{i:03d}.parquet", index=False)
+
+    spill(facts, ldir, ["fact_id", "k", "ts_s"], (999, 99, 10_000))
+    spill(dims, rdir, ["k", "ts_s", "price"], (98, 10_000, -1))
+
+    def stream(path, schema):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(path))
+                .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+                .drop("ts_s"))
+
+    out = run_stream(
+        spark,
+        temporal_join_stream(
+            stream(ldir, "fact_id long, k long, ts_s long"),
+            stream(rdir, "k long, ts_s long, price long"),
+            key="k", left_ts="ts", right_ts="ts",
+            watermark="200 seconds"),
+        "append", f"tj_rand_{seed}")
+    got = {int(json.loads(r.lpay)["fact_id"]):
+           (json.loads(r.rpay)["price"] if r.rpay is not None else None)
+           for r in out.itertuples()}
+    lb = spark.createDataFrame(facts, "fact_id long, k long, ts long") \
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    rb = spark.createDataFrame(dims, "k long, ts long, price long") \
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    exp = {int(r.fact_id): (None if r.price is None else int(r.price))
+           for r in asof_join(lb, rb, left_on="k", right_on="k",
+                              left_ts="ts", right_ts="ts",
+                              payload=["price"]).collect()}
+    # wm ends at 10000-200=9800 > every real fact; sentinel excluded
+    assert got == exp, (seed, got, exp)

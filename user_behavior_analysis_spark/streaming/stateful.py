@@ -449,6 +449,11 @@ def temporal_join_stream(left: DataFrame, right: DataFrame, *,
     the stateful operator sees the MIN of both sides' watermarks — a
     lagging dimension stream correctly holds back fact emission.
 
+    Boundary note: Spark's stateful late filter drops rows whose event
+    time is <= the CURRENT watermark, and the initial watermark is 0 —
+    so an event at epoch second 0 is late before any data arrives.
+    Harmless on real clocks; visible only to synthetic ts=0 fixtures.
+
     ``idle_ttl_s``: optional Flink-style state TTL — a key with no
     buffered facts whose dimension has been silent for ``idle_ttl_s``
     past the watermark is EVICTED (timer-driven); facts arriving after
