@@ -1840,3 +1840,44 @@ def test_temporal_join_random_splits_match_batch(spark, tmp_path, seed):
                               payload=["price"]).collect()}
     # wm ends at 10000-200=9800 > every real fact; sentinel excluded
     assert got == exp, (seed, got, exp)
+
+
+def test_two_level_sliding_agg_matches_native(spark, sf_dir,
+                                              split_events_dir,
+                                              tmp_path):
+    """Two-level sliding aggregate: streamed tumbling BUCKET counts
+    upserted into a TxTable, then any sliding geometry rolled from the
+    buckets at read time, must equal the native sliding-window batch
+    aggregate exactly — the state-cheap form of the reference's
+    1h/10min marketing shape (1 state row per key-bucket vs
+    duration/slide replicas per event)."""
+    from user_behavior_analysis_spark.streaming.jobs import (
+        bucket_count_stream, sliding_from_buckets)
+    from user_behavior_analysis_spark.tables import TxTable, upsert_sink
+
+    t = TxTable.create(
+        spark, str(tmp_path / "buckets"),
+        spark.createDataFrame(
+            [], "bucket_start long, event_type string, cnt long"),
+        ["bucket_start", "event_type"])
+    ev = stream_events(spark, split_events_dir)
+    q = (bucket_count_stream(ev, "ts", "10 minutes", ["event_type"],
+                             watermark=WATERMARK)
+         .writeStream.outputMode("update")
+         .foreachBatch(upsert_sink(t, app="buckets"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    rolled = sliding_from_buckets(t.read(), 3600, 600, ["event_type"])
+    got = {(r["window_start"], r["event_type"]): r["cnt"]
+           for r in rolled.collect()}
+    batch = (load_table(spark, sf_dir, "events")
+             .groupBy(F.window("ts", "1 hour", "10 minutes"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.col("window.start").cast("bigint")
+                     .alias("window_start"), "event_type", "cnt"))
+    exp = {(r["window_start"], r["event_type"]): r["cnt"]
+           for r in batch.collect()}
+    assert got == exp, (len(got), len(exp))

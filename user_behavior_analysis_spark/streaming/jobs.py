@@ -97,6 +97,50 @@ def uv_approx_stream(events: DataFrame, ts_col: str, duration: str,
     )
 
 
+def bucket_count_stream(events: DataFrame, ts_col: str, slide: str,
+                        keys: Sequence[str],
+                        watermark: str = "5 seconds") -> DataFrame:
+    """Stage 1 of the TWO-LEVEL sliding aggregate: tumbling
+    ``slide``-width bucket counts — 1 state row per (key, bucket)
+    instead of the native sliding window's duration/slide replicas per
+    event (the r6 throughput re-measure put that amplification at 360×
+    for the reference's 1 h/10 s shape: ~70-80k ev/s sliding vs 339k
+    ev/s tumbling on the same box). Update mode; sink the changed
+    buckets with ``upsert_sink`` into a TxTable keyed
+    (bucket_start, *keys), then roll any sliding geometry from the
+    bucket table with ``sliding_from_buckets`` — the window length is
+    a READ-time choice, not baked into stream state."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, slide), *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket_start", F.col("window.start").cast("bigint"))
+        .drop("window")
+    )
+
+
+def sliding_from_buckets(buckets: DataFrame, duration_s: int,
+                         slide_s: int, keys: Sequence[str]) -> DataFrame:
+    """Stage 2: roll sliding windows from the bucket table. Each
+    bucket feeds the duration_s/slide_s sliding windows that contain
+    it — the same explode the batch oracles use, but over BUCKET rows
+    (|keys| × span/slide of them), not events, so the amplification is
+    over an already-reduced relation. One hash exchange on
+    (window_start, keys)."""
+    n = duration_s // slide_s
+    exploded = buckets.select(
+        *keys, "cnt",
+        F.explode(F.sequence(
+            F.col("bucket_start") - (n - 1) * slide_s,
+            F.col("bucket_start"),
+            F.lit(slide_s))).alias("window_start"))
+    return (exploded
+            .groupBy("window_start", *keys)
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("window_end",
+                        F.col("window_start") + duration_s))
+
+
 def rules_gate(table, on, apply_fn):
     """foreachBatch tail implementing Flink's BROADCAST-STATE pattern
     on Spark's terms: a small, mutable RULES relation (here a TxTable)
