@@ -382,6 +382,47 @@ def test_txtable_changes_stream_resumes_from_checkpoint(spark, tmp_path):
     assert second == [(2, 2)], second
 
 
+def test_txtable_changes_restart_past_paging_horizon(spark, tmp_path):
+    """ADVICE r6 (high): a restarted reader whose CHECKPOINTED offset
+    exceeds maxVersionsPerTrigger must not regress. The old
+    ``min(since + max_versions, head)`` paging made a fresh reader's
+    first latestOffset return an end offset BELOW the committed one;
+    Spark only checks offset inequality, so it logged the regressed
+    offset and subsequent triggers re-paged through — re-emitting
+    versions delivered before the restart. Fixed by anchoring an
+    un-anchored reader to the table head (one unpaged catch-up batch).
+    Here committed offset 7 > max_versions_per_trigger 2; the restart
+    must emit exactly the two down-time commits, zero duplicates."""
+    from user_behavior_analysis_spark.tables_cdc import (
+        txtable_changes_stream)
+
+    base = spark.createDataFrame([(0, 0)], "k long, amt long")
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    for v in range(1, 8):
+        t.append(spark.createDataFrame([(v, v)], "k long, amt long"))
+
+    def run(sink):
+        q = (txtable_changes_stream(spark, str(tmp_path / "t"),
+                                    max_versions_per_trigger=2)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    first, second = [], []
+    run(lambda df, eid: first.extend(
+        map(tuple, df.select("k", "_version").collect())))
+    assert sorted(first) == [(v, v) for v in range(1, 8)]
+    # two commits while the query is down; the restarted query's
+    # catch-up batch must cover EXACTLY these
+    t.append(spark.createDataFrame([(8, 8)], "k long, amt long"))
+    t.append(spark.createDataFrame([(9, 9)], "k long, amt long"))
+    run(lambda df, eid: second.extend(
+        map(tuple, df.select("k", "_version").collect())))
+    assert sorted(second) == [(8, 8), (9, 9)], second
+
+
 def test_cdc_incremental_curation_loop(spark, sf_dir, tmp_path):
     """The loop VERDICT r5 item 4 exists for, closed end-to-end: raw
     documents land in a TxTable over three commits; the curation job
@@ -536,6 +577,64 @@ def test_concurrent_merges_serialize(spark, base, tmp_path):
     assert all(got[i * 25] == f"m{i}" for i in range(4)), got
     assert len(got) == 100  # pure updates: no row gained or lost
     assert t.latest_version() == 4
+
+
+def test_concurrent_replace_where_vs_merge_serialize(spark, base,
+                                                     tmp_path):
+    """VERDICT r6 #6: RACING MIXED WRITERS on overlapping key ranges —
+    a replace_where over k in [40, 60) races a merge touching keys
+    45, 50 (inside the region) and 120 (outside). The optimistic
+    commit loop must serialize them: the final state equals ONE of the
+    two serial orders exactly — never a blend that silently loses the
+    loser's rows, never a torn region."""
+    t = TxTable.create(spark, str(tmp_path / "t"),
+                       base.repartitionByRange(4, "k"), ["k"])
+    repl = spark.createDataFrame([(k, f"R{k}") for k in range(40, 60)],
+                                 "k long, v string")
+    mrg = spark.createDataFrame([(45, "M45"), (50, "M50"), (120, "M120")],
+                                "k long, v string")
+    errs, start = [], threading.Barrier(2)
+
+    def do_replace():
+        try:
+            start.wait()
+            TxTable(spark, str(tmp_path / "t")).replace_where(
+                "k >= 40 AND k < 60", repl)
+        except Exception as e:
+            errs.append(e)
+
+    def do_merge():
+        try:
+            start.wait()
+            TxTable(spark, str(tmp_path / "t")).merge(mrg)
+        except Exception as e:
+            errs.append(e)
+
+    ws = [threading.Thread(target=do_replace),
+          threading.Thread(target=do_merge)]
+    [w.start() for w in ws]
+    [w.join() for w in ws]
+    assert not errs, errs
+
+    base_rows = {k: f"v{k}" for k in range(100)}
+    # serial order 1: merge, then replace_where (replace wipes the
+    # merged keys inside its region; the outside insert survives)
+    s1 = dict(base_rows)
+    s1.update({45: "M45", 50: "M50", 120: "M120"})
+    for k in range(40, 60):
+        s1[k] = f"R{k}"
+    # serial order 2: replace_where, then merge (merge overwrites two
+    # replaced keys)
+    s2 = dict(base_rows)
+    for k in range(40, 60):
+        s2[k] = f"R{k}"
+    s2.update({45: "M45", 50: "M50", 120: "M120"})
+    got = dict(rows(t.read()))
+    assert got in (s1, s2), {
+        k: (got.get(k), s1.get(k), s2.get(k))
+        for k in set(got) | set(s1) | set(s2)
+        if not (got.get(k) == s1.get(k) == s2.get(k))}
+    assert t.latest_version() == 2, t.history()
 
 
 def test_txtable_model_based_random_ops(spark, tmp_path):
@@ -775,3 +874,69 @@ def test_vacuum_after_restore_keeps_restored_files(spark, base, tmp_path):
     # the bad version is no longer readable (its rewrite was collected)
     with pytest.raises(Exception):
         t.read(version=1).collect()
+
+
+def test_restore_restores_schema(spark, tmp_path):
+    """ADVICE r6: restoring to a pre-evolution version must read with
+    THAT version's schema — the restore manifest records the target's
+    schema/key_cols, so the restored head doesn't gain the evolved
+    columns as nulls (Delta RESTORE restores the schema too)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(0, "a")], "k long, v string"), ["k"])
+    t.append(spark.createDataFrame([(1, "b", 7)],
+                                   "k long, v string, w long"),
+             merge_schema=True)
+    assert "w" in t.read().columns
+    t.restore(0)
+    assert t.read().columns == ["k", "v"], t.read().columns
+    assert sorted(map(tuple, t.read().collect())) == [(0, "a")]
+    # post-restore writes conform to the RESTORED schema; the evolved
+    # history stays time-travelable with its own schema
+    t.append(spark.createDataFrame([(2, "c")], "k long, v string"))
+    assert t.read().columns == ["k", "v"]
+    assert t.read(version=1).columns == ["k", "v", "w"]
+
+
+def test_vacuum_retention_guards_log_artifacts(spark, base, tmp_path):
+    """ADVICE r6: manifests/checkpoints below the latest checkpoint are
+    only truncated once OLDER than the retention window — a reader that
+    just listed versions() can finish its replay. retention_s=0 keeps
+    the old truncate-now behavior."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"],
+                       checkpoint_interval=2)
+    for i in range(4):
+        t.append(spark.createDataFrame([(200 + i, "x")],
+                                       "k long, v string"))
+    all_vs = t.versions()
+    assert t._checkpoint_versions(), "test needs a checkpoint"
+    t.vacuum(retention_s=3600.0)
+    assert t.versions() == all_vs, \
+        "young manifests must survive a retention-window vacuum"
+    t.vacuum(retention_s=0.0)
+    ck = t._latest_checkpoint_le(None)
+    assert all(v >= ck for v in t.versions())
+
+
+def test_replay_retries_once_when_manifest_vanishes(spark, base,
+                                                    tmp_path):
+    """A manifest vanishing between versions() listing and its read
+    (concurrent vacuum) must not fail the reader: _replay re-lists and
+    retries once."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"])
+    t.append(spark.createDataFrame([(100, "v100")], "k long, v string"))
+    expected = rows(t.read())
+    orig, calls = t._read_manifest, {"n": 0}
+
+    def flaky(i):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise FileNotFoundError("vacuumed under the reader")
+        return orig(i)
+
+    t._read_manifest = flaky
+    try:
+        assert rows(t.read()) == expected
+    finally:
+        t._read_manifest = orig
+    assert calls["n"] == 1

@@ -126,9 +126,28 @@ def sliding_from_buckets(buckets: DataFrame, duration_s: int,
     it — the same explode the batch oracles use, but over BUCKET rows
     (|keys| × span/slide of them), not events, so the amplification is
     over an already-reduced relation. One hash exchange on
-    (window_start, keys)."""
+    (window_start, keys).
+
+    ``duration_s`` must be a multiple of ``slide_s`` (the bucket table
+    was built at ``slide_s`` granularity — a non-multiple duration
+    can't be tiled by whole buckets, and silently flooring ``n`` would
+    emit windows shorter than requested under a window_end label that
+    still claims ``window_start + duration_s``)."""
+    if duration_s % slide_s != 0:
+        raise ValueError(
+            f"duration_s={duration_s} is not a multiple of "
+            f"slide_s={slide_s}: the {slide_s}s bucket table can only "
+            "roll windows whose length is a whole number of buckets")
     n = duration_s // slide_s
-    exploded = buckets.select(
+    # executor-side alignment check (one modulo per already-reduced
+    # bucket row): a bucket whose start isn't on the slide grid would
+    # silently land in the wrong windows. assert_true-as-filter so
+    # column pruning can't drop the check.
+    aligned = F.assert_true(
+        F.col("bucket_start") % slide_s == 0,
+        F.concat(F.lit(f"bucket_start not aligned to slide_s={slide_s}: "),
+                 F.col("bucket_start").cast("string")))
+    exploded = buckets.where(aligned.isNull()).select(
         *keys, "cnt",
         F.explode(F.sequence(
             F.col("bucket_start") - (n - 1) * slide_s,
@@ -177,8 +196,13 @@ def sketch_rollup_sink(table, ts_col: str = "ts", id_col: str = "user_id",
     never rescanned.
 
     Table schema: (day_start long, epoch long, sk binary), keys
-    [day_start]."""
+    [day_start]. Replayed epochs drain through the noop sink before
+    short-circuiting (same reason as tables.upsert_sink: a stateful
+    upstream only commits its state if the micro-batch plan runs)."""
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if table._txn_already_applied(app, epoch_id):
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         part = (batch_df
                 .select((F.col(ts_col).cast("long")
                          - (F.col(ts_col).cast("long") % 86400))

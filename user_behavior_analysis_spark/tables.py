@@ -166,10 +166,22 @@ class TxTable:
             json.dump({"version": version}, fh)
         os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
 
-    def _replay(self, version: int | None):
+    def _replay(self, version: int | None, _retry: bool = True):
         """(live_files, txn_marks, meta) at ``version``: the latest
         checkpoint at-or-below it plus the suffix manifests — the ONE
-        log-reconstruction path every read goes through."""
+        log-reconstruction path every read goes through.
+
+        Tolerates a concurrent checkpoint-truncating vacuum: if a
+        manifest listed at the start has vanished by the time we read
+        it, re-list and retry ONCE — the second pass sees the newer
+        checkpoint that subsumes the vanished manifests (ADVICE r6;
+        combined with vacuum's retention guard on log artifacts, a
+        reader younger than the retention window always succeeds)."""
+        if _retry:
+            try:
+                return self._replay(version, _retry=False)
+            except FileNotFoundError:
+                return self._replay(version, _retry=False)
         v = self.latest_version() if version is None else version
         ck_v = self._latest_checkpoint_le(v)
         vs = self.versions()
@@ -684,8 +696,15 @@ class TxTable:
 
         The escape hatch after a bad backfill/merge: O(files) driver
         work, zero data movement — the payoff of log-structured tables.
+
+        The restore manifest records the TARGET version's schema and
+        key_cols (ADVICE r6: without them, _meta at the restored head
+        resolved to the CURRENT — possibly evolved — schema, so
+        restoring to a pre-evolution version gained the newer columns
+        as nulls; Delta RESTORE restores the schema too).
         """
         target = self.snapshot_files(version)
+        tgt_meta = self._meta(version)
         for _ in range(max_retries):
             base_v = self.latest_version()
             cur = {f["path"] for f in self.snapshot_files(base_v)}
@@ -693,6 +712,8 @@ class TxTable:
             try:
                 self._commit(base_v + 1, {
                     "op": "restore", "restored_version": version,
+                    "schema": tgt_meta["schema"],
+                    "key_cols": tgt_meta["key_cols"],
                     "added": target,
                     "removed": sorted(cur - tgt_paths)})
                 return base_v + 1
@@ -775,14 +796,21 @@ class TxTable:
                     n += 1
         ck_v = self._latest_checkpoint_le(None)
         if ck_v is not None:
+            # the SAME age guard as data files (ADVICE r6): a reader
+            # that just listed versions() must be able to finish its
+            # _replay — only truncate log artifacts older than the
+            # retention window, so any reader younger than the window
+            # never sees a manifest vanish mid-replay
             for i in self.versions():
-                if i < ck_v:
-                    os.remove(self._manifest_path(i))
+                p = self._manifest_path(i)
+                if i < ck_v and os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
             # superseded checkpoints reference vacuumed data files —
             # drop them so every retained log artifact is replayable
             for c in self._checkpoint_versions():
-                if c < ck_v:
-                    os.remove(self._checkpoint_path(c))
+                p = self._checkpoint_path(c)
+                if c < ck_v and os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
         return n
 
 
@@ -790,8 +818,19 @@ def upsert_sink(table: TxTable, keys_ignored=None, app: str = "stream"):
     """foreachBatch tail: exactly-once key-level MERGE into a TxTable —
     replayed epochs are no-ops via the (txn_app, epoch_id) marker, so
     the table converges under at-least-once foreachBatch without
-    relying on merge idempotence."""
+    relying on merge idempotence.
+
+    A replayed epoch still DRAINS the batch through Spark's built-in
+    ``noop`` sink: merge()'s marker short-circuit runs no action, but a
+    foreachBatch over a STATEFUL query must execute the micro-batch
+    plan to completion or the upstream operators never commit their
+    state for that batch and Spark fails the query (its foreachBatch
+    completeness check). The drain is JVM-side and row-discarding —
+    the replay stays a table-level no-op."""
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if table._txn_already_applied(app, epoch_id):
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         table.merge(batch_df, txn_app=app, txn_version=epoch_id)
     return fn
 

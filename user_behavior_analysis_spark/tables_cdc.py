@@ -101,22 +101,49 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self.since = int(options.get("sinceversion", 0))
         self._cur = self.since
         self._schema = _table_schema(self.path)
+        # Paging is only safe once we KNOW where the checkpoint stands.
+        # Spark calls initialOffset() iff the offset log is empty (fresh
+        # query) and partitions()/commit() iff a checkpointed batch is
+        # being replayed/committed — either reveals the truth. Until
+        # one of them fires, a fresh reader must assume it was
+        # restarted past an unknown committed offset (ADVICE r6 high:
+        # min(since + max_versions, head) can REGRESS below a restored
+        # checkpoint whenever that offset exceeds max_versions, and
+        # Spark only checks offset inequality — the logged regressed
+        # end offset makes later triggers re-page through and re-emit
+        # already-delivered versions).
+        self._anchored = False
 
     def initialOffset(self):
+        # only called when no checkpoint exists → paging from `since`
+        # cannot regress past anything
+        self._anchored = True
         return {"version": self.since}
 
     def latestOffset(self):
         vs = _manifest_versions(self.path)
         head = vs[-1] if vs else self.since
+        if not self._anchored:
+            # restarted reader, checkpoint position unknown: one
+            # unpaged catch-up batch to the head (head >= any committed
+            # offset, so the offset can't move backwards); paging
+            # resumes from the next trigger.
+            self._cur = max(head, self.since)
+            self._anchored = True
+            return {"version": self._cur}
         self._cur = min(max(self._cur, self.since) + self.max_versions,
                         max(head, self._cur))
         return {"version": self._cur}
+
+    def _anchor(self, version: int) -> None:
+        self._cur = max(self._cur, version)
+        self._anchored = True
 
     def partitions(self, start: dict, end: dict):
         s, e = start["version"], end["version"]
         # restart-safety ratchet (sources_pyds precedent): checkpointed
         # offsets are the truth after driver recovery
-        self._cur = max(self._cur, e)
+        self._anchor(e)
         parts = []
         for v in range(s + 1, e + 1):
             m = _read_manifest(self.path, v)
@@ -151,7 +178,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         return iter(tbl.to_batches())
 
     def commit(self, end: dict) -> None:
-        self._cur = max(self._cur, end["version"])
+        self._anchor(end["version"])
 
     def stop(self) -> None:
         pass
