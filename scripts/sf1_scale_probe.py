@@ -1,8 +1,9 @@
 """10x scale probe over the REAL query path: synthesize a ~sf1
 directory (every sf0.1 table replicated 10x with key-offset copies,
-referential integrity preserved) and run a representative registry
-subset against it via the unchanged ``load_table`` path — the closest
-this box gets to "same code, 10x the data".
+referential integrity preserved) and run the FULL registry (round 7;
+earlier rounds probed a widening subset) against it via the unchanged
+``load_table`` path — the closest this box gets to "same code, 10x
+the data".
 
 Key discipline per copy i: every entity key (+= i * 10^9) so joins and
 groupings stay valid and cardinalities scale honestly; dims (region,
@@ -98,6 +99,34 @@ SUBSET = [
     # construction); SCD2 + sequence_pack are single-exchange windows
     "knn_join", "scd2_dimension", "sequence_pack",
     "uv_sketch_rollup", "txtable_version_diff", "dedup_keep_best",
+    # round-7 widening (VERDICT r6 item 5): the remaining registry —
+    # full coverage, so no future query repeats the
+    # semantic_dedup_clusters story (green at sf0.1, 71.9x at 10x
+    # found only by the probe). Mostly scan-shaped TPC-H reshapes and
+    # text/curation scalars; the new capped triangle count reads
+    # against its exact sibling.
+    "page_view_hourly", "unique_visitors_approx", "marketing_total",
+    "ad_blacklist", "ad_blacklist_passthrough", "login_fail_streak",
+    "tx_reconciliation", "simhash_fingerprints", "ann_bruteforce_topk",
+    "ann_blocked_topk", "document_profile", "media_metadata",
+    "local_supplier_volume", "revenue_forecast", "order_priority_count",
+    "returned_item_losses", "token_stats", "rolling_fingerprints",
+    "promo_revenue", "nation_rollup", "repeat_buyers", "quality_filter",
+    "order_value_stats", "churned_buyers", "late_adopter_customers",
+    "view_purchase_funnel", "big_spender_orders", "day1_retention",
+    "rolling_active_users", "bilateral_trade", "discount_quantity_corr",
+    "top_supplier", "small_qty_revenue", "disjunctive_revenue",
+    "sole_return_supplier", "lapsed_rich_customers",
+    "corpus_heavy_hitters", "stratified_split_sample",
+    "last_touch_attribution", "props_key_stats",
+    "neardup_triangles_capped", "purchase_intervals",
+    "event_anomaly_days", "events_dow_hour_profile",
+    "part_supplier_diversity", "monthly_returns_pivot",
+    "returns_unpivot", "returns_by_priority", "important_parts",
+    "dominant_suppliers", "lexical_diversity", "domain_rebalance_sample",
+    "media_byte_histogram", "media_resize_plan", "ab_test_conversion",
+    "revenue_trend", "tokenizer_fertility", "label_centroid_report",
+    "context_chunks", "signups_hourly_gapfilled",
 ]
 
 

@@ -163,6 +163,38 @@ def test_verify_pairs_matches_exhaustive_jaccard(spark, sf_dir):
         expected[cols].sort_values(cols, ignore_index=True))
 
 
+def test_ngram_jaccard_df_cap(spark, sf_dir):
+    """The df-capped candidate index (VERDICT r6 #1): (a) on the test
+    corpus the derived cap loses NO qualifying pair vs the exhaustive
+    join — boilerplate shingles aren't what 0.8-Jaccard pairs share;
+    (b) on a constructed corpus the cap provably excludes a boilerplate
+    family (every shared shingle above the cap) while still finding the
+    rare-shingle near-dup pair — the documented generator contract
+    (identical boilerplate docs belong to dedup_exact's hash pass)."""
+    from user_behavior_analysis_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    from user_behavior_analysis_spark.queries import _jaccard_df_cap
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _jaccard_df_cap(docs.count())
+    capped = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8,
+                                 df_cap=cap).toPandas()
+    exhaustive = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     threshold=0.8).toPandas()
+    cols = ["doc_a", "doc_b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        capped[cols].sort_values(cols, ignore_index=True),
+        exhaustive[cols].sort_values(cols, ignore_index=True))
+
+    boiler = "the same old boilerplate footer text repeated everywhere"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, "zebra quokka axolotl wombat narwhal pangolin"),
+             (101, "zebra quokka axolotl wombat narwhal capybara")]
+    small = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(small, "text", "doc_id", threshold=0.5,
+                              df_cap=5).toPandas()
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(100, 101)}, got
+
+
 def test_simhash_banding_is_lossless(spark, sf_dir):
     """Block-permutation banding is a LOSSLESS candidate generator for
     Hamming ≤ k (pigeonhole over k+1 bands): at a production-like width
@@ -698,6 +730,34 @@ def test_count_triangles_known_graphs(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 9)],
                                  "a long, b long")
     assert count_triangles(star).collect()[0].n_triangles == 0
+
+
+def test_count_triangles_hub_cap_deterministic_lower_bound(spark):
+    """The hub-capped count (VERDICT r6 #2) is a DETERMINISTIC lower
+    bound: on K10 (C(10,3)=120 triangles, uniform degree so
+    orientation is by id), cap=3 keeps each source's 3 smallest
+    out-neighbors → sum_i C(min(3, 9-i), 2) = 7*3 + 1 = 22 exactly;
+    a cap >= the max oriented out-degree recovers the exact count."""
+    from user_behavior_analysis_spark.operators.graph import count_triangles
+    k10 = spark.createDataFrame(
+        [(i, j) for i in range(10) for j in range(i + 1, 10)],
+        "a long, b long")
+    assert count_triangles(k10).collect()[0].n_triangles == 120
+    assert count_triangles(k10, hub_cap=9).collect()[0].n_triangles == 120
+    assert count_triangles(k10, hub_cap=3).collect()[0].n_triangles == 22
+
+
+def test_capped_triangles_accuracy_on_corpus(spark, sf_dir):
+    """Accuracy bound for the registered bounded variant (pinned the
+    way HLL/IVF recall is): on the verified near-dup graph the
+    hub-capped count must be a lower bound of the exact count, and at
+    the registered cap (64, far above this corpus's oriented
+    out-degrees) exactly equal to it."""
+    ex = QUERIES["neardup_triangles"](spark, sf_dir).collect()[0]
+    cp = QUERIES["neardup_triangles_capped"](spark, sf_dir).collect()[0]
+    assert cp.n_edges == ex.n_edges
+    assert 0 <= cp.n_triangles <= ex.n_triangles
+    assert cp.n_triangles == ex.n_triangles
 
 
 def test_co_occurrence_cap_bounds_fanout(spark):

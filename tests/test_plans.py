@@ -390,14 +390,24 @@ def test_cross_source_contamination_join_shapes(spark, sf_dir):
 
 
 def test_dedup_ngram_jaccard_inverted_index_shapes(spark, sf_dir):
-    """Bench-creeper pin: the shingle inverted-index self-join is
+    """Bench-creeper pin: the df-capped candidate self-join (r7) is
     corpus-scaled on both sides — shuffle join only, no cartesian, and
-    the pair aggregation must map-side combine (partial+final pair)."""
+    the aggregations must map-side combine (partial+final pairs)."""
     plan = plan_of(spark, "dedup_ngram_jaccard", sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_neardup_triangles_capped_shapes(spark, sf_dir):
+    """The bounded triangle count must keep the exact form's plan
+    hygiene (no cartesian, no corpus-side broadcast NLJ) while adding
+    only the per-source WindowGroupLimit-able row_number cap."""
+    plan = plan_of(spark, "neardup_triangles_capped", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "row_number" in plan or "RunningWindowFunction" in plan \
+        or "Window" in plan, plan
 
 
 def test_ann_ivf_topk_probe_join_shapes(spark, sf_dir):

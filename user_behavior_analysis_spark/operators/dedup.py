@@ -349,12 +349,28 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        ngram: int = 3, threshold: float = 0.8) -> DataFrame:
+                        ngram: int = 3, threshold: float = 0.8,
+                        df_cap: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over the inverted-index join: pairs sharing
     ≥1 shingle, scored |∩| / |A∪B|, kept at ≥ threshold.
 
     The division is BIGINT/BIGINT → double of identical operands on both
     engines, so values are bit-reproducible.
+
+    ``df_cap`` (VERDICT r6 #1 — the embedding_neardup treatment): with
+    the cap set, shingles whose DOCUMENT FREQUENCY exceeds it are
+    excluded from CANDIDATE GENERATION only — the inverted-index
+    self-join's cost is Σ df² per shingle, and boilerplate shingles
+    (df ~ corpus size) make that quadratic in the corpus. Candidates
+    are then verified with the EXACT Jaccard over the FULL shingle
+    sets (``verify_pairs_jaccard``'s shape: cost O(|candidates| ×
+    shingles/doc)). Semantics become "pairs discovered via the
+    df-capped index, exactly scored" — the same candidate-generator +
+    exact-verify contract as MinHash banding: a qualifying pair is
+    missed only if EVERY shingle it shares is boilerplate, which at
+    threshold 0.8 means the pair IS boilerplate. Callers derive the
+    cap from the corpus count (integer-only, oracle-mirrored); pass
+    None for the exhaustive join (small/bench corpora).
     """
     # The shingle relation feeds three plan branches (sizes + both join
     # sides). Deliberately NOT persisted: caching replaces the relation
@@ -371,6 +387,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = (_doc_shingles(df, text_col, id_col, ngram)
           .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
           .distinct())
+    if df_cap is not None:
+        # candidate generation over the df-capped index: one extra
+        # vocabulary-keyed aggregate + semi-join (both corpus-scaled →
+        # shuffle-hash pinned), then exact verify over the full sets
+        rare_gh = (sh.groupBy("gh")
+                     .agg(F.count(F.lit(1)).alias("df_n"))
+                     .where(F.col("df_n") <= df_cap)
+                     .select("gh"))
+        rare = sh.join(rare_gh.hint("shuffle_hash"), "gh", "left_semi")
+        ra, rb = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
+        cand = (ra.join(rb, (F.col("a.gh") == F.col("b.gh"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .select(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"))
+                  .distinct())
+        return verify_pairs_jaccard(df, cand, text_col, id_col,
+                                    ngram=ngram, threshold=threshold)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Every relation here is CORPUS-scaled (shingles ~ docs x |text|,
     # sizes ~ |docs|): pin all three joins to shuffle-hash so Catalyst's

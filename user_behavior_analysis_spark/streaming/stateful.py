@@ -483,17 +483,28 @@ def temporal_join_stream(left: DataFrame, right: DataFrame, *,
         """Emit every buffered left the watermark has passed, prune the
         right history, persist state, arm the timer for the rest."""
         wm_s = state.getCurrentWatermarkMs() // 1000
-        out, keep_l = [], []
-        for ts, pay in sorted(zip(lts, lpay)):
-            if ts <= wm_s:
-                # latest right at-or-before ts (inclusive, batch parity)
-                hit = None
-                for rt, rp_ in zip(rts, rpay):
-                    if rt <= ts and (hit is None or rt >= hit[0]):
-                        hit = (rt, rp_)
-                out.append((k, ts, pay, hit[1] if hit else None))
+        l_sorted = sorted(zip(lts, lpay))
+        due = [(ts, pay) for ts, pay in l_sorted if ts <= wm_s]
+        keep_l = [(ts, pay) for ts, pay in l_sorted if ts > wm_s]
+        out = []
+        if due:
+            # latest right at-or-before each due left (inclusive, batch
+            # parity) — ONE vectorized pd.merge_asof over the per-key
+            # batch instead of a per-row linear scan of the right
+            # history (VERDICT r6 #4). rts are unique per key
+            # (last-write-wins on exact ts), so backward-asof's "last
+            # row with rt <= ts" IS the latest version.
+            ldf = pd.DataFrame(due, columns=["ts", "lpay"])
+            if rts:
+                rdf = pd.DataFrame(sorted(zip(rts, rpay)),
+                                   columns=["rt", "rpay"])
+                hit = pd.merge_asof(ldf, rdf, left_on="ts",
+                                    right_on="rt",
+                                    direction="backward")["rpay"]
             else:
-                keep_l.append((ts, pay))
+                hit = [None] * len(due)
+            out = [(k, int(ts), pay, None if pd.isna(rp) else rp)
+                   for (ts, pay), rp in zip(due, hit)]
         # prune rights: all >= wm, plus the latest one below wm
         below = [(rt, rp_) for rt, rp_ in zip(rts, rpay) if rt < wm_s]
         keep_r = [(rt, rp_) for rt, rp_ in zip(rts, rpay) if rt >= wm_s]
