@@ -50,6 +50,7 @@ BNLJ_OK = {
     "important_parts": "1-row value-share total scalar cross",
     "part_pagerank": "1-row dangling-mass scalar per iteration",
     "neardup_triangles": "1-row edge/wedge-count scalar cross",
+    "neardup_triangles_capped": "1-row edge/wedge-count scalar cross",
     "tfidf_top_terms": "1-row corpus-size (IDF N) scalar cross",
     "lapsed_rich_customers": "1-row average-balance scalar cross",
     "ann_bruteforce_topk": "deliberate baseline: bounded 10-query "
@@ -112,6 +113,7 @@ SINGLE_PARTITION_OK = {
     "semantic_diversity_sample": "per-cell quota rows: |cells|",
     "part_pagerank": "per-iteration 1-row convergence/mass scalars",
     "neardup_triangles": "1-row global wedge/triangle count",
+    "neardup_triangles_capped": "1-row global wedge/triangle count",
     "tfidf_top_terms": "1-row corpus-size scalar",
     "disjunctive_revenue": "1-row revenue scalar",
     "promo_revenue": "1-row promo-share scalar",

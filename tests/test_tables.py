@@ -384,13 +384,13 @@ def test_txtable_changes_stream_resumes_from_checkpoint(spark, tmp_path):
 
 def test_txtable_changes_restart_past_paging_horizon(spark, tmp_path):
     """ADVICE r6 (high): a restarted reader whose CHECKPOINTED offset
-    exceeds maxVersionsPerTrigger must not regress. The old
-    ``min(since + max_versions, head)`` paging made a fresh reader's
-    first latestOffset return an end offset BELOW the committed one;
-    Spark only checks offset inequality, so it logged the regressed
-    offset and subsequent triggers re-paged through — re-emitting
-    versions delivered before the restart. Fixed by anchoring an
-    un-anchored reader to the table head (one unpaged catch-up batch).
+    exceeds maxVersionsPerTrigger must not regress — a regressed end
+    offset in the offset log makes later triggers re-page through and
+    re-emit versions delivered before the restart. Safe because on
+    every restart path Spark's FIRST call to the fresh reader is
+    partitions(checkpointed range) — which anchors the paging cursor
+    to max(start, end) before any latestOffset fires (the protocol
+    order is pinned by test_python_streaming_source_call_order).
     Here committed offset 7 > max_versions_per_trigger 2; the restart
     must emit exactly the two down-time commits, zero duplicates."""
     from user_behavior_analysis_spark.tables_cdc import (
@@ -421,6 +421,93 @@ def test_txtable_changes_restart_past_paging_horizon(spark, tmp_path):
     run(lambda df, eid: second.extend(
         map(tuple, df.select("k", "_version").collect())))
     assert sorted(second) == [(8, 8), (9, 9)], second
+
+
+def test_python_streaming_source_call_order(spark, tmp_path):
+    """Pins the Python-streaming-source driver protocol the CDC
+    source's offset-regression defense relies on (tables_cdc class
+    comment): on a FRESH query the reader may see latestOffset before
+    initialOffset (so paging must be safe from `since` alone), and on
+    a RESTART the first call on the fresh reader is partitions() over
+    the checkpointed range — BEFORE any latestOffset — so the paging
+    cursor is anchored to the restored frontier in time. If a Spark
+    upgrade reorders this protocol, this test fails loudly instead of
+    the change feed silently re-emitting versions."""
+    import json as _json
+
+    from pyspark.sql.datasource import (DataSource,
+                                        DataSourceStreamReader,
+                                        InputPartition)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    log = str(tmp_path / "calls.log")
+
+    class _Reader(DataSourceStreamReader):
+        def __init__(self, path):
+            self._p = path
+
+        def _w(self, msg):
+            with open(self._p, "a") as fh:
+                fh.write(msg + "\n")
+
+        def initialOffset(self):
+            self._w("initialOffset")
+            return {"v": 0}
+
+        def latestOffset(self):
+            self._w("latestOffset")
+            return {"v": 3}
+
+        def partitions(self, s, e):
+            self._w(f"partitions {_json.dumps([s['v'], e['v']])}")
+            return [InputPartition(0)]
+
+        def read(self, partition):
+            return iter([(1,)])
+
+        def commit(self, end):
+            self._w("commit")
+
+    class _DS(DataSource):
+        @classmethod
+        def name(cls):
+            return "callorder_probe"
+
+        def schema(self):
+            return StructType([StructField("a", LongType())])
+
+        def streamReader(self, schema):
+            return _Reader(self.options["log"])
+
+    spark.dataSource.register(_DS)
+    open(log, "w").close()
+
+    def run():
+        q = (spark.readStream.format("callorder_probe")
+             .option("log", log).load()
+             .writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    fresh = open(log).read().splitlines()
+    # fresh query: the first offset call may be latestOffset (no
+    # initialOffset before it) — which is why paging from `since` must
+    # be restart-safe by a different mechanism
+    assert "latestOffset" in fresh and "initialOffset" in fresh
+    open(log, "w").close()
+    run()
+    restart = [ln for ln in open(log).read().splitlines()]
+    offset_calls = [ln for ln in restart
+                    if ln.startswith(("partitions", "latestOffset",
+                                      "initialOffset"))]
+    assert offset_calls, restart
+    assert offset_calls[0].startswith("partitions"), \
+        ("restart protocol changed: partitions() no longer precedes "
+         "latestOffset — the CDC paging anchor is unsafe", restart)
+    assert "initialOffset" not in restart, restart
 
 
 def test_cdc_incremental_curation_loop(spark, sf_dir, tmp_path):

@@ -476,11 +476,17 @@ def incremental_dedup_stream(doc_stream: DataFrame, corpus: DataFrame,
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         if refresh_index and epoch_id <= state["last_absorbed"]:
+            # replayed epoch: re-deliver recorded verdicts, but still
+            # DRAIN the batch through the noop sink — a stateful
+            # upstream only commits its state if the micro-batch plan
+            # executes (same contract as tables.upsert_sink)
             rec = state["verdicts"]
             if rec is not None and rec[0] == epoch_id:
+                batch_df.write.format("noop").mode("overwrite").save()
                 on_batch(rec[1], epoch_id)
                 return
             if state_dir and _os.path.isdir(_vdir(epoch_id)):
+                batch_df.write.format("noop").mode("overwrite").save()
                 on_batch(spark.read.parquet(_vdir(epoch_id)), epoch_id)
                 return
             raise RuntimeError(

@@ -101,49 +101,45 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self.since = int(options.get("sinceversion", 0))
         self._cur = self.since
         self._schema = _table_schema(self.path)
-        # Paging is only safe once we KNOW where the checkpoint stands.
-        # Spark calls initialOffset() iff the offset log is empty (fresh
-        # query) and partitions()/commit() iff a checkpointed batch is
-        # being replayed/committed — either reveals the truth. Until
-        # one of them fires, a fresh reader must assume it was
-        # restarted past an unknown committed offset (ADVICE r6 high:
-        # min(since + max_versions, head) can REGRESS below a restored
-        # checkpoint whenever that offset exceeds max_versions, and
-        # Spark only checks offset inequality — the logged regressed
-        # end offset makes later triggers re-page through and re-emit
-        # already-delivered versions).
-        self._anchored = False
+
+    # Offset-regression safety (ADVICE r6 high). A paged latestOffset
+    # must never return a value below a restored checkpoint: Spark only
+    # checks offset inequality, so a regressed end offset lands in the
+    # offset log and later triggers re-page through it — re-emitting
+    # versions delivered before the restart. The defense is the
+    # _anchor ratchet, and it is SUFFICIENT because of the (empirically
+    # pinned — test_python_streaming_source_call_order) driver
+    # protocol: on EVERY restart path, Spark's first call to the fresh
+    # reader is partitions(checkpointed_start, checkpointed_end) —
+    # recovering the last logged batch, committed or not — BEFORE any
+    # latestOffset; on a fresh query latestOffset comes first but no
+    # checkpoint exists, so paging from `since` cannot regress past
+    # anything. partitions anchors to max(start, end) (not just end),
+    # which also disarms a hypothetically poisoned end<start log range:
+    # the range resolves empty and the next page resumes from the true
+    # frontier. A Spark upgrade that reorders the protocol fails the
+    # call-order pin test loudly rather than corrupting feeds.
 
     def initialOffset(self):
-        # only called when no checkpoint exists → paging from `since`
-        # cannot regress past anything
-        self._anchored = True
         return {"version": self.since}
 
     def latestOffset(self):
         vs = _manifest_versions(self.path)
         head = vs[-1] if vs else self.since
-        if not self._anchored:
-            # restarted reader, checkpoint position unknown: one
-            # unpaged catch-up batch to the head (head >= any committed
-            # offset, so the offset can't move backwards); paging
-            # resumes from the next trigger.
-            self._cur = max(head, self.since)
-            self._anchored = True
-            return {"version": self._cur}
         self._cur = min(max(self._cur, self.since) + self.max_versions,
                         max(head, self._cur))
         return {"version": self._cur}
 
     def _anchor(self, version: int) -> None:
         self._cur = max(self._cur, version)
-        self._anchored = True
 
     def partitions(self, start: dict, end: dict):
         s, e = start["version"], end["version"]
-        # restart-safety ratchet (sources_pyds precedent): checkpointed
-        # offsets are the truth after driver recovery
-        self._anchor(e)
+        # restart-safety ratchet: on driver recovery this is the FIRST
+        # call on the fresh reader (see class comment) and start/end
+        # are checkpointed truth — anchor to both, so a later
+        # latestOffset can never page below the restored frontier
+        self._anchor(max(s, e))
         parts = []
         for v in range(s + 1, e + 1):
             m = _read_manifest(self.path, v)
