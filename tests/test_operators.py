@@ -194,6 +194,28 @@ def test_ngram_jaccard_df_cap(spark, sf_dir):
                               df_cap=5).toPandas()
     assert set(zip(got["doc_a"], got["doc_b"])) == {(100, 101)}, got
 
+    # (c) a pair sharing rare AND common shingles must come out with
+    # the EXACT full-set Jaccard (the upper-bound admission + the
+    # survivors' common-intersection count restore exactness): ten
+    # docs share a boilerplate tail (its shingles' df=10 > cap=5), two
+    # of them are also near-dups in their rare content — the capped
+    # value must equal the exhaustive value bit-for-bit.
+    tail = "common legal footer all documents carry verbatim"
+    mixed = [(i, f"unique filler number {i} words " + tail)
+             for i in range(8)]
+    mixed += [(200, "aardvark bison caiman dingo eland fossa " + tail),
+              (201, "aardvark bison caiman dingo eland gecko " + tail)]
+    mdf = spark.createDataFrame(mixed, "doc_id long, text string")
+    capped_m = ngram_jaccard_pairs(mdf, "text", "doc_id",
+                                   threshold=0.3, df_cap=5).toPandas()
+    exhaustive_m = ngram_jaccard_pairs(mdf, "text", "doc_id",
+                                       threshold=0.3).toPandas()
+    key = lambda d: {(a, b): j for a, b, j in
+                     d[["doc_a", "doc_b", "jaccard"]].values}
+    cm, em = key(capped_m), key(exhaustive_m)
+    assert (200, 201) in cm
+    assert cm[(200, 201)] == em[(200, 201)]
+
 
 def test_simhash_banding_is_lossless(spark, sf_dir):
     """Block-permutation banding is a LOSSLESS candidate generator for

@@ -357,20 +357,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     The division is BIGINT/BIGINT → double of identical operands on both
     engines, so values are bit-reproducible.
 
-    ``df_cap`` (VERDICT r6 #1 — the embedding_neardup treatment): with
-    the cap set, shingles whose DOCUMENT FREQUENCY exceeds it are
-    excluded from CANDIDATE GENERATION only — the inverted-index
-    self-join's cost is Σ df² per shingle, and boilerplate shingles
-    (df ~ corpus size) make that quadratic in the corpus. Candidates
-    are then verified with the EXACT Jaccard over the FULL shingle
-    sets (``verify_pairs_jaccard``'s shape: cost O(|candidates| ×
-    shingles/doc)). Semantics become "pairs discovered via the
-    df-capped index, exactly scored" — the same candidate-generator +
-    exact-verify contract as MinHash banding: a qualifying pair is
-    missed only if EVERY shingle it shares is boilerplate, which at
-    threshold 0.8 means the pair IS boilerplate. Callers derive the
-    cap from the corpus count (integer-only, oracle-mirrored); pass
-    None for the exhaustive join (small/bench corpora).
+    ``df_cap`` (VERDICT r6 #1 — the embedding_neardup treatment): the
+    inverted-index self-join's cost is Σ df² per shingle, and
+    boilerplate shingles (df ~ corpus size) make that quadratic in the
+    corpus. With the cap set, the pair-counting join runs over RARE
+    shingles only (df ≤ cap) — same map-side-combined shape as the
+    exhaustive join, never a materialized candidate list — and the
+    capped-out COMMON shingles are handled exactly in two cheap steps:
+    (1) an UPPER-BOUND filter admits only pairs that could still reach
+    the threshold if they shared every common shingle possible
+    (|∩| ≤ inter_rare + min(common_a, common_b)); (2) the few
+    survivors' true common-shingle intersection is counted against the
+    tiny common relation, restoring the EXACT Jaccard value. Results
+    therefore equal the exhaustive join for every pair sharing ≥1
+    rare shingle; a pair is missed only if ALL its shared shingles
+    are boilerplate — which at threshold 0.8 means the pair IS
+    boilerplate (dedup_exact's hash pass owns those). When no shingle
+    exceeds the cap the plan degenerates to the exhaustive join plus
+    three cheap vocabulary-keyed exchanges. Callers derive the cap
+    from the corpus count (integer-only, oracle-mirrored); pass None
+    for the pure exhaustive join.
     """
     # The shingle relation feeds three plan branches (sizes + both join
     # sides). Deliberately NOT persisted: caching replaces the relation
@@ -388,22 +394,65 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
           .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
           .distinct())
     if df_cap is not None:
-        # candidate generation over the df-capped index: one extra
-        # vocabulary-keyed aggregate + semi-join (both corpus-scaled →
-        # shuffle-hash pinned), then exact verify over the full sets
-        rare_gh = (sh.groupBy("gh")
-                     .agg(F.count(F.lit(1)).alias("df_n"))
-                     .where(F.col("df_n") <= df_cap)
-                     .select("gh"))
-        rare = sh.join(rare_gh.hint("shuffle_hash"), "gh", "left_semi")
+        # tag every posting with its shingle's document frequency (ONE
+        # vocabulary-keyed join) and STAGE the tagged index once: six
+        # downstream branches (rare ×2, common ×2, sizes, csizes) read
+        # the materialized relation instead of re-running the
+        # tokenize→md5→distinct pipeline per branch — the in-process
+        # analog of staging shingles to a temp table at petabyte scale.
+        # Safe against the no-persist note below because every join in
+        # this branch is explicitly shuffle-hash-pinned (no broadcast
+        # decision is left to the checkpoint's unknown stats).
+        dfreq = sh.groupBy("gh").agg(F.count(F.lit(1)).alias("df_n"))
+        shd = (sh.join(dfreq.hint("shuffle_hash"), "gh")
+                 .localCheckpoint(eager=True))
+        rare = shd.where(F.col("df_n") <= df_cap).select("doc_id", "gh")
+        common = shd.where(F.col("df_n") > df_cap).select("doc_id", "gh")
+        # per-doc totals AND capped-out counts in ONE doc-keyed pass
+        stats = shd.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("df_n") > df_cap).cast("long")).alias("c"))
+        # rare-only pair counting: the exhaustive join's shape (direct
+        # map-side-combined aggregate, NO candidate materialization)
+        # with per-shingle fan-out bounded by the cap
         ra, rb = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
-        cand = (ra.join(rb, (F.col("a.gh") == F.col("b.gh"))
-                        & (F.col("a.doc_id") < F.col("b.doc_id")))
-                  .select(F.col("a.doc_id").alias("doc_a"),
-                          F.col("b.doc_id").alias("doc_b"))
-                  .distinct())
-        return verify_pairs_jaccard(df, cand, text_col, id_col,
-                                    ngram=ngram, threshold=threshold)
+        ir = (ra.join(rb, (F.col("a.gh") == F.col("b.gh"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .groupBy(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                .agg(F.count(F.lit(1)).alias("ir")))
+        sa = stats.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n").alias("na"), F.col("c").alias("ca"))
+        sb = stats.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n").alias("nb"), F.col("c").alias("cb"))
+        scored = (ir.join(sa.hint("shuffle_hash"), "doc_a")
+                    .join(sb.hint("shuffle_hash"), "doc_b")
+                    .withColumn("m", F.least("ca", "cb")))
+        # upper-bound admission: |∩| ≤ ir + m, so J ≤ (ir+m)/(na+nb-ir-m)
+        # — identical int/int→double division in both engines
+        surv = scored.where(
+            (F.col("ir") + F.col("m")).cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ir") - F.col("m"))
+            >= threshold)
+        # exact common-shingle intersection, survivors only
+        csa = common.select(F.col("doc_id").alias("doc_a"),
+                            F.col("gh").alias("gha"))
+        csb = common.select(F.col("doc_id").alias("b2"),
+                            F.col("gh").alias("ghb"))
+        ic = (surv.select("doc_a", "doc_b")
+                  .join(csa.hint("shuffle_hash"), "doc_a")
+                  .join(csb.hint("shuffle_hash"),
+                        (F.col("doc_b") == F.col("b2"))
+                        & (F.col("gha") == F.col("ghb")))
+                  .groupBy("doc_a", "doc_b")
+                  .agg(F.count(F.lit(1)).alias("ic")))
+        inter_n = F.col("ir") + F.coalesce(F.col("ic"), F.lit(0))
+        return (surv.join(ic, ["doc_a", "doc_b"], "left")
+                    .withColumn("jaccard",
+                                inter_n.cast("double")
+                                / (F.col("na") + F.col("nb") - inter_n))
+                    .where(F.col("jaccard") >= threshold)
+                    .select("doc_a", "doc_b", "jaccard"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Every relation here is CORPUS-scaled (shingles ~ docs x |text|,
     # sizes ~ |docs|): pin all three joins to shuffle-hash so Catalyst's

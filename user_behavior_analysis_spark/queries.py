@@ -890,29 +890,30 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_THRESHOLD = 0.8
 
 #: df-cap derivation (VERDICT r6 #1, the _emb_lsh_planes treatment):
-#: the smallest power-of-two c in [2^4, 2^20] with c² >= corpus count —
-#: cap grows ~√n, so the candidate join's Σ df² cost is O(n·c) ≈
-#: O(n^1.5) instead of the uncapped boilerplate-shingle quadratic.
-#: Integer-only ((1 << 2p) >= n), never float sqrt: bit-exact across
-#: engines.
-_JACCARD_CAP_MIN_P, _JACCARD_CAP_MAX_P = 4, 20
+#: cap = max(16, 4·⌈log2 n⌉) — LOG growth, so the rare-shingle join's
+#: per-shingle fan-out stays O(log²n) while legitimate near-dup family
+#: shingles (df ~ duplication factor) stay under it. A √n cap never
+#: bites on real df distributions (measured sf0.1: max df 25 vs cap
+#: 128) — the boilerplate dfs that blow up the 10× probe sit between
+#: log n and √n. Integer-only ((1 << p) >= n), never float log2:
+#: bit-exact across engines.
+_JACCARD_CAP_MAX_P = 40
 
 
 def _jaccard_df_cap(n: int) -> int:
-    return next((1 << p for p in range(_JACCARD_CAP_MIN_P,
-                                       _JACCARD_CAP_MAX_P + 1)
-                 if (1 << (2 * p)) >= n),
-                1 << _JACCARD_CAP_MAX_P)
+    p = next((p for p in range(1, _JACCARD_CAP_MAX_P + 1)
+              if (1 << p) >= n), _JACCARD_CAP_MAX_P)
+    return max(16, 4 * p)
 
 
 _JACCARD_ORACLE = f"""
 WITH {_TOKS_CTE},
 n AS (SELECT count(*) AS cnt FROM documents),
 params AS (
-  SELECT COALESCE(MIN(1 << CAST(p.range AS INTEGER)),
-                  {1 << _JACCARD_CAP_MAX_P}) AS cap
-  FROM range({_JACCARD_CAP_MIN_P}, {_JACCARD_CAP_MAX_P} + 1) p, n
-  WHERE (1 << (2 * p.range)) >= n.cnt
+  SELECT GREATEST(16, 4 * COALESCE(MIN(CAST(p.range AS INTEGER)),
+                                   {_JACCARD_CAP_MAX_P})) AS cap
+  FROM range(1, {_JACCARD_CAP_MAX_P} + 1) p, n
+  WHERE (1 << p.range) >= n.cnt
 ),
 dfreq AS (SELECT gh, COUNT(*) AS df_n FROM sh GROUP BY gh),
 rare AS (
@@ -920,38 +921,65 @@ rare AS (
   FROM sh s JOIN dfreq d USING (gh), params
   WHERE d.df_n <= params.cap
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rare a JOIN rare b ON a.gh = b.gh AND a.doc_id < b.doc_id
+com AS (
+  SELECT s.doc_id, s.gh
+  FROM sh s JOIN dfreq d USING (gh), params
+  WHERE d.df_n > params.cap
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_n
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.gh = x.gh
+stats AS (
+  SELECT s.doc_id, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN d.df_n > params.cap THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM sh s JOIN dfreq d USING (gh), params
+  GROUP BY s.doc_id
+),
+ir AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ir
+  FROM rare a JOIN rare b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b, i.ir, sa.n AS na, sb.n AS nb,
+         LEAST(sa.c, sb.c) AS m
+  FROM ir i
+  JOIN stats sa ON sa.doc_id = i.doc_a
+  JOIN stats sb ON sb.doc_id = i.doc_b
+),
+surv AS (
+  SELECT * FROM scored
+  WHERE CAST(ir + m AS DOUBLE) / (na + nb - ir - m)
+        >= {_JACCARD_THRESHOLD}
+),
+ic AS (
+  SELECT s.doc_a, s.doc_b, COUNT(*) AS ic
+  FROM surv s
+  JOIN com x ON x.doc_id = s.doc_a
+  JOIN com y ON y.doc_id = s.doc_b AND y.gh = x.gh
   GROUP BY 1, 2
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n) AS jaccard
-FROM cand c
-JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
-WHERE CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
-      >= {_JACCARD_THRESHOLD}
+SELECT s.doc_a, s.doc_b,
+       CAST(s.ir + COALESCE(i.ic, 0) AS DOUBLE)
+         / (s.na + s.nb - s.ir - COALESCE(i.ic, 0)) AS jaccard
+FROM surv s
+LEFT JOIN ic i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+WHERE CAST(s.ir + COALESCE(i.ic, 0) AS DOUBLE)
+      / (s.na + s.nb - s.ir - COALESCE(i.ic, 0)) >= {_JACCARD_THRESHOLD}
 """
 
 
 @query("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs via the DF-CAPPED inverted index
-    (r7: the fixed-knob cure — cap derived from the corpus count with
-    integer-only arithmetic, mirrored in the oracle's params CTE):
-    candidates come from shingles rarer than the cap, then the EXACT
-    Jaccard over the full shingle sets decides. The count() is one
-    bounded driver scalar, the price of a self-sizing knob (same trade
-    as embedding_neardup's derived n_planes)."""
+    (r7: the fixed-knob cure — cap = max(16, 4·⌈log2 n⌉), integer-only,
+    mirrored in the oracle's params CTE): shared-shingle counts come
+    from the rare-shingle join (the exhaustive join's map-side-combined
+    shape, per-shingle fan-out bounded by the cap), capped-out common
+    shingles are admitted by an exact UPPER BOUND and the few
+    survivors' common intersection is counted exactly — so values
+    equal the exhaustive join for every pair sharing ≥1 rare shingle.
+    The count() is one bounded driver scalar, the price of a
+    self-sizing knob (same trade as embedding_neardup's derived
+    n_planes)."""
     from .operators.dedup import ngram_jaccard_pairs
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id",
