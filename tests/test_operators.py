@@ -367,6 +367,79 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.7, f"IVF recall {recall:.2f} below bound"
 
 
+def test_ivf_assign_matches_kmeans_transform(spark, sf_dir):
+    """The expression-argmin assignment (the streaming path's map-side
+    quantizer) must agree with KMeans.transform's squared-L2 argmin on
+    every corpus vector — the invariant that lets a micro-batch assign
+    deltas identically to the batch index build."""
+    from user_behavior_analysis_spark.operators.similarity import (
+        ivf_assign, ivf_index)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    assigned_model, centroids = ivf_index(emb, "c_vec", n_cells=8)
+    got = {r["c_id"]: r["cell"] for r in
+           ivf_assign(emb, "c_vec", centroids).collect()}
+    exp = {r["c_id"]: r["cell"] for r in assigned_model.collect()}
+    assert got == exp
+
+
+def test_cdc_maintained_ivf_index_parity(spark, sf_dir, tmp_path):
+    """The CDC-maintained IVF index (VERDICT-r7 addition): after the
+    change-feed stream drains, (a) the index TxTable must equal the
+    batch assignment of the UNION corpus row-for-row, and (b) probing
+    the maintained table must equal probing the batch-assigned relation
+    bit-for-bit — the maintained index IS the batch index, kept
+    current incrementally."""
+    from user_behavior_analysis_spark.operators.similarity import (
+        ivf_assign, ivf_index, ivf_probe_topk)
+    from user_behavior_analysis_spark.streaming.jobs import (
+        ivf_maintenance_stream)
+    from user_behavior_analysis_spark.tables import TxTable
+    from user_behavior_analysis_spark.tables_cdc import (
+        txtable_changes_stream)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    src = TxTable.create(spark, str(tmp_path / "src"), base, ["vec_id"])
+    _, centroids = ivf_index(
+        base.select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("c_vec")),
+        "c_vec", n_cells=8)
+    base_assigned = ivf_assign(
+        base.select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("c_vec")),
+        "c_vec", centroids)
+    idx = TxTable.create(spark, str(tmp_path / "idx"),
+                         base_assigned.select("c_id", "c_vec", "cell"),
+                         ["c_id"])
+    src.append(emb.where(F.col("vec_id") % 3 == 1))
+    src.append(emb.where(F.col("vec_id") % 3 == 2))
+    q = (ivf_maintenance_stream(
+            txtable_changes_stream(spark, src.path), idx, centroids)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    batch_assigned = ivf_assign(
+        emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec")),
+        "c_vec", centroids)
+    got_cells = {(r["c_id"], r["cell"])
+                 for r in idx.read().select("c_id", "cell").collect()}
+    exp_cells = {(r["c_id"], r["cell"])
+                 for r in batch_assigned.select("c_id", "cell").collect()}
+    assert got_cells == exp_cells
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = sorted(map(tuple, ivf_probe_topk(
+        queries, idx.read(), centroids, k=5, n_probe=4).collect()))
+    exp = sorted(map(tuple, ivf_probe_topk(
+        queries, batch_assigned, centroids, k=5, n_probe=4).collect()))
+    assert got == exp
+
+
 def test_read_event_csv_drops_dirty_rows(spark, tmp_path):
     """P1/P2 parse policy (HotItems.scala:57-68): unparseable rows null
     out JVM-side and are dropped; clean rows get epoch-seconds → ts."""

@@ -99,19 +99,35 @@ def ivf_index(corpus: DataFrame, vec_col: str, n_cells: int = 16,
     return assigned, centroids
 
 
-def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
-             n_cells: int = 16, n_probe: int = 4,
-             seed: int = 42) -> DataFrame:
-    """IVF ANN with a trained quantizer: each query probes its
-    ``n_probe`` nearest cells and scores only those cells' vectors —
-    O(Q × N × n_probe / n_cells) versus brute force's O(Q × N).
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list,
+               out_col: str = "cell") -> DataFrame:
+    """Assign vectors to their nearest FROZEN centroid (squared-L2
+    argmin — KMeans.transform's metric) with pure map-side expressions:
+    no ML model object, no shuffle, so a streaming micro-batch (the
+    CDC-maintained index) assigns deltas IDENTICALLY to the batch
+    index build. Ties (measure-zero on float centroids) break to the
+    lower cell id via the struct array_min."""
+    v = as_double(vec_col)
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(v,
+                           F.array(*[F.lit(float(x)) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    return df.withColumn(out_col, F.array_min(dists)["cell"])
 
-    queries: (q_id, q_vec); corpus: (c_id, c_vec). Output matches
-    ``cosine_topk_bruteforce`` (q_id, c_id, cos, rank) but is
-    approximate: neighbors outside probed cells are missed.
-    """
-    assigned, centroids = ivf_index(corpus, "c_vec", n_cells, seed)
 
+def ivf_probe_topk(queries: DataFrame, assigned: DataFrame,
+                   centroids: list, k: int,
+                   n_probe: int = 4) -> DataFrame:
+    """Probe/score stage of IVF ANN over an ALREADY-ASSIGNED corpus —
+    the read path of the CDC-maintained index table (the posting
+    relation (c_id, c_vec, cell) can come from ``ivf_index`` or from a
+    TxTable a stream keeps current). Each query probes its ``n_probe``
+    nearest cells and scores only those cells' vectors."""
     # per-query probe list: rank centroids by cosine, keep n_probe.
     # centroids are a literal array-of-arrays — broadcast by value into
     # the plan; no join needed to find probe cells.
@@ -146,6 +162,24 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
               .where(F.col("rank") <= k)
               .select("q_id", "c_id", "cos", "rank")
     )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             n_cells: int = 16, n_probe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF ANN with a trained quantizer: each query probes its
+    ``n_probe`` nearest cells and scores only those cells' vectors —
+    O(Q × N × n_probe / n_cells) versus brute force's O(Q × N).
+
+    queries: (q_id, q_vec); corpus: (c_id, c_vec). Output matches
+    ``cosine_topk_bruteforce`` (q_id, c_id, cos, rank) but is
+    approximate: neighbors outside probed cells are missed. Composed
+    of ``ivf_index`` (train + assign) and ``ivf_probe_topk`` (probe +
+    score) — the split the CDC-MAINTAINED index rides: a stream keeps
+    the assigned relation current in a TxTable and the probe stage
+    reads it unchanged."""
+    assigned, centroids = ivf_index(corpus, "c_vec", n_cells, seed)
+    return ivf_probe_topk(queries, assigned, centroids, k, n_probe)
 
 
 def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,

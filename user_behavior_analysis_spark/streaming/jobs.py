@@ -179,6 +179,40 @@ def rules_gate(table, on, apply_fn):
     return fn
 
 
+def ivf_maintenance_stream(feed: DataFrame, index_table, centroids,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           app: str = "ivf_maint"):
+    """CDC-MAINTAINED ANN INDEX (round 7): keep an IVF posting table
+    current from a change feed instead of rebuilding it per batch job.
+    Each micro-batch's vectors are assigned to their nearest FROZEN
+    centroid map-side (``similarity.ivf_assign`` — pure expressions,
+    no model object, no shuffle) and keyed-MERGEd into the index
+    TxTable exactly-once (``upsert_sink``'s txn markers). The probe
+    path (``similarity.ivf_probe_topk``) reads the table unchanged —
+    queries never wait for an index rebuild, and a re-embedded vector
+    (same id, new embedding) lands as a key-level upsert.
+
+    Centroids are the FROZEN coarse quantizer: the maintained-index
+    contract is assign-only between retrains; a retrain is a full
+    rebuild (new table), exactly like production IVF services. At
+    100 TB the feed is O(delta) parquet reads, assignment is map-side
+    (cells × dim multiply-adds per vector), and the MERGE rewrites
+    only files whose key range the delta touches.
+
+    Returns the ``writeStream`` builder (caller adds checkpoint /
+    trigger and ``.start()``)."""
+    from ..operators.similarity import ivf_assign
+    from ..tables import upsert_sink
+
+    assigned = ivf_assign(
+        feed.select(F.col(id_col).alias("c_id"),
+                    F.col(vec_col).alias("c_vec")),
+        "c_vec", centroids)
+    return (assigned.select("c_id", "c_vec", "cell")
+            .writeStream.foreachBatch(upsert_sink(index_table, app=app)))
+
+
 def sketch_rollup_sink(table, ts_col: str = "ts", id_col: str = "user_id",
                        lg_k: int = 12, app: str = "uv_sketch"):
     """foreachBatch tail maintaining a MERGEABLE-AGGREGATE TABLE: each

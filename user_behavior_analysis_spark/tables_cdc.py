@@ -198,10 +198,37 @@ class TxTableChangesDataSource(DataSource):
         return _ChangesStreamReader(self.options)
 
 
+_PICKLED_BY_VALUE = False
+
+
+def _self_contain() -> None:
+    """Make the data source's pickle SELF-CONTAINED: Spark cloudpickles
+    the DataSource class into separate python worker processes (the
+    planner/offset runner and the executors), and by default an
+    importable module pickles BY REFERENCE — a driver running outside
+    the repo root (the external harness, any user script that
+    sys.path-hacked its own interpreter only) hits
+    ModuleNotFoundError in those workers. register_pickle_by_value on
+    THIS module makes cloudpickle serialize the class and its
+    module-level helpers by value, so the workers need no import.
+    (addPyFile is not sufficient: the data-source planner process does
+    not pick up late file additions.)"""
+    global _PICKLED_BY_VALUE
+    if _PICKLED_BY_VALUE:
+        return
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _PICKLED_BY_VALUE = True
+
+
 def txtable_changes_stream(spark, path: str,
                            max_versions_per_trigger: int = 10,
                            since_version: int = 0):
     """Register the source and open the change-feed stream."""
+    _self_contain()
     spark.dataSource.register(TxTableChangesDataSource)
     return (spark.readStream.format("txtable_changes")
             .option("path", path)
