@@ -1013,8 +1013,8 @@ def test_python_datasource_batch_parallel_deterministic(spark):
     executor parallelism, not a driver generator) and bit-deterministic
     content — two loads hash-equal, rows equal the index function."""
     from user_behavior_analysis_spark.sources_pyds import (
-        MarketingSimDataSource, gen_event)
-    spark.dataSource.register(MarketingSimDataSource)
+        gen_event, register_marketing_sim)
+    register_marketing_sim(spark)
     df = (spark.read.format("marketing_sim")
           .option("n_rows", 2000).option("n_partitions", 8).load())
     assert df.rdd.getNumPartitions() == 8
@@ -1034,8 +1034,8 @@ def test_python_datasource_stream_drains_exactly_once(spark):
     bit-identical to the batch/generator output — the replayability
     property exactly-once sinks rely on."""
     from user_behavior_analysis_spark.sources_pyds import (
-        MarketingSimDataSource, gen_event)
-    spark.dataSource.register(MarketingSimDataSource)
+        gen_event, register_marketing_sim)
+    register_marketing_sim(spark)
     sdf = (spark.readStream.format("marketing_sim")
            .option("batch_rows", 700).option("max_rows", 2000).load())
     q = (sdf.writeStream.format("memory").queryName("pyds_sim_t")

@@ -121,7 +121,9 @@ class _StreamReader(DataSourceStreamReader):
 class MarketingSimDataSource(DataSource):
     """``spark.read.format("marketing_sim")`` /
     ``spark.readStream.format("marketing_sim")`` after
-    ``spark.dataSource.register(MarketingSimDataSource)``."""
+    ``register_marketing_sim(spark)`` (or a manual
+    ``spark.dataSource.register`` when the driver runs from the repo
+    root)."""
 
     @classmethod
     def name(cls) -> str:
@@ -135,3 +137,25 @@ class MarketingSimDataSource(DataSource):
 
     def streamReader(self, schema) -> _StreamReader:
         return _StreamReader(self.options)
+
+
+_PICKLED_BY_VALUE = False
+
+
+def register_marketing_sim(spark) -> None:
+    """Register the source with a SELF-CONTAINED pickle: Spark's
+    data-source planner/runner worker processes import the pickled
+    class, and an importable module pickles BY REFERENCE — a driver
+    running outside the repo root hits ModuleNotFoundError there
+    (addPyFile is not honored by the planner; same lesson as
+    tables_cdc._self_contain). register_pickle_by_value makes the
+    class and its module-level generator helpers travel by value."""
+    global _PICKLED_BY_VALUE
+    if not _PICKLED_BY_VALUE:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        _PICKLED_BY_VALUE = True
+    spark.dataSource.register(MarketingSimDataSource)
