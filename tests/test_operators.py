@@ -217,6 +217,55 @@ def test_ngram_jaccard_df_cap(spark, sf_dir):
     assert cm[(200, 201)] == em[(200, 201)]
 
 
+def test_ngram_jaccard_df_cap_property(spark):
+    """Property pin for the capped-join ALGEBRA (rare-postings count +
+    upper-bound admission + exact common-intersection restore): on
+    arbitrary tiny corpora and arbitrary caps, the capped operator must
+    equal the exhaustive Jaccard truth restricted to pairs sharing at
+    least one rare (df <= cap) shingle — exact values, no extra pairs,
+    no missing pairs, for every cap from all-common to all-rare."""
+    from hypothesis import given, settings, strategies as st
+    from user_behavior_analysis_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    doc = st.lists(st.sampled_from(vocab), min_size=3, max_size=8)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6), st.integers(1, 6))
+    def check(docs, cap):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(
+                   sdf, "text", "doc_id", threshold=0.3,
+                   df_cap=cap).collect()}
+        # pure-python truth
+        sh = {i: {" ".join(t[j:j + 3]) for j in range(len(t) - 2)}
+              for i, t in enumerate(docs)}
+        df_n: dict = {}
+        for s in sh.values():
+            for g in s:
+                df_n[g] = df_n.get(g, 0) + 1
+        exp = {}
+        for a in sh:
+            for b in sh:
+                if a >= b:
+                    continue
+                shared = sh[a] & sh[b]
+                if not any(df_n[g] <= cap for g in shared):
+                    continue  # no rare shared shingle -> undiscoverable
+                inter = len(shared)
+                union = len(sh[a] | sh[b])
+                if union and inter / union >= 0.3:
+                    exp[(a, b)] = inter / union
+        assert set(got) == set(exp), (docs, cap, got, exp)
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-12, (k, got[k], exp[k])
+
+    check()
+
+
 def test_simhash_banding_is_lossless(spark, sf_dir):
     """Block-permutation banding is a LOSSLESS candidate generator for
     Hamming ≤ k (pigeonhole over k+1 bands): at a production-like width
