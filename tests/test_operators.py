@@ -488,6 +488,31 @@ def test_cdc_maintained_ivf_index_parity(spark, sf_dir, tmp_path):
         queries, batch_assigned, centroids, k=5, n_probe=4).collect()))
     assert got == exp
 
+    # RE-EMBEDDING: committing a new embedding for an existing id must
+    # flow through the feed as a key-level upsert that MOVES the
+    # posting to its new cell — one row per id, cell matching the
+    # fresh batch assignment (the merge path, not the insert path)
+    victim = idx.read().select("c_id").orderBy("c_id").first()["c_id"]
+    old_cell = {r["c_id"]: r["cell"] for r in
+                idx.read().where(F.col("c_id") == victim)
+                   .collect()}[victim]
+    dim = len(emb.first()["embedding"])
+    target = [float(x) for x in centroids[(old_cell + 1) % len(centroids)]]
+    src.merge(spark.createDataFrame(
+        [(int(victim), target)], "vec_id long, embedding array<double>")
+        .select("vec_id", F.col("embedding").cast(
+            src.read().schema["embedding"].dataType)))
+    q2 = (ivf_maintenance_stream(
+             txtable_changes_stream(spark, src.path), idx, centroids)
+          .option("checkpointLocation", str(tmp_path / "ck"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(300)
+    moved = idx.read().where(F.col("c_id") == victim).collect()
+    assert len(moved) == 1, moved
+    assert dim == len(moved[0]["c_vec"])
+    assert moved[0]["cell"] == (old_cell + 1) % len(centroids), \
+        (old_cell, moved[0]["cell"])
+
 
 def test_read_event_csv_drops_dirty_rows(spark, tmp_path):
     """P1/P2 parse policy (HotItems.scala:57-68): unparseable rows null
