@@ -167,10 +167,11 @@ def test_ngram_jaccard_df_cap(spark, sf_dir):
     """The df-capped candidate index (VERDICT r6 #1): (a) on the test
     corpus the derived cap loses NO qualifying pair vs the exhaustive
     join — boilerplate shingles aren't what 0.8-Jaccard pairs share;
-    (b) on a constructed corpus the cap provably excludes a boilerplate
-    family (every shared shingle above the cap) while still finding the
-    rare-shingle near-dup pair — the documented generator contract
-    (identical boilerplate docs belong to dedup_exact's hash pass)."""
+    (b) a >cap family — invisible to the rare join because EVERY
+    shared shingle is above the cap — is caught by the saturated-doc
+    MinHash recovery pass (ADVICE r7 cure), with the rare-shingle pair
+    still found by the base path; with recovery disabled the family
+    vanishes, pinning what the flag owns."""
     from user_behavior_analysis_spark.operators.dedup import (
         ngram_jaccard_pairs)
     from user_behavior_analysis_spark.queries import _jaccard_df_cap
@@ -192,7 +193,14 @@ def test_ngram_jaccard_df_cap(spark, sf_dir):
     small = spark.createDataFrame(rows, "doc_id long, text string")
     got = ngram_jaccard_pairs(small, "text", "doc_id", threshold=0.5,
                               df_cap=5).toPandas()
-    assert set(zip(got["doc_a"], got["doc_b"])) == {(100, 101)}, got
+    family = {(a, b) for a in range(30) for b in range(30) if a < b}
+    assert set(zip(got["doc_a"], got["doc_b"])) == family | {(100, 101)}
+    assert (got.set_index(["doc_a", "doc_b"])["jaccard"]
+               .loc[list(family)] == 1.0).all()
+    norec = ngram_jaccard_pairs(small, "text", "doc_id", threshold=0.5,
+                                df_cap=5,
+                                recover_saturated=False).toPandas()
+    assert set(zip(norec["doc_a"], norec["doc_b"])) == {(100, 101)}
 
     # (c) a pair sharing rare AND common shingles must come out with
     # the EXACT full-set Jaccard (the upper-bound admission + the
@@ -223,7 +231,10 @@ def test_ngram_jaccard_df_cap_property(spark):
     arbitrary tiny corpora and arbitrary caps, the capped operator must
     equal the exhaustive Jaccard truth restricted to pairs sharing at
     least one rare (df <= cap) shingle — exact values, no extra pairs,
-    no missing pairs, for every cap from all-common to all-rare."""
+    no missing pairs, for every cap from all-common to all-rare.
+    Recovery is disabled here: this pins the CORE algebra; the
+    saturated-pass behavior is pinned by test_ngram_jaccard_df_cap and
+    test_ngram_jaccard_saturated_recovery."""
     from hypothesis import given, settings, strategies as st
     from user_behavior_analysis_spark.operators.dedup import (
         ngram_jaccard_pairs)
@@ -239,7 +250,7 @@ def test_ngram_jaccard_df_cap_property(spark):
         got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
                for r in ngram_jaccard_pairs(
                    sdf, "text", "doc_id", threshold=0.3,
-                   df_cap=cap).collect()}
+                   df_cap=cap, recover_saturated=False).collect()}
         # pure-python truth
         sh = {i: {" ".join(t[j:j + 3]) for j in range(len(t) - 2)}
               for i, t in enumerate(docs)}
@@ -264,6 +275,47 @@ def test_ngram_jaccard_df_cap_property(spark):
             assert abs(got[k] - exp[k]) < 1e-12, (k, got[k], exp[k])
 
     check()
+
+
+def test_ngram_jaccard_saturated_recovery(spark):
+    """ADVICE r7 scenario: a near-dup family LARGER than the df-cap
+    whose members are fuzzy (NOT byte-identical) copies — every family
+    shingle has df > cap, so no pair shares a rare shingle, the family
+    is invisible to the rare join, and dedup_exact's hash pass cannot
+    catch it either. The saturated MinHash recovery must restore these
+    pairs with the EXACT exhaustive Jaccard values, while background
+    docs stay unpaired."""
+    from user_behavior_analysis_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    template = ("lorem ipsum dolor sit amet consectetur adipiscing "
+                "elit sed do eiusmod tempor incididunt ut labore")
+    # 12 fuzzy copies: same long body, one trailing variant token each
+    # — pairwise Jaccard is 14/16 = 0.875 (high but <1), every BODY
+    # shingle has df=12 > cap=4, and each variant-tail shingle is rare
+    # (df=1) but never SHARED — so every pair's shared set is entirely
+    # common shingles: invisible to the rare join.
+    rows = [(i, template + f" variant{i}") for i in range(12)]
+    rows += [(200, "completely different words about gardens and rain"),
+             (201, "another unrelated text mentioning ships and stars")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8,
+                              df_cap=4).toPandas()
+    exhaustive = ngram_jaccard_pairs(df, "text", "doc_id",
+                                     threshold=0.8).toPandas()
+    gk = {(a, b): j for a, b, j in
+          got[["doc_a", "doc_b", "jaccard"]].values}
+    ek = {(a, b): j for a, b, j in
+          exhaustive[["doc_a", "doc_b", "jaccard"]].values}
+    # the family is a 12-clique in the exhaustive truth
+    assert len(ek) == 12 * 11 // 2 and all(
+        a < 12 and b < 12 for a, b in ek)
+    # recovery restores every exhaustive pair, values bit-exact
+    assert gk == ek
+    # and the rare join alone sees none of them
+    norec = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8,
+                                df_cap=4,
+                                recover_saturated=False).toPandas()
+    assert len(norec) == 0
 
 
 def test_simhash_banding_is_lossless(spark, sf_dir):

@@ -350,7 +350,10 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         ngram: int = 3, threshold: float = 0.8,
-                        df_cap: int | None = None) -> DataFrame:
+                        df_cap: int | None = None,
+                        recover_saturated: bool = True,
+                        sat_num_hashes: int = 16, sat_bands: int = 8,
+                        sat_bucket_cap: int = 1000) -> DataFrame:
     """Exact n-gram Jaccard over the inverted-index join: pairs sharing
     ≥1 shingle, scored |∩| / |A∪B|, kept at ≥ threshold.
 
@@ -370,13 +373,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     survivors' true common-shingle intersection is counted against the
     tiny common relation, restoring the EXACT Jaccard value. Results
     therefore equal the exhaustive join for every pair sharing ≥1
-    rare shingle; a pair is missed only if ALL its shared shingles
-    are boilerplate — which at threshold 0.8 means the pair IS
-    boilerplate (dedup_exact's hash pass owns those). When no shingle
-    exceeds the cap the plan degenerates to the exhaustive join plus
-    three cheap vocabulary-keyed exchanges. Callers derive the cap
-    from the corpus count (integer-only, oracle-mirrored); pass None
-    for the pure exhaustive join.
+    rare shingle.
+
+    ``recover_saturated`` (ADVICE r7): a pair invisible to the rare
+    join shares ONLY common shingles, and at threshold t that forces
+    c ≥ |∩| ≥ t·max(nₐ, n_b) on BOTH endpoints — every missed pair
+    lives inside the SATURATED doc set {c ≥ t·n}. Exactly those docs
+    are the large fuzzy near-dup families (every family shingle has
+    df ≈ family size > cap) that exact-hash dedup cannot catch, so
+    they get a bounded second detector: MinHash signatures over the
+    staged postings of saturated docs only, LSH-banded
+    (``sat_num_hashes``/``sat_bands`` — 16/8 puts band-collision
+    probability ≥ 1-(1-t²)^8 ≈ 0.9997 at t=0.8), buckets
+    deterministically truncated to ``sat_bucket_cap`` docs by id, and
+    every band candidate not already covered by the rare join scored
+    EXACTLY against the full posting set. Candidate generation is
+    probabilistic (banding can miss a borderline pair); every emitted
+    value is exact, and the construction is oracle-reproduced
+    hash-for-hash. When no shingle exceeds the cap the saturated set
+    is empty and the plan degenerates to the exhaustive join plus
+    cheap vocabulary-keyed exchanges. Callers derive the cap from the
+    corpus count (integer-only, oracle-mirrored); pass None for the
+    pure exhaustive join.
     """
     # The shingle relation feeds three plan branches (sizes + both join
     # sides). Deliberately NOT persisted: caching replaces the relation
@@ -447,12 +465,88 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   .groupBy("doc_a", "doc_b")
                   .agg(F.count(F.lit(1)).alias("ic")))
         inter_n = F.col("ir") + F.coalesce(F.col("ic"), F.lit(0))
-        return (surv.join(ic, ["doc_a", "doc_b"], "left")
+        base = (surv.join(ic, ["doc_a", "doc_b"], "left")
                     .withColumn("jaccard",
                                 inter_n.cast("double")
                                 / (F.col("na") + F.col("nb") - inter_n))
                     .where(F.col("jaccard") >= threshold)
                     .select("doc_a", "doc_b", "jaccard"))
+        if not recover_saturated:
+            return base
+        # --- saturated-family recovery (ADVICE r7, see docstring) ---
+        # every relation below is empty whenever no doc is ≥threshold
+        # common — the sf-domain case — so the added stages cost only
+        # their (empty) exchanges there; all joins stay SHJ-pinned for
+        # the same unknown-stats reason as above.
+        sat = (stats.where(F.col("c").cast("double")
+                           >= F.lit(threshold) * F.col("n"))
+                    .select("doc_id"))
+        satp = (shd.join(sat.hint("shuffle_hash"), "doc_id")
+                   .select("doc_id", "gh"))
+        # Kirsch-Mitzenmacher double hashing over the 60-bit shingle
+        # hash's decimal string — ONE md5 per posting, k mins map-side
+        # (minhash_signatures' exact trick, re-keyed on gh so the
+        # oracle replays it from the shared `sh` CTE)
+        m5 = F.md5(F.col("gh").cast("string"))
+        hashed = satp.select(
+            "doc_id",
+            (F.conv(F.substring(m5, 1, 15), 16, 10).cast("long")
+             % MINHASH_P).alias("h1"),
+            (F.conv(F.substring(m5, 16, 15), 16, 10).cast("long")
+             % MINHASH_P).alias("h2"))
+        sig = hashed.groupBy("doc_id").agg(
+            *[F.min((F.col("h1") + F.lit(i) * F.col("h2")) % MINHASH_P)
+               .alias(f"mh{i}") for i in range(sat_num_hashes)])
+        rows_per = sat_num_hashes // sat_bands
+        band_cols = []
+        for bnd in range(sat_bands):
+            parts = [F.col(f"mh{bnd * rows_per + r}").cast("string")
+                     for r in range(rows_per)]
+            band_cols.append(F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(F.concat_ws("_", *parts)).alias("bh")))
+        buckets = (sig.select("doc_id",
+                              F.explode(F.array(*band_cols)).alias("bb"))
+                      .select("doc_id", F.col("bb.band").alias("band"),
+                              F.col("bb.bh").alias("bh")))
+        # deterministic truncation (NOT whole-bucket drop: an over-cap
+        # bucket IS the giant family this pass exists to catch) — keep
+        # the first `sat_bucket_cap` ids per bucket, the hub_cap move
+        trunc = (buckets.withColumn(
+                     "rn", F.row_number().over(
+                         Window.partitionBy("band", "bh")
+                               .orderBy("doc_id")))
+                       .where(F.col("rn") <= sat_bucket_cap).drop("rn"))
+        ta, tb = trunc.alias("a"), trunc.hint("shuffle_hash").alias("b")
+        cand = (ta.join(tb, (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bh") == F.col("b.bh"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .select(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"))
+                  .distinct()
+                  # pairs sharing ≥1 rare shingle are already EXACT in
+                  # the base path — recovery owns only the invisible rest
+                  .join(ir.select("doc_a", "doc_b").hint("shuffle_hash"),
+                        ["doc_a", "doc_b"], "left_anti"))
+        pa = shd.select(F.col("doc_id").alias("doc_a"),
+                        F.col("gh").alias("g2a"))
+        pb = shd.select(F.col("doc_id").alias("b3"),
+                        F.col("gh").alias("g2b"))
+        sint = (cand.join(pa.hint("shuffle_hash"), "doc_a")
+                    .join(pb.hint("shuffle_hash"),
+                          (F.col("doc_b") == F.col("b3"))
+                          & (F.col("g2a") == F.col("g2b")))
+                    .groupBy("doc_a", "doc_b")
+                    .agg(F.count(F.lit(1)).alias("in_n")))
+        rec = (sint.join(sa.hint("shuffle_hash"), "doc_a")
+                   .join(sb.hint("shuffle_hash"), "doc_b")
+                   .withColumn("jaccard",
+                               F.col("in_n").cast("double")
+                               / (F.col("na") + F.col("nb")
+                                  - F.col("in_n")))
+                   .where(F.col("jaccard") >= threshold)
+                   .select("doc_a", "doc_b", "jaccard"))
+        return base.unionByName(rec)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Every relation here is CORPUS-scaled (shingles ~ docs x |text|,
     # sizes ~ |docs|): pin all three joins to shuffle-hash so Catalyst's

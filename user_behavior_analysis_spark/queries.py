@@ -906,6 +906,19 @@ def _jaccard_df_cap(n: int) -> int:
     return max(16, 4 * p)
 
 
+#: saturated-family recovery knobs (ADVICE r7) — mirrored in
+#: operators.dedup.ngram_jaccard_pairs defaults
+_SAT_HASHES, _SAT_BANDS, _SAT_BUCKET_CAP = 16, 8, 1000
+_SAT_RPB = _SAT_HASHES // _SAT_BANDS
+_SAT_MH_EXPRS = ",\n       ".join(
+    f"min((h1 + {i} * h2) % {_MINHASH_P}) AS mh{i}"
+    for i in range(_SAT_HASHES))
+_SAT_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(" +
+    " || '_' || ".join(f"mh{b * _SAT_RPB + r}" for r in range(_SAT_RPB)) +
+    ") AS bh FROM satsig"
+    for b in range(_SAT_BANDS))
+
 _JACCARD_ORACLE = f"""
 WITH {_TOKS_CTE},
 n AS (SELECT count(*) AS cnt FROM documents),
@@ -956,14 +969,72 @@ ic AS (
   JOIN com x ON x.doc_id = s.doc_a
   JOIN com y ON y.doc_id = s.doc_b AND y.gh = x.gh
   GROUP BY 1, 2
+),
+base AS (
+  SELECT s.doc_a, s.doc_b,
+         CAST(s.ir + COALESCE(i.ic, 0) AS DOUBLE)
+           / (s.na + s.nb - s.ir - COALESCE(i.ic, 0)) AS jaccard
+  FROM surv s
+  LEFT JOIN ic i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+  WHERE CAST(s.ir + COALESCE(i.ic, 0) AS DOUBLE)
+        / (s.na + s.nb - s.ir - COALESCE(i.ic, 0))
+        >= {_JACCARD_THRESHOLD}
+),
+-- saturated-family recovery (ADVICE r7): minhash-band the docs whose
+-- capped-out fraction reaches the threshold, exact-score candidates
+sat AS (
+  SELECT doc_id FROM stats WHERE CAST(c AS DOUBLE) >= {_JACCARD_THRESHOLD} * n
+),
+sath AS (
+  SELECT s.doc_id,
+         CAST(('0x' || substr(md5(CAST(s.gh AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_MINHASH_P} AS h1,
+         CAST(('0x' || substr(md5(CAST(s.gh AS VARCHAR)), 16, 15))
+              AS BIGINT) % {_MINHASH_P} AS h2
+  FROM sh s JOIN sat USING (doc_id)
+),
+satsig AS (
+  SELECT doc_id,
+       {_SAT_MH_EXPRS}
+  FROM sath GROUP BY doc_id
+),
+satbuckets AS (
+  {_SAT_BAND_SELECTS}
+),
+sattrunc AS (
+  SELECT doc_id, band, bh FROM (
+    SELECT doc_id, band, bh,
+           row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+    FROM satbuckets)
+  WHERE rn <= {_SAT_BUCKET_CAP}
+),
+satcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sattrunc a JOIN sattrunc b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+satfresh AS (
+  SELECT c.doc_a, c.doc_b FROM satcand c
+  WHERE NOT EXISTS (SELECT 1 FROM ir i
+                    WHERE i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+),
+satinter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS in_n
+  FROM satfresh c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.gh = x.gh
+  GROUP BY 1, 2
+),
+srec AS (
+  SELECT si.doc_a, si.doc_b,
+         CAST(si.in_n AS DOUBLE) / (sa.n + sb.n - si.in_n) AS jaccard
+  FROM satinter si
+  JOIN stats sa ON sa.doc_id = si.doc_a
+  JOIN stats sb ON sb.doc_id = si.doc_b
+  WHERE CAST(si.in_n AS DOUBLE) / (sa.n + sb.n - si.in_n)
+        >= {_JACCARD_THRESHOLD}
 )
-SELECT s.doc_a, s.doc_b,
-       CAST(s.ir + COALESCE(i.ic, 0) AS DOUBLE)
-         / (s.na + s.nb - s.ir - COALESCE(i.ic, 0)) AS jaccard
-FROM surv s
-LEFT JOIN ic i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
-WHERE CAST(s.ir + COALESCE(i.ic, 0) AS DOUBLE)
-      / (s.na + s.nb - s.ir - COALESCE(i.ic, 0)) >= {_JACCARD_THRESHOLD}
+SELECT * FROM base UNION ALL SELECT * FROM srec
 """
 
 
@@ -977,7 +1048,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are admitted by an exact UPPER BOUND and the few
     survivors' common intersection is counted exactly — so values
     equal the exhaustive join for every pair sharing ≥1 rare shingle.
-    The count() is one bounded driver scalar, the price of a
+    Pairs with NO rare shared shingle — the >cap fuzzy families exact
+    hashing can't catch — are recovered by a saturated-doc MinHash
+    band pass (ADVICE r8 cure; operators/dedup.py docstring), its
+    construction replayed hash-for-hash in the oracle's sat*/srec
+    CTEs. The count() is one bounded driver scalar, the price of a
     self-sizing knob (same trade as embedding_neardup's derived
     n_planes)."""
     from .operators.dedup import ngram_jaccard_pairs
@@ -3549,7 +3624,8 @@ def neardup_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     density — so at scale consumers choose this per-hub-capped count: a
     deterministic LOWER bound whose wedge fan-out is O(m · cap) no
     matter how dense the duplicate cliques get. The cap keeps each
-    oriented source's first {cap} out-neighbors by id, so the result is
+    oriented source's first _TRIANGLE_HUB_CAP (64) out-neighbors by
+    id, so the result is
     partition-layout-independent and the oracle reproduces it exactly
     (hash gate, not a weak rows-only check); the accuracy bound vs the
     exact count is pinned in pytest the way HLL/IVF recall is."""
@@ -6726,6 +6802,33 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ordering gained the (ts_s, event_id) tie-break in round 7 (ADVICE r6
 #: medium) — dropped so the NEW deterministic semantics rotate back
 #: into the driver window.
+#: names with a green row in CORRECTNESS_r07.json (the driver's round-7
+#: newest-50 window: 49 green + uv_sketch_rollup's by-design rows-only
+#: row). dedup_ngram_jaccard, neardup_triangles and
+#: neardup_triangles_capped were green there but gained the
+#: saturated-family MinHash recovery pass in round 8 (ADVICE r7
+#: medium) — dropped so the NEW semantics (and the reworked oracle
+#: CTE chain all three share) rotate back into the driver window.
+_R07_DRIVER_VERIFIED = (
+    "scd2_dimension", "sequence_pack",
+    "txtable_change_feed", "txtable_version_diff", "knn_join",
+    "semantic_dedup_clusters", "embedding_neardup", "dedup_keep_best",
+    "uv_sketch_rollup", "txtable_merge_snapshot", "line_dedup",
+    "concurrent_sessions", "segment_revenue_salted",
+    "quality_weighted_sample", "signups_hourly_gapfilled",
+    "incremental_dedup", "zorder_layout", "setjoin_allpairs",
+    "semantic_diversity_sample", "temperature_mix_weights",
+    "histogram_quantiles", "price_band_revenue", "lm_bigram_surprisal",
+    "context_chunks", "paragraph_dedup", "ann_lsh_topk",
+    "customer_spend_deciles", "discount_quantity_corr", "bilateral_trade",
+    "funnel_steps", "label_centroid_report", "tokenizer_fertility",
+    "lang_id_confusion", "revenue_trend", "data_quality_report",
+    "ab_test_conversion", "rfm_segments", "heavy_hitters_cms",
+    "curation_pipeline", "media_resize_plan", "media_byte_histogram",
+    "session_paths", "training_shards", "substring_containment",
+    "pii_scan", "domain_rebalance_sample", "lexical_diversity",
+)
+
 _R06_DRIVER_VERIFIED = (
     "sequence_pack", "txtable_change_feed", "txtable_version_diff",
     "knn_join", "semantic_dedup_clusters", "embedding_neardup",
@@ -6856,12 +6959,12 @@ def _reorder_for_driver() -> None:
     # never the queries added this round.
     verified = (set(_R02_DRIVER_VERIFIED) | set(_R03_DRIVER_VERIFIED)
                 | set(_R04_DRIVER_VERIFIED) | set(_R05_DRIVER_VERIFIED)
-                | set(_R06_DRIVER_VERIFIED))
+                | set(_R06_DRIVER_VERIFIED) | set(_R07_DRIVER_VERIFIED))
     fresh = [n for n in QUERIES if n not in verified][::-1]
     seen = set(fresh)
     ordered_verified = []
-    for tup in (_R06_DRIVER_VERIFIED, _R05_DRIVER_VERIFIED,
-                _R04_DRIVER_VERIFIED,
+    for tup in (_R07_DRIVER_VERIFIED, _R06_DRIVER_VERIFIED,
+                _R05_DRIVER_VERIFIED, _R04_DRIVER_VERIFIED,
                 _R03_DRIVER_VERIFIED, _R02_DRIVER_VERIFIED):
         for n in tup:
             if n in QUERIES and n not in seen:

@@ -790,10 +790,18 @@ class TxTable:
             for fn in os.listdir(d):
                 rel = os.path.join(commit_dir, fn)
                 full = os.path.join(d, fn)
-                if (fn.endswith(".parquet") and rel not in live
-                        and os.path.getmtime(full) <= cutoff):
-                    os.remove(full)
-                    n += 1
+                if fn.endswith(".parquet") and rel not in live:
+                    # two vacuums racing (or a checkpoint writer's own
+                    # cleanup) can remove the artifact between listdir
+                    # and here — a vanished file means the other party
+                    # already handled it, same tolerance _replay gives
+                    # readers
+                    try:
+                        if os.path.getmtime(full) <= cutoff:
+                            os.remove(full)
+                            n += 1
+                    except FileNotFoundError:
+                        pass
         ck_v = self._latest_checkpoint_le(None)
         if ck_v is not None:
             # the SAME age guard as data files (ADVICE r6): a reader
@@ -803,14 +811,20 @@ class TxTable:
             # never sees a manifest vanish mid-replay
             for i in self.versions():
                 p = self._manifest_path(i)
-                if i < ck_v and os.path.getmtime(p) <= cutoff:
-                    os.remove(p)
+                try:
+                    if i < ck_v and os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass  # a racing vacuum already truncated it
             # superseded checkpoints reference vacuumed data files —
             # drop them so every retained log artifact is replayable
             for c in self._checkpoint_versions():
                 p = self._checkpoint_path(c)
-                if c < ck_v and os.path.getmtime(p) <= cutoff:
-                    os.remove(p)
+                try:
+                    if c < ck_v and os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
         return n
 
 
