@@ -565,6 +565,35 @@ def test_cdc_maintained_ivf_index_parity(spark, sf_dir, tmp_path):
     assert moved[0]["cell"] == (old_cell + 1) % len(centroids), \
         (old_cell, moved[0]["cell"])
 
+    # FROZEN-INDEX SERVING (VERDICT r7 #1/#3): registering the
+    # maintained index under the registered query's catalog name makes
+    # ann_ivf_topk probe it directly — no KMeans, no corpus
+    # assignment — and the result must equal probing the maintained
+    # table with the same derived width. ivf_index is monkeypatched to
+    # blow up so any training attempt fails loudly.
+    import user_behavior_analysis_spark.operators.similarity as sim
+    from user_behavior_analysis_spark.queries import (
+        QUERIES, _ivf_n_probe)
+    name = f"embeddings:{sf_dir}"
+    try:
+        sim.register_ivf_index(name, centroids, idx.read)
+        real_ivf_index = sim.ivf_index
+        sim.ivf_index = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("frozen-index path must not train"))
+        try:
+            served = sorted(map(tuple,
+                QUERIES["ann_ivf_topk"](spark, sf_dir).collect()))
+        finally:
+            sim.ivf_index = real_ivf_index
+        expect = sorted(map(tuple, ivf_probe_topk(
+            queries, idx.read(), centroids, k=5,
+            n_probe=_ivf_n_probe(len(centroids)))
+            .select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
+                    "rank").collect()))
+        assert served == expect
+    finally:
+        sim.ANN_INDEX_CATALOG.pop(name, None)
+
 
 def test_read_event_csv_drops_dirty_rows(spark, tmp_path):
     """P1/P2 parse policy (HotItems.scala:57-68): unparseable rows null
@@ -1480,8 +1509,12 @@ def test_ann_recall_artifact_meets_thresholds():
     # and the median the registered whole-set bound.
     dist = art["distribution"]
     assert dist["n_queries"] >= 200
+    # r8+ artifacts carry their own worst-decile floor (0.6 — VERDICT
+    # r7 #2: derived IVF probe width + radius-1 LSH multiprobe); the
+    # r5-r7 artifacts pre-date the multiprobe cure and keep 0.2.
+    p10_floor = art.get("p10_floor", 0.2)
     for name, bound in art["thresholds"].items():
-        assert dist[name]["p10"] >= 0.2, (name, dist[name])
+        assert dist[name]["p10"] >= p10_floor, (name, dist[name])
         assert dist[name]["median"] >= bound, (name, dist[name])
     # the n_probe tuning curve must be monotone-nondecreasing in recall
     for fam, pts in art["n_probe_curve"].items():
@@ -2223,3 +2256,44 @@ def test_replace_where_null_predicate_rows_refused(spark, tmp_path):
     bad = spark.createDataFrame([(1, None)], "k long, v string")
     with _pytest.raises(ValueError, match="outside predicate"):
         t.replace_where("v = 'a'", bad)
+
+
+def test_media_neardup_planted_duplicates(spark):
+    """media_neardup_topk semantics (VERDICT r7 #5): an exact byte
+    copy must surface as its original's top match with cos = 1.0 and
+    exact_dup = True (identical histograms collide in EVERY LSH
+    table); a one-byte perturbation must surface as a near-dup
+    (cos > 0.999, exact_dup = False); every doc gets its top-k row
+    set even on a corpus where histograms are near-proportional."""
+    from user_behavior_analysis_spark.operators.multimodal import (
+        media_neardup_topk)
+    # nibble bins collapse a-o/p-z into two bins, so distinctness needs
+    # varied RATIOS: per-doc runs of letters from both halves plus
+    # varied digit/punct counts keep every base histogram direction
+    # unique (no accidental cos = 1.0 ties with the planted copy)
+    base = [(i, f"document {i} :" + "b" * (3 + (i * 7) % 19)
+                + "q" * (2 + (i * 5) % 13) + "." * (1 + i % 5) + " end")
+            for i in range(40)]
+    rows = base + [
+        (100, base[0][1]),                   # exact byte copy of doc 0
+        (101, base[1][1].replace("doc", "dok", 1)),  # 1-byte fuzz of 1
+    ]
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+               .select("doc_id", F.encode("text", "UTF-8").alias("p")))
+    got = media_neardup_topk(df, "doc_id", "p", k=3).toPandas()
+    by_a = {a: g.sort_values("rn") for a, g in got.groupby("doc_a")}
+    # every doc has rows (probe side is never capped away)
+    assert set(by_a) == {r[0] for r in rows}
+    top100 = by_a[100].iloc[0]
+    assert top100["doc_b"] == 0 and top100["cos"] == 1.0 \
+        and bool(top100["exact_dup"])
+    # the copy sits in doc 0's top set at cos 1.0 (other docs may tie
+    # at exactly 1.0 when their histograms are proportional — the
+    # doc_b tie-break then ranks them first; membership is the pin)
+    g0 = by_a[0]
+    hit0 = g0[g0["doc_b"] == 100]
+    assert len(hit0) == 1 and hit0.iloc[0]["cos"] == 1.0
+    g101 = by_a[101]
+    hit = g101[g101["doc_b"] == 1]
+    assert len(hit) == 1 and float(hit.iloc[0]["cos"]) > 0.999 \
+        and not bool(hit.iloc[0]["exact_dup"])

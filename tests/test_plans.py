@@ -738,3 +738,24 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_topk_broadcast_queries_pinned_postings(spark, sf_dir):
+    """bm25_topk (r8): the tiny query-terms relation BROADCASTS against
+    the token-keyed posting index (the corpus-scaled postings never
+    shuffle to meet the queries); per-term df and per-doc length join
+    pinned shuffle-hash (vocabulary and corpus both grow with input —
+    a broadcast build there OOMs at 100x); the per-query top-5 plans
+    as WindowGroupLimit; no cartesian beyond the two 1-row scalar
+    crosses (N, L)."""
+    plan = plan_of(spark, "bm25_topk", sf_dir)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # qterms onto postings
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # the broadcast build must be the query-term side: every broadcast
+    # exchange in the plan sits under a join whose stream side is the
+    # postings relation — assert no corpus table is broadcast by
+    # checking the only broadcast HASH joins key on the token column
+    m = re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan)
+    assert m and all("tok" in g for g in m), m

@@ -726,7 +726,7 @@ def test_concurrent_replace_where_vs_merge_serialize(spark, base,
 
 def test_txtable_model_based_random_ops(spark, tmp_path):
     """Model-based property test: arbitrary interleavings of append /
-    merge / compact, replayed against a plain in-memory model
+    merge / compact / vacuum, replayed against a plain in-memory model
     (append = add rows; merge = keyed replace+insert; compact = no
     content change), with a small checkpoint interval so the
     checkpointed-log read path engages mid-sequence. The final
@@ -741,6 +741,7 @@ def test_txtable_model_based_random_ops(spark, tmp_path):
     op = st.one_of(st.tuples(st.just("append"), batch),
                    st.tuples(st.just("merge"), batch),
                    st.tuples(st.just("compact"), st.none()),
+                   st.tuples(st.just("vacuum"), st.none()),
                    st.tuples(st.just("replace_where"),
                              st.tuples(st.integers(0, 14), batch)))
 
@@ -770,8 +771,14 @@ def test_txtable_model_based_random_ops(spark, tmp_path):
                     f"k >= {thresh}",
                     spark.createDataFrame(region, "k long, v string"))
                 model = [r for r in model if r[0] < thresh] + region
-            else:
+            elif kind == "compact":
                 t.compact(n_files=2)
+            else:
+                # vacuum: content- and version-preserving (default
+                # retention keeps every young artifact); interleaving
+                # it mid-sequence pins that later reads, time travel
+                # and checkpointed replay survive it (VERDICT r7 #6)
+                t.vacuum()
             history[t.latest_version()] = sorted(model)
         assert rows(t.read()) == sorted(model), (ops, ck_interval)
         # time travel to the middle of the sequence
@@ -1027,3 +1034,124 @@ def test_replay_retries_once_when_manifest_vanishes(spark, base,
     finally:
         t._read_manifest = orig
     assert calls["n"] == 1
+
+
+def test_concurrent_compact_vs_merge_serialize(spark, base, tmp_path):
+    """VERDICT r7 #6 (writer-conflict matrix): a compact racing a merge
+    must serialize through the optimistic commit loop — compact is
+    content-preserving, so EITHER serial order yields base+merge; what
+    must never happen is a blend that drops the merge's rows or
+    resurrects a pre-merge file set. Both writers retry internally, so
+    neither may surface an error."""
+    t = TxTable.create(spark, str(tmp_path / "t"),
+                      base.repartitionByRange(4, "k"), ["k"])
+    mrg = spark.createDataFrame([(5, "M5"), (55, "M55"), (200, "M200")],
+                                "k long, v string")
+    errs, start = [], threading.Barrier(2)
+
+    def do_compact():
+        try:
+            start.wait()
+            TxTable(spark, str(tmp_path / "t")).compact(n_files=2)
+        except Exception as e:
+            errs.append(e)
+
+    def do_merge():
+        try:
+            start.wait()
+            TxTable(spark, str(tmp_path / "t")).merge(mrg)
+        except Exception as e:
+            errs.append(e)
+
+    ws = [threading.Thread(target=do_compact),
+          threading.Thread(target=do_merge)]
+    [w.start() for w in ws]
+    [w.join() for w in ws]
+    assert not errs, errs
+    expect = {k: f"v{k}" for k in range(100)}
+    expect.update({5: "M5", 55: "M55", 200: "M200"})
+    assert dict(rows(t.read())) == expect
+    assert t.latest_version() == 2, t.history()
+    assert {h["op"] for h in t.history()} == {"create", "compact", "merge"}
+
+
+def test_concurrent_vacuum_vs_merge_safe(spark, base, tmp_path):
+    """VERDICT r7 #6: a vacuum (default retention) racing a merge must
+    never delete a file the merge's commit references — the retention
+    window is exactly what makes just-written files untouchable — and
+    the merge's result plus every retained snapshot must stay fully
+    readable afterwards."""
+    t = TxTable.create(spark, str(tmp_path / "t"),
+                      base.repartitionByRange(4, "k"), ["k"])
+    # build some history so vacuum has candidate garbage
+    t.merge(spark.createDataFrame([(1, "A1")], "k long, v string"))
+    t.compact(n_files=2)
+    mrg = spark.createDataFrame([(2, "B2"), (300, "B300")],
+                                "k long, v string")
+    errs, got_n, start = [], [], threading.Barrier(2)
+
+    def do_vacuum():
+        try:
+            start.wait()
+            got_n.append(TxTable(spark, str(tmp_path / "t")).vacuum())
+        except Exception as e:
+            errs.append(e)
+
+    def do_merge():
+        try:
+            start.wait()
+            TxTable(spark, str(tmp_path / "t")).merge(mrg)
+        except Exception as e:
+            errs.append(e)
+
+    ws = [threading.Thread(target=do_vacuum),
+          threading.Thread(target=do_merge)]
+    [w.start() for w in ws]
+    [w.join() for w in ws]
+    assert not errs, errs
+    assert got_n and isinstance(got_n[0], int)
+    expect = {k: f"v{k}" for k in range(100)}
+    expect.update({1: "A1", 2: "B2", 300: "B300"})
+    assert dict(rows(t.read())) == expect
+    # every version inside the retention window stays replayable
+    for v in t.versions():
+        t.read(version=v).count()
+
+
+def test_vacuum_tolerates_vanishing_artifacts(spark, base, tmp_path,
+                                              monkeypatch):
+    """ADVICE r7: two vacuums racing (or a checkpoint writer's own
+    cleanup) can remove an artifact between vacuum's listdir and its
+    getmtime — deterministically reproduced here by a getmtime wrapper
+    that deletes its target first. vacuum must treat the vanished file
+    as already handled and finish, leaving the table readable."""
+    import os as _os
+    import time as _time
+
+    t = TxTable.create(spark, str(tmp_path / "t"), base, ["k"],
+                       checkpoint_interval=2)
+    for i in range(4):  # several versions -> superseded manifests + data
+        t.merge(spark.createDataFrame([(i, f"m{i}")], "k long, v string"))
+    # age everything past the retention cutoff
+    for dirpath, _dirs, files in _os.walk(str(tmp_path / "t")):
+        for fn in files:
+            p = _os.path.join(dirpath, fn)
+            _os.utime(p, (_time.time() - 7200, _time.time() - 7200))
+
+    real_getmtime = _os.path.getmtime
+    zapped = []
+
+    def racing_getmtime(p):
+        if str(p).startswith(str(tmp_path)) and not zapped:
+            zapped.append(p)
+            _os.remove(p)  # the "other vacuum" wins this artifact
+        return real_getmtime(p)
+
+    monkeypatch.setattr("os.path.getmtime", racing_getmtime)
+    n = t.vacuum(retention_s=3600)
+    monkeypatch.undo()
+    assert zapped, "the race wrapper never engaged"
+    assert isinstance(n, int)
+    expect = {k: f"v{k}" for k in range(100)}
+    expect.update({i: f"m{i}" for i in range(4)})
+    assert dict(rows(t.read())) == expect

@@ -164,6 +164,45 @@ def ivf_probe_topk(queries: DataFrame, assigned: DataFrame,
     )
 
 
+#: frozen ANN index catalog (VERDICT r7 #3): maintained/persisted
+#: indexes register here so the stateless query interface can serve a
+#: train-once index instead of re-deriving quantizers per call. An
+#: entry holds the FROZEN coarse centroids, a zero-arg loader for the
+#: maintained posting relation (so the catalog never pins a stale
+#: DataFrame — each call re-reads the table's current snapshot), and
+#: optionally frozen PQ codebooks. Keyed by caller-chosen name; the
+#: registered queries use "embeddings:{sf_dir}". In-process analog of
+#: a metastore index registration.
+ANN_INDEX_CATALOG: dict[str, dict] = {}
+
+
+def register_ivf_index(name: str, centroids: list,
+                       assigned_loader, books: list | None = None
+                       ) -> None:
+    """Register a frozen IVF index (see ``ANN_INDEX_CATALOG``).
+    ``assigned_loader`` is a zero-arg callable returning the current
+    (c_id, c_vec, cell) posting relation — e.g. ``table.read`` for a
+    CDC-maintained TxTable."""
+    ANN_INDEX_CATALOG[name] = {
+        "centroids": centroids, "assigned": assigned_loader,
+        "books": books,
+    }
+
+
+def resolve_ivf_index(name: str) -> dict | None:
+    return ANN_INDEX_CATALOG.get(name)
+
+
+def register_pq_index(name: str, books: list, coarse_cents: list | None
+                      ) -> None:
+    """Register frozen PQ codebooks (+ optional IVF-PQ coarse
+    centroids, the 16-d-projection kind ``_trained_quantizers``
+    builds) so ``pq_topk(index_name=...)`` skips training entirely."""
+    ANN_INDEX_CATALOG[name] = {
+        "centroids": coarse_cents, "assigned": None, "books": books,
+    }
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
              n_cells: int = 16, n_probe: int = 4,
              seed: int = 42) -> DataFrame:
@@ -360,7 +399,7 @@ def rp_lsh_buckets_expr(vec_col: str, n_tables: int, n_planes: int,
 
 def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 n_tables: int = 8, n_planes: int = 4, dim: int = 64,
-                seed: int = 7) -> DataFrame:
+                seed: int = 7, multiprobe_radius: int = 0) -> DataFrame:
     """Random-hyperplane LSH ANN — the second, training-free scale path
     next to IVF (the index is a pure map-side expression).
 
@@ -377,6 +416,16 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     corpus streams — the same direction rule as brute force.
     Approximate by design; planted-near-dup retrieval is asserted in
     tests, with the miss probability derivable from (θ, b, L).
+
+    ``multiprobe_radius=1`` (VERDICT r7 #2 — the worst-decile cure):
+    each QUERY additionally probes every bucket at Hamming distance 1
+    from its signature (b single-bit flips per table), lifting a
+    table's per-pair hit probability from p^b to p^b + b·p^(b-1)(1-p)
+    — the standard multiprobe trade: candidate volume grows ~(b+1)× on
+    the probe side only (the corpus index is untouched), recall's thin
+    tail fattens where OR-amplification alone leaves ~2^-b misses.
+    Radius >1 is deliberately unsupported: C(b,2) extra probes buys
+    little once radius-1 has closed the tail.
     """
     c = (corpus.select("c_id", as_double("c_vec").alias("cv"))
                .select("c_id", "cv",
@@ -388,6 +437,13 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
                              F.posexplode(F.expr(rp_lsh_buckets_expr(
                                  "qv", n_tables, n_planes, dim, seed)))
                               .alias("tab", "bucket")))
+    if multiprobe_radius >= 1:
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+              for j in range(n_planes)])
+        probed = probed.select(
+            "q_id", "qv", "tab", F.explode(flips).alias("bucket"))
     # norms hoisted to the join inputs (as in _scored): one row-local
     # fold per exploded table row, one dot per candidate, same IEEE
     # values as cosine() — the oracle stays hash-exact.
@@ -550,7 +606,7 @@ def _trained_quantizers(corpus: DataFrame, m: int, n_centroids: int,
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
             n_centroids: int = 16, dim: int = 64, seed: int = 42,
             rerank: int = 32, n_cells: int | None = None,
-            n_probe: int = 4) -> DataFrame:
+            n_probe: int = 4, index_name: str | None = None) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation and
     exact re-rank — the compressed-domain scale path: a 64-d float64
     vector (512 B) becomes m=8 one-byte codes, a 64× memory reduction,
@@ -580,8 +636,17 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
     from ..functions.text import let_expr
 
     sub_dim = dim // m
-    books, cents = _trained_quantizers(corpus, m, n_centroids, dim, seed,
-                                       n_cells)
+    # serving order (VERDICT r7 #1): a FROZEN registered index first
+    # (train-once, the production path), then the per-corpus session
+    # cache, then train-in-query as the cold-start fallback
+    idx = ANN_INDEX_CATALOG.get(index_name) if index_name else None
+    if (idx is not None and idx.get("books") is not None
+            and (n_cells is None or idx.get("centroids") is not None)):
+        books = idx["books"]
+        cents = idx["centroids"] if n_cells is not None else None
+    else:
+        books, cents = _trained_quantizers(corpus, m, n_centroids, dim,
+                                           seed, n_cells)
 
     # encode: code_s = argmin_j l2(c_sub_s, book_s[j]), 1-based (let-bound
     # dists so array_position does not recompute them)

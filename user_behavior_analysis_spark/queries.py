@@ -2123,19 +2123,45 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", keep.alias("keep"), reasons.alias("reasons"))
 
 
+#: derived IVF probe width (VERDICT r7 #2): on quasi-random corpora —
+#: this dataset's embeddings, the adversarial case for any cell
+#: pruner — true neighbors spread uniformly over cells, so recall@k is
+#: ~Binomial(k, n_probe/n_cells); probing 3/4 of the cells is the
+#: smallest width whose worst decile clears 0.6 at k=5 (the r7 curve:
+#: p10 = 0.4 at 4/8, 1.0 at 8/8). A clustered production corpus reads
+#: its own measured curve off the maintained index instead.
+_IVF_N_CELLS = 8
+
+
+def _ivf_n_probe(n_cells: int) -> int:
+    return max(4, (3 * n_cells + 3) // 4)
+
+
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a TRAINED coarse quantizer (KMeans centroids,
-    multi-probe) — the scale path when no precomputed block exists.
-    Rows-only check (KMeans is not SQL-reproducible); recall against
-    brute force is asserted in tests/test_operators.py."""
-    from .operators.similarity import ivf_topk
+    """IVF ANN over a TRAINED coarse quantizer. Serving order (VERDICT
+    r7 #1/#3): a FROZEN index registered under "embeddings:{sf_dir}"
+    (the CDC-maintained TxTable path — ivf_maintenance_stream
+    registers it) is probed directly, skipping both training and
+    corpus assignment; otherwise train-in-query (KMeans), the
+    cold-start path. Rows-only check (KMeans is not SQL-reproducible);
+    recall against brute force is asserted in tests/test_operators.py,
+    worst-decile distributions in scripts/ann_recall.py."""
+    from .operators.similarity import (ivf_probe_topk, ivf_topk,
+                                       resolve_ivf_index)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    c = emb.select(F.col("vec_id").alias("c_id"),
-                   F.col("embedding").alias("c_vec"))
-    out = ivf_topk(q, c, k=5, n_cells=8, n_probe=4)
+    idx = resolve_ivf_index(f"embeddings:{sf_dir}")
+    if idx is not None:
+        out = ivf_probe_topk(q, idx["assigned"](), idx["centroids"],
+                             k=5,
+                             n_probe=_ivf_n_probe(len(idx["centroids"])))
+    else:
+        c = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+        out = ivf_topk(q, c, k=5, n_cells=_IVF_N_CELLS,
+                       n_probe=_ivf_n_probe(_IVF_N_CELLS))
     return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
                       "rank")
 
@@ -2767,10 +2793,18 @@ WITH pw AS (
 ), bkt AS (
   SELECT vec_id, tab, CAST(SUM(bit * (1 << p)) AS INTEGER) AS bucket
   FROM sig GROUP BY vec_id, tab
+), probe AS (
+  -- radius-1 multiprobe (VERDICT r7 #2): the query's own bucket plus
+  -- every single-bit flip of its 4-bit signature, per table
+  SELECT vec_id, tab, bucket FROM bkt WHERE vec_id < 10
+  UNION
+  SELECT b.vec_id, b.tab,
+         CAST(xor(b.bucket, (1 << f.range)) AS INTEGER) AS bucket
+  FROM bkt b CROSS JOIN range(4) f WHERE b.vec_id < 10
 ), cand AS (
   SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
-  FROM bkt q JOIN bkt c ON q.tab = c.tab AND q.bucket = c.bucket
-  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  FROM probe q JOIN bkt c ON q.tab = c.tab AND q.bucket = c.bucket
+  WHERE c.vec_id <> q.vec_id
 ), scored AS (
   SELECT cand.q_id, cand.c_id,
          {_cos_sql('qv.e', 'cv.e')} AS cos
@@ -2796,14 +2830,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of (seed, table, plane, dim) and both engines fold dot
     products left-to-right — the WHOLE index-build + probe + re-rank
     pipeline is reproduced in SQL and hash-checked, upgrading this from
-    rows-only to fully oracled."""
+    rows-only to fully oracled. Radius-1 multiprobe on the query side
+    (r8, VERDICT r7 #2) fattens the worst-decile recall tail — the
+    probe CTE mirrors the bit flips."""
     from .operators.similarity import rp_lsh_topk
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("c_id"),
                    F.col("embedding").alias("c_vec"))
-    out = rp_lsh_topk(q, c, k=5)
+    out = rp_lsh_topk(q, c, k=5, multiprobe_radius=1)
     return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
                       "rank")
 
@@ -3364,6 +3400,138 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rn").cast("int").alias("rn"))
 
 
+# --- BM25 retrieval (lexical twin of knn_join — VERDICT r7 #4) -------------
+
+#: BM25 constants k1=1.2, b=0.75 as exact rationals (6/5, 3/4): with
+#: avgdl = L/N the saturation term tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+#: clears denominators to 22·L·tf / (10·L·tf + 3·L + 9·N·dl) — pure
+#: integers. idf is the log-free Robertson rational core
+#: (N-df+0.5)/(df+0.5) = (2N-2df+1)/(2df+1) (the tfidf_top_terms
+#: precedent: a libm log would hang cross-engine equality on the last
+#: ulp). Scores are additionally divided by N — a per-corpus constant
+#: that preserves ranking and keeps the scaled integer sum inside
+#: BIGINT at any corpus size (s_t ≤ ~1.5e9, terms per query ≤ dl_q).
+_BM25_N_QUERIES, _BM25_K = 8, 5
+
+_BM25_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), nn AS (
+  SELECT COUNT(*) AS n FROM documents
+), lt AS (
+  SELECT SUM(tf) AS lt FROM tf
+), qt AS (
+  SELECT doc_id AS q_id, tok FROM tf WHERE doc_id < {_BM25_N_QUERIES}
+), hits AS (
+  SELECT q.q_id, t.doc_id,
+         CAST((CAST(2 * nn.n - 2 * d.df + 1 AS HUGEINT) * 22 * lt.lt
+               * t.tf * 1000000000)
+              // (CAST(2 * d.df + 1 AS HUGEINT)
+                  * (10 * lt.lt * t.tf + 3 * lt.lt + 9 * nn.n * dd.dl)
+                  * nn.n) AS BIGINT) AS s
+  FROM qt q
+  JOIN dfreq d ON d.tok = q.tok
+  JOIN tf t ON t.tok = q.tok AND t.doc_id <> q.q_id
+  JOIN dl dd ON dd.doc_id = t.doc_id
+  CROSS JOIN nn CROSS JOIN lt
+), sc AS (
+  -- SUM(BIGINT) is HUGEINT in DuckDB -> float64 in pandas; the sum is
+  -- bounded (see the constants note), so BIGINT is the honest type
+  SELECT q_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_scaled
+  FROM hits GROUP BY q_id, doc_id
+), rk AS (
+  SELECT q_id, doc_id, score_scaled,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score_scaled DESC, doc_id) AS rn
+  FROM sc
+)
+SELECT q_id, doc_id, score_scaled, CAST(rn AS INTEGER) AS rn
+FROM rk WHERE rn <= {_BM25_K}
+"""
+
+
+@query("bm25_topk", _BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query BM25 top-5 over the document corpus — the LEXICAL twin
+    of ``knn_join`` for hard-negative mining and contamination triage
+    (query docs = the first 8 documents, query terms = their distinct
+    tokens; standard short-query BM25 ignores within-query term
+    frequency).
+
+    EXACT integer arithmetic end-to-end (see the constants note above
+    ``_BM25_ORACLE``): each (query, doc, term) contribution is one
+    integer floor-division scaled by 1e9, so the per-pair SUM is
+    order-independent and bit-identical across engines and shuffle
+    orders — no float accumulation anywhere. There is deliberately NO
+    stopword df-gate: the rational Robertson idf is strictly positive
+    and decays to ~1/2 at df=N, so ubiquitous terms contribute little
+    but never flip scores negative (the BM25 negative-idf pathology),
+    and on small-vocabulary corpora a gate would empty the query.
+
+    100 TB shape: the query-terms relation is tiny (queries ×
+    query-length) and BROADCAST against the token-keyed posting index,
+    so the corpus-scaled postings never shuffle to meet the queries;
+    per-term df and per-doc length join in pinned shuffle-hash
+    (vocabulary and corpus both grow — a broadcast build would be the
+    shipping_priority mistake); the per-(q,d) partial sums combine
+    map-side, and the per-query top-5 rides the WindowGroupLimit
+    funnel. Posting fan-out is Σ_{{t∈q}} df(t) — exact BM25's inherent
+    cost (Lucene pays the same scan; WAND-style score-bound pruning is
+    the next rung if queries ever number in the millions).
+    DECIMAL(38,0) widening before the multiplies (the collocation_pmi
+    rationale): numerator ≈ 2N·22·L·tf·1e9 ≈ 4e34 at 100 TB, past
+    BIGINT but inside 38 digits in both engines."""
+    from .functions.text import tokens
+    from .operators.topn import top_n_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+              .where(F.col("tok") != "")
+              .groupBy("doc_id", "tok")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    lt = tf.agg(F.sum("tf").alias("lt"))
+    qt = (tf.where(F.col("doc_id") < _BM25_N_QUERIES)
+            .select(F.col("doc_id").alias("q_id"),
+                    F.col("tok").alias("q_tok")))
+    # query terms + their df + the two corpus scalars: still a tiny
+    # relation (queries × query-length rows), broadcast-able by design
+    qterms = (qt.join(dfreq.hint("shuffle_hash"),
+                      qt.q_tok == dfreq.tok)
+                .crossJoin(F.broadcast(n))
+                .crossJoin(F.broadcast(lt))
+                .select("q_id", "q_tok", "df", "n", "lt"))
+    postings = tf.join(dl.hint("shuffle_hash"), "doc_id")
+    s = F.expr(
+        "CAST((CAST(2 * n - 2 * df + 1 AS DECIMAL(38,0)) * 22"
+        " * CAST(lt AS DECIMAL(38,0)) * tf * 1000000000)"
+        " div (CAST(2 * df + 1 AS DECIMAL(38,0))"
+        "      * (CAST(10 AS DECIMAL(38,0)) * lt * tf + 3 * lt"
+        "         + CAST(9 AS DECIMAL(38,0)) * n * dl)"
+        "      * n) AS BIGINT)")
+    sc = (postings.join(F.broadcast(qterms),
+                        (postings.tok == qterms.q_tok)
+                        & (postings.doc_id != qterms.q_id))
+                  .select("q_id", "doc_id", s.alias("s"))
+                  .groupBy("q_id", "doc_id")
+                  .agg(F.sum("s").alias("score_scaled")))
+    top = top_n_per_group(sc, ["q_id"],
+                          [F.desc("score_scaled"), F.asc("doc_id")],
+                          n=_BM25_K, rank_col="rn")
+    return top.select("q_id", "doc_id", "score_scaled",
+                      F.col("rn").cast("int").alias("rn"))
+
+
 _CONTAMINATION_ORACLE = rf"""
 WITH fp AS ({_ROLLING_FP_ORACLE}
 ), keepfp AS (
@@ -3535,7 +3703,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(F.col("vec_id").alias("c_id"),
                    F.col("embedding").alias("c_vec"))
     out = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=256,
-                  n_cells=16, n_probe=10)
+                  n_cells=16, n_probe=10,
+                  index_name=f"embeddings_pq:{sf_dir}")
     return out.select("q_id", "c_id", F.round("cos", 3).alias("cos_r"),
                       "rank")
 
@@ -5024,6 +5193,100 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = extract_media_meta(docs, "doc_id", "payload", media_type="fake")
     return meta.select("doc_id", "width", "height",
                        *resize_dims("width", "height", target=224))
+
+
+# --- Multimodal: codec-free near-dup over byte histograms (r8) --------------
+
+_MEDIA_ND_K, _MEDIA_ND_TABLES, _MEDIA_ND_PLANES = 3, 4, 8
+_MEDIA_ND_CAP, _MEDIA_ND_SEED = 64, 11
+
+_MEDIA_NEARDUP_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin
+  FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
+), hcnt AS (
+  SELECT doc_id, bin, COUNT(*) AS cnt FROM ch GROUP BY doc_id, bin
+), hvec AS (
+  SELECT doc_id, list(CAST(COALESCE(cnt, 0) AS DOUBLE) ORDER BY b) AS hv
+  FROM (SELECT d.doc_id, b.range AS b, h.cnt
+        FROM (SELECT DISTINCT doc_id FROM hcnt) d
+        CROSS JOIN range(16) b
+        LEFT JOIN hcnt h ON h.doc_id = d.doc_id AND h.bin = b.range)
+  GROUP BY doc_id
+), feats AS (
+  SELECT v.doc_id, v.hv,
+         list_sum([v.hv[i] * v.hv[i] FOR i IN range(1, 17)]) AS n2,
+         sha256(d.text) AS sha
+  FROM hvec v JOIN documents d USING (doc_id)
+), pw AS (
+  SELECT t.range AS tab, p.range AS p, dd.range AS d,
+         CAST(('0x' || substr(md5(
+           CAST({_MEDIA_ND_SEED} + 1000 * t.range AS VARCHAR) || '_' ||
+           CAST(p.range AS VARCHAR) || '_' || CAST(dd.range AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+  FROM range({_MEDIA_ND_TABLES}) t CROSS JOIN range({_MEDIA_ND_PLANES}) p
+  CROSS JOIN range(16) dd
+), pl AS (
+  SELECT tab, p, list(CAST(w AS DOUBLE) ORDER BY d) AS wv
+  FROM pw GROUP BY tab, p
+), sig AS (
+  SELECT f.doc_id, pl.tab, pl.p,
+         CASE WHEN list_sum([wv[i] * f.hv[i] FOR i IN range(1, 17)]) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM feats f CROSS JOIN pl
+), bkt AS (
+  SELECT doc_id, tab, CAST(SUM(bit * (1 << p)) AS INTEGER) AS bucket
+  FROM sig GROUP BY doc_id, tab
+), build AS (
+  SELECT doc_id, tab, bucket FROM (
+    SELECT doc_id, tab, bucket,
+           row_number() OVER (PARTITION BY tab, bucket
+                              ORDER BY doc_id) AS rn
+    FROM bkt) WHERE rn <= {_MEDIA_ND_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkt a JOIN build b ON a.tab = b.tab AND a.bucket = b.bucket
+    AND a.doc_id <> b.doc_id
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         list_sum([fa.hv[i] * fb.hv[i] FOR i IN range(1, 17)])
+           / sqrt(fa.n2 * fb.n2) AS cos,
+         fa.sha = fb.sha AS exact_dup
+  FROM cand c JOIN feats fa ON fa.doc_id = c.doc_a
+              JOIN feats fb ON fb.doc_id = c.doc_b
+  WHERE fa.n2 > 0 AND fb.n2 > 0
+), rk AS (
+  SELECT doc_a, doc_b, cos, exact_dup,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY cos DESC, doc_b) AS rn
+  FROM scored
+)
+SELECT doc_a, doc_b, cos, exact_dup, CAST(rn AS INTEGER) AS rn
+FROM rk WHERE rn <= {_MEDIA_ND_K}
+"""
+
+
+@query("media_neardup", _MEDIA_NEARDUP_ORACLE)
+def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free multimodal near-dup (VERDICT r7 #5): per-payload
+    top-3 by byte-histogram cosine with exact byte-dup flags —
+    ``operators/multimodal.py:media_neardup_topk``. Payloads are the
+    utf-8 bytes of text (the media_metadata convention); histograms
+    ride the real mapInPandas Arrow path; LSH blocking, the
+    deterministic build-side bucket cap, and the IEEE-exact cosine are
+    all replayed in the oracle — a fully HASH-checked approximate
+    operator, like ann_lsh_topk. On this single-format corpus the
+    cosine signal is deliberately weak (text byte histograms are
+    near-proportional); the planted-duplicate test pins the semantics
+    the operator exists for."""
+    from .operators.multimodal import media_neardup_topk
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return media_neardup_topk(docs, "doc_id", "payload", k=_MEDIA_ND_K,
+                              n_tables=_MEDIA_ND_TABLES,
+                              n_planes=_MEDIA_ND_PLANES,
+                              bucket_cap=_MEDIA_ND_CAP,
+                              seed=_MEDIA_ND_SEED)
 
 
 # --- Curation: the full prep funnel as one query ----------------------------
@@ -6809,6 +7072,8 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: saturated-family MinHash recovery pass in round 8 (ADVICE r7
 #: medium) — dropped so the NEW semantics (and the reworked oracle
 #: CTE chain all three share) rotate back into the driver window.
+#: ann_lsh_topk likewise dropped from every tuple: round 8 gave it
+#: radius-1 multiprobe (VERDICT r7 #2), changing its candidate set.
 _R07_DRIVER_VERIFIED = (
     "scd2_dimension", "sequence_pack",
     "txtable_change_feed", "txtable_version_diff", "knn_join",
@@ -6819,7 +7084,7 @@ _R07_DRIVER_VERIFIED = (
     "incremental_dedup", "zorder_layout", "setjoin_allpairs",
     "semantic_diversity_sample", "temperature_mix_weights",
     "histogram_quantiles", "price_band_revenue", "lm_bigram_surprisal",
-    "context_chunks", "paragraph_dedup", "ann_lsh_topk",
+    "context_chunks", "paragraph_dedup",
     "customer_spend_deciles", "discount_quantity_corr", "bilateral_trade",
     "funnel_steps", "label_centroid_report", "tokenizer_fertility",
     "lang_id_confusion", "revenue_trend", "data_quality_report",
@@ -6838,7 +7103,7 @@ _R06_DRIVER_VERIFIED = (
     "incremental_dedup", "zorder_layout", "setjoin_allpairs",
     "semantic_diversity_sample", "temperature_mix_weights",
     "histogram_quantiles", "price_band_revenue", "lm_bigram_surprisal",
-    "context_chunks", "paragraph_dedup", "ann_lsh_topk",
+    "context_chunks", "paragraph_dedup",
     "customer_spend_deciles", "discount_quantity_corr", "bilateral_trade",
     "funnel_steps", "label_centroid_report", "tokenizer_fertility",
     "lang_id_confusion", "revenue_trend", "data_quality_report",
@@ -6861,7 +7126,7 @@ _R05_DRIVER_VERIFIED = (
     "setjoin_allpairs", "semantic_diversity_sample",
     "temperature_mix_weights", "histogram_quantiles", "price_band_revenue",
     "lm_bigram_surprisal", "context_chunks", "paragraph_dedup",
-    "ann_lsh_topk", "customer_spend_deciles", "discount_quantity_corr",
+    "customer_spend_deciles", "discount_quantity_corr",
     "bilateral_trade", "funnel_steps", "label_centroid_report",
     "tokenizer_fertility", "lang_id_confusion", "revenue_trend",
     "data_quality_report", "ab_test_conversion", "rfm_segments",
@@ -6883,7 +7148,7 @@ _R04_DRIVER_VERIFIED = (
     "setjoin_allpairs", "semantic_diversity_sample",
     "temperature_mix_weights", "histogram_quantiles", "price_band_revenue",
     "lm_bigram_surprisal", "context_chunks", "paragraph_dedup",
-    "ann_lsh_topk", "customer_spend_deciles", "discount_quantity_corr",
+    "customer_spend_deciles", "discount_quantity_corr",
     "bilateral_trade", "funnel_steps", "label_centroid_report",
     "tokenizer_fertility", "lang_id_confusion", "revenue_trend",
     "data_quality_report", "ab_test_conversion", "rfm_segments",
@@ -6944,7 +7209,9 @@ _R02_DRIVER_VERIFIED = (
     "pricing_summary", "shipping_priority", "local_supplier_volume",
     "revenue_forecast", "order_priority_count", "returned_item_losses",
     "token_stats", "rolling_fingerprints", "promo_revenue", "nation_rollup",
-    "repeat_buyers", "quality_filter", "ann_ivf_topk", "order_value_stats",
+    # ann_ivf_topk verified here in r2 but re-keyed in round 8 (derived
+    # n_probe + frozen-index serving, VERDICT r7 #2/#3) — rotates back.
+    "repeat_buyers", "quality_filter", "order_value_stats",
     "churned_buyers", "late_adopter_customers", "view_purchase_funnel",
     "returns_cube", "big_spender_orders", "day1_retention",
     "event_transitions", "rolling_active_users",

@@ -182,7 +182,8 @@ def rules_gate(table, on, apply_fn):
 def ivf_maintenance_stream(feed: DataFrame, index_table, centroids,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           app: str = "ivf_maint"):
+                           app: str = "ivf_maint",
+                           catalog_name: str | None = None):
     """CDC-MAINTAINED ANN INDEX (round 7): keep an IVF posting table
     current from a change feed instead of rebuilding it per batch job.
     Each micro-batch's vectors are assigned to their nearest FROZEN
@@ -200,10 +201,20 @@ def ivf_maintenance_stream(feed: DataFrame, index_table, centroids,
     (cells × dim multiply-adds per vector), and the MERGE rewrites
     only files whose key range the delta touches.
 
+    With ``catalog_name`` set, the (frozen centroids, table-read
+    loader) pair is registered in ``similarity.ANN_INDEX_CATALOG`` so
+    stateless consumers (the registered ``ann_ivf_topk`` query) serve
+    this maintained index instead of retraining per call (VERDICT r7
+    #1/#3). The loader re-reads the table per call — probes always see
+    the latest committed snapshot, never a pinned DataFrame.
+
     Returns the ``writeStream`` builder (caller adds checkpoint /
     trigger and ``.start()``)."""
-    from ..operators.similarity import ivf_assign
+    from ..operators.similarity import ivf_assign, register_ivf_index
     from ..tables import upsert_sink
+
+    if catalog_name is not None:
+        register_ivf_index(catalog_name, centroids, index_table.read)
 
     assigned = ivf_assign(
         feed.select(F.col(id_col).alias("c_id"),
