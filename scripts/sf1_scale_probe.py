@@ -130,6 +130,12 @@ SUBSET = [
 ]
 
 
+#: any query registered after the r7 list above (r8+: bm25_topk,
+#: media_neardup, ...) joins the probe automatically — full-registry
+#: coverage is the r7 discipline, kept without hand-maintaining names.
+SUBSET += [n for n in QUERIES if n not in SUBSET]
+
+
 def synthesize(spark, out_dir: str) -> None:
     for name, keys in KEYED.items():
         src = load_table(spark, BASE, name)
@@ -146,6 +152,71 @@ def synthesize(spark, out_dir: str) -> None:
                                     F.concat(F.lit("c"), "_copy")))
         rep.drop("_copy").write.mode("overwrite") \
            .parquet(f"{out_dir}/{name}.parquet")
+
+
+def ivf_maint_probe(spark, sf_dir: str, work_dir: str) -> dict:
+    """CDC-maintained IVF pipeline probe (VERDICT r7 #9): train once
+    on a base 2/3 of the embeddings, stream the remaining third
+    through ivf_maintenance_stream (CDC feed -> frozen-centroid assign
+    -> keyed MERGE), then probe the maintained table. Records the
+    train / drain / probe walls and the MERGE prune hit at this
+    domain — the train-once scale story the registered ann_ivf_topk
+    serves via the index catalog."""
+    import shutil
+
+    from user_behavior_analysis_spark.operators.similarity import (
+        ivf_assign, ivf_index, ivf_probe_topk)
+    from user_behavior_analysis_spark.streaming.jobs import (
+        ivf_maintenance_stream)
+    from user_behavior_analysis_spark.tables import TxTable
+    from user_behavior_analysis_spark.tables_cdc import (
+        txtable_changes_stream)
+
+    root = os.path.join(work_dir, "ivfmaint")
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    n = emb.count()
+    row: dict = {"rows": n}
+    base = emb.where(F.col("vec_id") % 3 != 2)
+    delta = emb.where(F.col("vec_id") % 3 == 2)
+    t0 = time.perf_counter()
+    _, cents = ivf_index(
+        base.select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("c_vec")), "c_vec",
+        n_cells=8)
+    row["train_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    assigned = ivf_assign(
+        base.select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("c_vec")), "c_vec", cents)
+    idx = TxTable.create(
+        spark, os.path.join(root, "idx"),
+        assigned.select("c_id", "c_vec", "cell")
+                .repartitionByRange(16, "c_id"), ["c_id"])
+    row["index_build_s"] = round(time.perf_counter() - t0, 2)
+    src = TxTable.create(spark, os.path.join(root, "src"),
+                         delta.limit(1), ["vec_id"])
+    src.append(delta)
+    n_live = len(idx.snapshot_files(None))
+    t0 = time.perf_counter()
+    q = (ivf_maintenance_stream(
+            txtable_changes_stream(spark, src.path), idx, cents)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    row["maint_drain_s"] = round(time.perf_counter() - t0, 2)
+    rewritten = len(idx._read_manifest(idx.latest_version())["removed"])
+    row["files_live_before"] = n_live
+    row["merge_prune_hit"] = round(1 - rewritten / max(n_live, 1), 3)
+    assert idx.read().count() == n
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    t0 = time.perf_counter()
+    ivf_probe_topk(queries, idx.read(), cents, k=5, n_probe=6)         .write.format("noop").mode("overwrite").save()
+    row["probe_s"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(root, ignore_errors=True)
+    return row
 
 
 def streaming_spot_check(spark, x10_dir: str, work_dir: str) -> dict:
@@ -292,6 +363,12 @@ def main() -> None:
         "x10": txtable_probe(spark, out_dir, out_dir),
     }
     print(json.dumps({"txtable": out["txtable"]}), flush=True)
+    out["ivf_maintenance"] = {
+        "sf01": ivf_maint_probe(spark, BASE, out_dir),
+        "x10": ivf_maint_probe(spark, out_dir, out_dir),
+    }
+    print(json.dumps({"ivf_maintenance": out["ivf_maintenance"]}),
+          flush=True)
     out["streaming_spot_check"] = streaming_spot_check(
         spark, out_dir, out_dir)
     print(json.dumps({"streaming_spot_check":
