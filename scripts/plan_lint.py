@@ -52,6 +52,8 @@ BNLJ_OK = {
     "neardup_triangles": "1-row edge/wedge-count scalar cross",
     "neardup_triangles_capped": "1-row edge/wedge-count scalar cross",
     "tfidf_top_terms": "1-row corpus-size (IDF N) scalar cross",
+    "bm25_topk": "two 1-row scalar crosses (corpus size N, total "
+                 "token count L) onto the tiny query-terms relation",
     "lapsed_rich_customers": "1-row average-balance scalar cross",
     "ann_bruteforce_topk": "deliberate baseline: bounded 10-query "
                            "side broadcast against the corpus",
@@ -83,6 +85,8 @@ SINGLE_PARTITION_OK = {
     "lexical_diversity": "pooled TTR: |langs| rows",
     "boilerplate_ngrams": "per-source top rank over df-capped trigrams",
     "lm_bigram_surprisal": "vocab clamp: 1-row count aggregate",
+    "bm25_topk": "corpus-size / total-token-count scalars: two 1-row "
+                 "aggregates",
     "training_shards": "two-phase prefix sum: |shards| boundary rows",
     "sequence_pack": "per-shard offsets: |shards| boundary rows",
     "stratified_split_sample": "per-language counts: |langs| rows",
