@@ -40,13 +40,15 @@ def main() -> None:
     QUERIES["hot_items_topn"](spark, "/root/testdata/sf0.001").write \
         .format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: this box is a shared VM and transient CPU
+    # Best-of-N per query (default 2; SPARK_GRAFT_BENCH_RUNS=3 for the
+    # re-anchor tables): this box is a shared VM and transient CPU
     # throttling has been observed to inflate identical plans 10x; the
-    # min of two back-to-back runs measures the plan, not the neighbor.
+    # min of N back-to-back runs measures the plan, not the neighbor.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
     for name in bench_queries():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
