@@ -54,6 +54,8 @@ BNLJ_OK = {
     "tfidf_top_terms": "1-row corpus-size (IDF N) scalar cross",
     "bm25_topk": "two 1-row scalar crosses (corpus size N, total "
                  "token count L) onto the tiny query-terms relation",
+    "rrf_fusion": "inherits bm25_topk's two 1-row scalar crosses "
+                  "(corpus size N, total token count L)",
     "lapsed_rich_customers": "1-row average-balance scalar cross",
     "ann_bruteforce_topk": "deliberate baseline: bounded 10-query "
                            "side broadcast against the corpus",
@@ -87,6 +89,7 @@ SINGLE_PARTITION_OK = {
     "lm_bigram_surprisal": "vocab clamp: 1-row count aggregate",
     "bm25_topk": "corpus-size / total-token-count scalars: two 1-row "
                  "aggregates",
+    "rrf_fusion": "inherits bm25_topk's two 1-row scalar aggregates",
     "training_shards": "two-phase prefix sum: |shards| boundary rows",
     "sequence_pack": "per-shard offsets: |shards| boundary rows",
     "stratified_split_sample": "per-language counts: |langs| rows",

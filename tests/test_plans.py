@@ -759,3 +759,37 @@ def test_bm25_topk_broadcast_queries_pinned_postings(spark, sf_dir):
     # checking the only broadcast HASH joins key on the token column
     m = re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan)
     assert m and all("tok" in g for g in m), m
+
+
+def test_benchmark_decontam_broadcasts_eval_side(spark, sf_dir):
+    """benchmark_decontam (r8): the benchmark set is constant-cardinality
+    by construction, so its distinct n-gram relation must be the
+    BROADCAST build (BuildRight under the n-gram equi-join) and the
+    corpus side must stream through it map-side — a corpus-wide n-gram
+    shuffle (the global-distinct shape) must not appear before the
+    join; the only post-join shuffle keys on doc_id for the bounded
+    matched set."""
+    plan = plan_of(spark, "benchmark_decontam", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    m = re.findall(r"BroadcastHashJoin \[([^\]]*)\].*?(BuildLeft|BuildRight)",
+                   plan)
+    assert m, plan
+    assert all("g" in keys and side == "BuildRight" for keys, side in m), m
+    # the corpus n-gram explode feeds the join directly: no exchange
+    # may sit between the generate (explode) of the >= eval-max side
+    # and the broadcast join probe
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rrf_fusion_bounded_fuse(spark, sf_dir):
+    """rrf_fusion (r8): corpus-scaled work stays inside the two
+    upstream rankers (BM25 broadcast-queries shape, fingerprint-overlap
+    pinned shuffle-hash); the fuse itself is a FULL OUTER join of two
+    per-query top-5 relations (driver-constant rows) re-ranked through
+    WindowGroupLimit; no cartesian anywhere."""
+    plan = plan_of(spark, "rrf_fusion", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan  # fp-keyed overlap join
+    assert "WindowGroupLimit" in plan, plan

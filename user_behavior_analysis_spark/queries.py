@@ -3594,6 +3594,171 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count(F.lit(1)).alias("n_pairs")))
 
 
+#: Benchmark decontamination: the eval set is a FIXED-cardinality
+#: prefix (doc_id < 50) — the honest model of a real benchmark file
+#: (MMLU/GSM8K-sized), which stays constant while the training corpus
+#: grows to 100 TB. That constant bound is what makes broadcast the
+#: permanently-correct join side, unlike a proportional eval fraction.
+#: n = 8 word-grams: long enough that only genuine reuse collides
+#: (measured: 6-9 contaminated docs at sf0.001/sf0.01, zero noise
+#: floor), short enough to fire on this corpus's 18-90-token docs.
+_DECONTAM_EVAL_MAX, _DECONTAM_N, _DECONTAM_DROP_AT = 50, 8, 3
+
+_DECONTAM_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), ng AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {_DECONTAM_N} THEN
+      list_transform(generate_series(1, len(t) - {_DECONTAM_N} + 1), i ->
+        array_to_string(t[i:i + {_DECONTAM_N} - 1], ' '))
+    ELSE [] END AS gs
+  FROM toks
+), x AS (
+  SELECT doc_id, unnest(gs) AS g FROM ng
+), ev AS (
+  SELECT DISTINCT doc_id AS eval_doc, g FROM x
+  WHERE doc_id < {_DECONTAM_EVAL_MAX}
+), hits AS (
+  SELECT x.doc_id,
+         COUNT(DISTINCT x.g) AS n_overlap,
+         COUNT(DISTINCT e.eval_doc) AS n_eval_docs
+  FROM x JOIN ev e ON x.g = e.g
+  WHERE x.doc_id >= {_DECONTAM_EVAL_MAX}
+  GROUP BY x.doc_id
+)
+SELECT doc_id, n_overlap, n_eval_docs,
+       CASE WHEN n_overlap >= {_DECONTAM_DROP_AT}
+            THEN 'drop' ELSE 'flag' END AS verdict
+FROM hits
+"""
+
+
+@query("benchmark_decontam", _DECONTAM_ORACLE)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (the GPT-3/Llama-report recipe): flag
+    every training document sharing any word 8-gram with the benchmark
+    set, with the distinct-overlap count, the number of benchmark docs
+    hit, and a drop/flag verdict at the >= 3-overlap threshold.
+    Complements ``cross_source_contamination`` (a source-pair audit
+    COUNT): this is the per-document curation action.
+
+    100 TB shape: the benchmark side is constant-cardinality by
+    construction (see the constants note), so its distinct n-gram
+    relation is BROADCAST and the corpus side is filtered map-side in
+    the scan stage — no corpus-wide shuffle of n-grams ever happens
+    (a global pre-distinct would be exactly that shuffle; instead
+    duplicate n-grams survive to the join and are collapsed by the
+    per-doc COUNT(DISTINCT), which only ever sees matched rows, a set
+    bounded by |benchmark n-grams| x contaminated docs)."""
+    from .functions.text import tokens, word_ngrams
+    docs = load_table(spark, sf_dir, "documents")
+    ng = (docs.withColumn("toks", tokens("text"))
+              .select("doc_id",
+                      F.explode(word_ngrams("toks", _DECONTAM_N))
+                       .alias("g")))
+    ev = (ng.where(F.col("doc_id") < _DECONTAM_EVAL_MAX)
+            .select(F.col("doc_id").alias("eval_doc"), "g")
+            .distinct())
+    hits = (ng.where(F.col("doc_id") >= _DECONTAM_EVAL_MAX)
+              .join(F.broadcast(ev), "g")
+              .groupBy("doc_id")
+              .agg(F.countDistinct("g").alias("n_overlap"),
+                   F.countDistinct("eval_doc").alias("n_eval_docs")))
+    return hits.select(
+        "doc_id", "n_overlap", "n_eval_docs",
+        F.when(F.col("n_overlap") >= _DECONTAM_DROP_AT, "drop")
+         .otherwise("flag").alias("verdict"))
+
+
+#: RRF constants: the standard k=60 damping; contributions are
+#: floor-scaled integers 1e6 div (60 + rank) so the two-ranker sum is
+#: order-free and engine-exact (rank <= 5 -> contribution in
+#: [15384, 16393]; sums stay far inside BIGINT).
+_RRF_K, _RRF_SCALE = 60, 1_000_000
+
+_RRF_ORACLE = rf"""
+WITH bm AS ({_BM25_ORACLE}
+), fp AS ({_ROLLING_FP_ORACLE}
+), qfp AS (
+  SELECT doc_id AS q_id, fp FROM fp WHERE doc_id < {_BM25_N_QUERIES}
+), ov AS (
+  SELECT q.q_id, f.doc_id, COUNT(*) AS ov
+  FROM qfp q JOIN fp f ON f.fp = q.fp AND f.doc_id <> q.q_id
+  GROUP BY q.q_id, f.doc_id
+), ftop AS (
+  SELECT q_id, doc_id, rn FROM (
+    SELECT q_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY ov DESC, doc_id) AS rn
+    FROM ov) WHERE rn <= {_BM25_K}
+), u AS (
+  SELECT COALESCE(b.q_id, f.q_id) AS q_id,
+         COALESCE(b.doc_id, f.doc_id) AS doc_id,
+         COALESCE({_RRF_SCALE} // ({_RRF_K} + b.rn), 0)
+         + COALESCE({_RRF_SCALE} // ({_RRF_K} + f.rn), 0) AS rrf_scaled
+  FROM bm b FULL JOIN ftop f
+    ON b.q_id = f.q_id AND b.doc_id = f.doc_id
+), rk2 AS (
+  SELECT q_id, doc_id, rrf_scaled,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rrf_scaled DESC, doc_id) AS rn
+  FROM u
+)
+SELECT q_id, doc_id, CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+       CAST(rn AS INTEGER) AS rn
+FROM rk2 WHERE rn <= {_BM25_K}
+"""
+
+
+@query("rrf_fusion", _RRF_ORACLE)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 top-5
+    (``bm25_topk``) fused with a winnowing-fingerprint-overlap top-5
+    (shared ``rolling_fingerprints`` per (query, doc), the exact-reuse
+    signal) — RRF score = sum over rankers of 1e6 div (60 + rank),
+    re-ranked per query. The standard two-retriever fusion used for
+    hard-negative mining when lexical and fingerprint evidence
+    disagree; integer-exact end-to-end (see the constants note).
+
+    100 TB shape: both input rankings are already per-query top-5
+    (queries x 5 rows each — driver-constant), so the FULL OUTER fuse
+    and the final WindowGroupLimit re-rank run on a bounded relation;
+    all corpus-scaled work lives inside the two upstream rankers,
+    which keep their own pinned exchanges (BM25: broadcast query
+    terms into the posting index; fingerprints: fp-keyed shuffle-hash
+    join of the constant-size query fingerprint set)."""
+    from .operators.topn import top_n_per_group
+    bm = bm25_topk(spark, sf_dir).select(
+        "q_id", "doc_id", F.col("rn").alias("rn_a"))
+    fp = rolling_fingerprints(spark, sf_dir)
+    qfp = (fp.where(F.col("doc_id") < _BM25_N_QUERIES)
+             .select(F.col("doc_id").alias("q_id"),
+                     F.col("fp").alias("q_fp")))
+    ov = (fp.join(qfp.hint("shuffle_hash"),
+                  (fp.fp == qfp.q_fp) & (fp.doc_id != qfp.q_id))
+            .groupBy("q_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("ov")))
+    ftop = (top_n_per_group(ov, ["q_id"],
+                            [F.desc("ov"), F.asc("doc_id")],
+                            n=_BM25_K, rank_col="rn_b")
+            .select("q_id", "doc_id", "rn_b"))
+    u = (bm.join(ftop, ["q_id", "doc_id"], "full_outer")
+           .select("q_id", "doc_id",
+                   (F.coalesce(
+                        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rn_a)"),
+                        F.lit(0))
+                    + F.coalesce(
+                        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rn_b)"),
+                        F.lit(0))).cast("bigint").alias("rrf_scaled")))
+    top = top_n_per_group(u, ["q_id"],
+                          [F.desc("rrf_scaled"), F.asc("doc_id")],
+                          n=_BM25_K, rank_col="rn")
+    return top.select("q_id", "doc_id", "rrf_scaled",
+                      F.col("rn").cast("int").alias("rn"))
+
+
 # --- as-of join: last-touch attribution -------------------------------------
 
 _LAST_TOUCH_ORACLE = """
