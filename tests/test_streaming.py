@@ -1085,6 +1085,48 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert set(got) == want
 
 
+def test_decontam_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless decontamination gate parity: streaming the training
+    docs through decontam_stream (4 micro-batches) must annotate every
+    contaminated doc exactly as the batch benchmark_decontam query
+    does, and pass every other doc through as 'keep' with zero
+    counts — per-doc verdicts are chop-invariant because the
+    benchmark side is static."""
+    from user_behavior_analysis_spark.queries import (
+        QUERIES, _DECONTAM_EVAL_MAX)
+    from user_behavior_analysis_spark.sources import load_table
+    from user_behavior_analysis_spark.streaming.jobs import decontam_stream
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") >= _DECONTAM_EVAL_MAX)
+    benchmark = docs.where(F.col("doc_id") < _DECONTAM_EVAL_MAX)
+    arrivals = str(tmp_path / "arrivals")
+    train.repartition(4).write.parquet(arrivals)
+    doc_stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(arrivals))
+    got: dict = {}
+
+    def collect(df, epoch_id):
+        for r in df.collect():
+            got[r.doc_id] = (r.n_overlap, r.n_eval_docs, r.verdict)
+
+    q = (decontam_stream(doc_stream, benchmark, "text", "doc_id", collect)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = {r.doc_id: (r.n_overlap, r.n_eval_docs, r.verdict)
+             for r in QUERIES["benchmark_decontam"](spark, sf_dir).collect()}
+    n_train = train.count()
+    assert len(got) == n_train  # every streamed doc got a verdict
+    for doc_id, (n_overlap, n_eval, verdict) in batch.items():
+        assert got[doc_id] == (n_overlap, n_eval, verdict), doc_id
+    clean = {d for d, v in got.items() if d not in batch}
+    assert all(got[d] == (0, 0, "keep") for d in clean)
+    assert len(clean) == n_train - len(batch)
+
+
 def test_incremental_dedup_chop_invariant(spark, sf_dir):
     """Each doc's verdict depends only on itself and the static corpus:
     classifying the arriving docs in two chops against a shared staged

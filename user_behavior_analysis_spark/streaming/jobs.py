@@ -429,6 +429,67 @@ def dedup_exact_stream(df: DataFrame, ts_col: str, text_col: str,
     )
 
 
+def decontam_stream(doc_stream: DataFrame, benchmark: DataFrame,
+                    text_col: str, id_col: str, on_batch,
+                    ngram: int = 8, drop_at: int = 3):
+    """Streaming twin of ``queries.benchmark_decontam``: every arriving
+    document is annotated with its word-n-gram overlap against a STATIC
+    benchmark set and routed keep / flag / drop — the decontamination
+    gate a crawler pipeline runs before admitting documents.
+
+    STATELESS by design: a document's verdict depends only on itself
+    and the benchmark, so there is no watermark, no streaming state,
+    and a replayed epoch is idempotent (same input rows → same
+    verdicts) — none of the absorb/replay machinery
+    ``incremental_dedup_stream`` needs. The benchmark's distinct
+    n-gram relation is computed ONCE (eager localCheckpoint, so the
+    lineage is severed and per-epoch plans don't re-derive it) and
+    BROADCAST into every micro-batch — the benchmark is
+    constant-cardinality by contract (a benchmark file does not grow
+    with the corpus), which makes broadcast the permanently-correct
+    side at any stream rate. Per-epoch work is one broadcast-hash
+    probe plus a per-doc aggregate over MATCHED rows only.
+
+    ``on_batch(annotated_df, epoch_id)`` receives each batch with the
+    original columns plus ``n_overlap``/``n_eval_docs``/``verdict``
+    ('keep' rows pass through — unlike the batch query, which reports
+    only contaminated docs, the stream is the admission filter and
+    must emit everything).
+    """
+    from ..functions.text import tokens, word_ngrams
+
+    ev = (benchmark
+          .withColumn("toks", tokens(text_col))
+          .select(F.col(id_col).alias("eval_doc"),
+                  F.explode(word_ngrams("toks", ngram)).alias("g"))
+          .distinct()
+          .localCheckpoint(eager=True))
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        ng = (batch_df
+              .withColumn("toks", tokens(text_col))
+              .select(F.col(id_col).alias("_did"),
+                      F.explode(word_ngrams("toks", ngram)).alias("g")))
+        hits = (ng.join(F.broadcast(ev), "g")
+                  .groupBy("_did")
+                  .agg(F.countDistinct("g").alias("n_overlap"),
+                       F.countDistinct("eval_doc").alias("n_eval_docs")))
+        out = (batch_df
+               .join(hits, batch_df[id_col] == F.col("_did"), "left")
+               .drop("_did")
+               .withColumn("n_overlap",
+                           F.coalesce("n_overlap", F.lit(0)).cast("bigint"))
+               .withColumn("n_eval_docs",
+                           F.coalesce("n_eval_docs", F.lit(0)).cast("bigint"))
+               .withColumn("verdict",
+                           F.when(F.col("n_overlap") >= drop_at, "drop")
+                            .when(F.col("n_overlap") > 0, "flag")
+                            .otherwise("keep")))
+        on_batch(out, epoch_id)
+
+    return doc_stream.writeStream.foreachBatch(fn)
+
+
 def incremental_dedup_stream(doc_stream: DataFrame, corpus: DataFrame,
                              text_col: str, id_col: str,
                              on_batch, ngram: int = 3,
