@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts.corpus_scale_probe import replicate  # noqa: E402
+from user_behavior_analysis_spark.queries import QUERIES  # noqa: E402
 from user_behavior_analysis_spark.operators.dedup import (  # noqa: E402
     dedup_clusters, ngram_jaccard_pairs)
 from user_behavior_analysis_spark.operators.graph import (  # noqa: E402
@@ -117,6 +118,21 @@ def main() -> None:
                 .select(F.col("id_a").alias("doc_a"),
                         F.col("id_b").alias("doc_b")),
                 id_col="vec_id").count())
+
+        # round-8 retrieval/decontam family: the ×factor replication is
+        # ALSO their worst case — every token/8-gram/fingerprint df
+        # multiplies with the factor (saturated postings), while the
+        # query set (doc_id < 8) and the benchmark prefix (doc_id < 50)
+        # stay the ORIGINAL fixed docs (copy 0 keeps base ids) — the
+        # constant-side asymmetry both plans bet on. Served from a tmp
+        # sf-layout dir so the registered queries run untouched.
+        qdir = f"/tmp/scale30x_docs_x{factor}"
+        docs.write.mode("overwrite").parquet(f"{qdir}/documents.parquet")
+        for qname, key in (("bm25_topk", "bm25"),
+                           ("rrf_fusion", "rrf"),
+                           ("benchmark_decontam", "decontam")):
+            row[f"{key}_s"], row[f"{key}_rows"] = timed(
+                lambda qn=qname: QUERIES[qn](spark, qdir).count())
         docs.unpersist()
         emb.unpersist()
         out[f"x{factor}"] = row
@@ -130,7 +146,10 @@ def main() -> None:
     for op, outcol in (("jaccard", "jaccard_pairs"),
                        ("tri_capped", None),
                        ("knn_join", "knn_rows"),
-                       ("semantic_clusters", "semantic_rows")):
+                       ("semantic_clusters", "semantic_rows"),
+                       ("bm25", "bm25_rows"),
+                       ("rrf", "rrf_rows"),
+                       ("decontam", "decontam_rows")):
         w = out["x30"][f"{op}_s"] / max(out["x1"][f"{op}_s"], 1e-9)
         g = {"wall_x30_over_x1": round(w, 1)}
         if outcol:

@@ -2297,3 +2297,30 @@ def test_media_neardup_planted_duplicates(spark):
     hit = g101[g101["doc_b"] == 1]
     assert len(hit) == 1 and float(hit.iloc[0]["cos"]) > 0.999 \
         and not bool(hit.iloc[0]["exact_dup"])
+
+
+def test_benchmark_decontam_planted_contamination(spark):
+    """Constructed-fixture pin for the decontamination semantics: a
+    train doc embedding a RUN of the eval doc shares exactly
+    (run_len - n + 1) 8-grams — two planted train docs straddle the
+    drop threshold (2 shared -> flag, 3 shared -> drop) and a clean
+    doc must not appear at all. Guards the n-gram window algebra and
+    the verdict boundary against both engines drifting together."""
+    import os
+    import tempfile
+
+    from user_behavior_analysis_spark.queries import QUERIES
+    ev = " ".join(f"e{i}" for i in range(1, 11))          # 10 tokens
+    rows = [
+        (1, ev, "en", "s"),                               # eval (id < 50)
+        (100, " ".join(f"e{i}" for i in range(1, 10))     # 9-token run
+              + " x1 x2 x3", "en", "s"),                  # 2 shared: flag
+        (101, ev + " y1 y2", "en", "s"),                  # 3 shared: drop
+        (102, " ".join(f"z{i}" for i in range(12)), "en", "s"),  # clean
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: (r.n_overlap, r.n_eval_docs, r.verdict)
+               for r in QUERIES["benchmark_decontam"](spark, d).collect()}
+    assert out == {100: (2, 1, "flag"), 101: (3, 1, "drop")}
