@@ -59,6 +59,9 @@ BNLJ_OK = {
     "lapsed_rich_customers": "1-row average-balance scalar cross",
     "ann_bruteforce_topk": "deliberate baseline: bounded 10-query "
                            "side broadcast against the corpus",
+    "kmv_day_overlap": "|days|x|days| day-pair cross over two "
+                       "|days|-row checkpointed aggregates (<= 435 "
+                       "rows at 30 days); non-equi a<b by design",
 }
 
 #: SinglePartition allowlist: query -> why the 1-partition exchange is

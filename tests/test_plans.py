@@ -793,3 +793,21 @@ def test_rrf_fusion_bounded_fuse(spark, sf_dir):
     assert "FullOuter" in plan, plan
     assert "ShuffledHashJoin" in plan, plan  # fp-keyed overlap join
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_day_overlap_bounded_downstream(spark, sf_dir):
+    """kmv_day_overlap (r8): the corpus-scaled work (the (day, hash)
+    dedup feeding per-day counts and k-smallest sketches) is
+    materialized ONCE into two checkpointed |days|-bounded relations —
+    the downstream plan must contain ZERO parquet scans (five branches
+    re-deriving the dedup would re-scan the facts per branch), its
+    only non-equi joins are the bounded day-pair crosses, and the
+    sketch relation joins back equi-keyed."""
+    plan = plan_of(spark, "kmv_day_overlap", sf_dir)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    m = re.findall(r"BroadcastNestedLoopJoin BuildRight, Inner, "
+                   r"\(day_a#\d+L? < day_b#\d+L?\)", plan)
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj == len(m), plan  # every BNLJ is the bounded day cross
+    assert "BroadcastHashJoin" in plan, plan  # sketch joins stay equi

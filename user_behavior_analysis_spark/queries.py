@@ -4120,6 +4120,149 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.countDistinct("user_id").alias("n_users")))
 
 
+# --- KMV sketch day-overlap matrix ------------------------------------------
+
+#: KMV (k-minimum-values) sketch: keep the k smallest 60-bit hashes of
+#: each day's users. Unlike HLL, KMV supports INTERSECTION: the k
+#: smallest of a pair's union is itself a valid union sketch, the kth
+#: value tau estimates |union| = (k-1)*2^60 div tau, and the fraction
+#: of union-sketch members present in BOTH day sketches estimates
+#: Jaccard — so |A inter B| = J * |union|. k = 64: with < 64 distinct
+#: hashes the sketch holds EVERY element and the answer is exact (the
+#: sf0.001 branch); above it the estimator branch runs (sf0.01+, rsd
+#: ~ 1/sqrt(k-1) ~ 12.7% on the union). Every step — hash, top-k,
+#: floor-divisions — is deterministic integer arithmetic, so even this
+#: approximate operator rides the HASH gate (the media_neardup
+#: precedent), not rows-only.
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 60  # md5 15-hex-char prefix
+
+_KMV_ORACLE = rf"""
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(('0x' || substr(md5('7|' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+), nd AS (
+  SELECT day, COUNT(*) AS n FROM du GROUP BY day
+), sk AS (
+  SELECT day, h FROM (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+    FROM du) WHERE rk <= {_KMV_K}
+), dp AS (
+  SELECT a.day AS day_a, a.n AS n_a, b.day AS day_b, b.n AS n_b
+  FROM nd a JOIN nd b ON a.day < b.day
+), ur AS (
+  SELECT dp.day_a, dp.day_b, s.h FROM dp JOIN sk s ON s.day = dp.day_a
+  UNION ALL
+  SELECT dp.day_a, dp.day_b, s.h FROM dp JOIN sk s ON s.day = dp.day_b
+), uh AS (
+  SELECT day_a, day_b, h, COUNT(*) AS sides
+  FROM ur GROUP BY day_a, day_b, h
+), m AS (
+  SELECT day_a, day_b, h, sides FROM (
+    SELECT day_a, day_b, h, sides,
+           ROW_NUMBER() OVER (PARTITION BY day_a, day_b
+                              ORDER BY h) AS rk
+    FROM uh) WHERE rk <= {_KMV_K}
+), agg AS (
+  SELECT day_a, day_b, COUNT(*) AS u, MAX(h) AS tau,
+         SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS common
+  FROM m GROUP BY day_a, day_b
+)
+SELECT dp.day_a, dp.day_b, dp.n_a, dp.n_b,
+  CAST(CASE WHEN g.u < {_KMV_K} THEN g.u
+       ELSE (CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_DOMAIN}) // g.tau
+       END AS BIGINT) AS union_est,
+  CAST((g.common * 1000000) // g.u AS BIGINT) AS jaccard_scaled,
+  CAST(CASE WHEN g.u < {_KMV_K} THEN g.common
+       ELSE (CAST((g.common * 1000000) // g.u AS HUGEINT)
+             * ((CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_DOMAIN}) // g.tau))
+            // 1000000 END AS BIGINT) AS inter_est
+FROM dp JOIN agg g ON dp.day_a = g.day_a AND dp.day_b = g.day_b
+"""
+
+
+@query("kmv_day_overlap", _KMV_ORACLE)
+def kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise day-overlap matrix from mergeable KMV sketches: for
+    every ordered pair of days, the estimated |union| and
+    |intersection| of their active-user sets plus the exact per-day
+    counts — the "how many users were active on BOTH days" question
+    HLL structurally cannot answer (HLL unions but never intersects).
+
+    Deterministic end-to-end (see the constants note): 60-bit md5
+    hashes, per-day k-smallest via WindowGroupLimit, integer
+    floor-division estimators — hash-oracled, with accuracy bounds
+    pinned separately in pytest. Per-day n counts distinct HASHES
+    (== distinct users absent a 60-bit collision; identical in both
+    engines by construction).
+
+    100 TB shape: the only corpus-scaled work is the (day, hash)
+    dedup — one shuffle — and the per-day k-smallest, whose partial
+    WindowGroupLimit keeps at most k rows per day per map task.
+    Everything downstream operates on |days| x k sketch rows and the
+    |days|^2 pair relation (both driver-constant): the day-pair cross
+    is a bounded BNLJ over two |days|-row aggregates, and the sketch
+    relation broadcasts into it. Sketches persist per day at a
+    constant few KB — a year of dailies is 365 x k hashes, and any
+    pair/range query runs without touching the facts again."""
+    from .functions.text import md5_prefix_hash
+    from .operators.topn import top_n_per_group
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.selectExpr("CAST(ts AS LONG) div 86400 AS day", "user_id")
+            .select("day",
+                    md5_prefix_hash(F.col("user_id").cast("string"),
+                                    seed=7).alias("h"))
+            .distinct())
+    # Materialize the two TINY derived relations eagerly (|days| and
+    # |days| x k rows): they feed 5 downstream branches (the day-pair
+    # cross twice, the union-side joins twice, the final join), and
+    # without the checkpoint each branch would re-derive them from the
+    # corpus-scaled dedup — the facts would be re-scanned per branch.
+    # With it, the facts are scanned exactly twice (counts + sketches)
+    # regardless of downstream shape. The substring_containment
+    # checkpoint-once precedent.
+    nd = (du.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True))
+    sk = (top_n_per_group(du, ["day"], [F.asc("h")],
+                          n=_KMV_K, rank_col="rk")
+          .select("day", "h")
+          .localCheckpoint(eager=True))
+    a = nd.select(F.col("day").alias("day_a"), F.col("n").alias("n_a"))
+    b = nd.select(F.col("day").alias("day_b"), F.col("n").alias("n_b"))
+    dp = a.join(b, F.col("day_a") < F.col("day_b"))  # |days|^2 bounded
+    pairs = dp.select("day_a", "day_b")
+    ur = (pairs.join(F.broadcast(sk), sk.day == F.col("day_a"))
+               .select("day_a", "day_b", "h")
+          .unionByName(
+              pairs.join(F.broadcast(sk), sk.day == F.col("day_b"))
+                   .select("day_a", "day_b", "h")))
+    uh = (ur.groupBy("day_a", "day_b", "h")
+            .agg(F.count(F.lit(1)).alias("sides")))
+    m = top_n_per_group(uh, ["day_a", "day_b"], [F.asc("h")],
+                        n=_KMV_K, rank_col="rk")
+    agg = (m.groupBy("day_a", "day_b")
+             .agg(F.count(F.lit(1)).alias("u"),
+                  F.max("h").alias("tau"),
+                  F.sum(F.when(F.col("sides") == 2, 1).otherwise(0))
+                   .alias("common")))
+    est = agg.selectExpr(
+        "day_a", "day_b",
+        f"CAST(CASE WHEN u < {_KMV_K} THEN u "
+        f"     ELSE CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {_KMV_DOMAIN} "
+        f"          div tau END AS BIGINT) AS union_est",
+        "CAST((common * 1000000) div u AS BIGINT) AS jaccard_scaled",
+        f"CAST(CASE WHEN u < {_KMV_K} THEN common "
+        f"     ELSE (CAST((common * 1000000) div u AS DECIMAL(38,0)) "
+        f"           * (CAST({_KMV_K - 1} AS DECIMAL(38,0)) "
+        f"              * {_KMV_DOMAIN} div tau)) div 1000000 "
+        f"     END AS BIGINT) AS inter_est")
+    return (dp.join(est, ["day_a", "day_b"])
+              .select("day_a", "day_b", "n_a", "n_b",
+                      "union_est", "jaccard_scaled", "inter_est"))
+
+
 # --- inter-purchase interval histogram --------------------------------------
 
 _INTERVAL_ORACLE = """
