@@ -30,13 +30,19 @@ from user_behavior_analysis_spark.sources import load_table  # noqa: E402
 
 
 def replicate(docs, factor: int):
+    # copy 0 keeps the base text VERBATIM (no " c0" suffix) so the
+    # unreplicated x1 corpus and copy 0 of the xN corpus are identical
+    # — token-sensitive queries then measure pure scale growth, not a
+    # one-token text delta (ADVICE r8).
     copies = docs.sparkSession.range(factor).select(
         F.col("id").alias("copy"))
     return (docs.crossJoin(F.broadcast(copies))
                 .select((F.col("doc_id") + F.col("copy") * 10_000_000)
                          .alias("doc_id"),
-                        F.concat_ws(" ", "text",
-                                    F.concat(F.lit("c"), "copy"))
+                        F.when(F.col("copy") == 0, F.col("text"))
+                         .otherwise(F.concat_ws(
+                             " ", "text",
+                             F.concat(F.lit("c"), "copy")))
                          .alias("text"),
                         "lang", "source"))
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -128,11 +129,14 @@ def main() -> None:
         # sf-layout dir so the registered queries run untouched.
         qdir = f"/tmp/scale30x_docs_x{factor}"
         docs.write.mode("overwrite").parquet(f"{qdir}/documents.parquet")
-        for qname, key in (("bm25_topk", "bm25"),
-                           ("rrf_fusion", "rrf"),
-                           ("benchmark_decontam", "decontam")):
-            row[f"{key}_s"], row[f"{key}_rows"] = timed(
-                lambda qn=qname: QUERIES[qn](spark, qdir).count())
+        try:
+            for qname, key in (("bm25_topk", "bm25"),
+                               ("rrf_fusion", "rrf"),
+                               ("benchmark_decontam", "decontam")):
+                row[f"{key}_s"], row[f"{key}_rows"] = timed(
+                    lambda qn=qname: QUERIES[qn](spark, qdir).count())
+        finally:
+            shutil.rmtree(qdir, ignore_errors=True)  # up to 30x parquet
         docs.unpersist()
         emb.unpersist()
         out[f"x{factor}"] = row

@@ -10,6 +10,23 @@ from user_behavior_analysis_spark.queries import QUERIES
 from user_behavior_analysis_spark.sources import load_table
 
 
+def test_fixture_timestamps_non_negative(spark, sf_dir):
+    """Pin the epoch-0 invariant the floor-division day-bucketing idiom
+    relies on (ADVICE r8): Spark's integer `div` truncates toward zero
+    while DuckDB's `//` floors, so `CAST(ts AS LONG) div 86400` only
+    hash-matches the oracle's `epoch(ts) // 86400` when every timestamp
+    is >= 1970-01-01. All day-bucketed queries (kmv_day_overlap,
+    purchase_intervals, daily anomaly, sketch rollups) inherit this
+    guarantee; a pre-1970 fixture would need floor-div on the Spark
+    side instead."""
+    for tbl, col in (("events", "ts"), ("orders", "o_orderdate"),
+                     ("lineitem", "l_shipdate")):
+        lo = (load_table(spark, sf_dir, tbl)
+              .agg(F.min(F.col(col).cast("timestamp").cast("long"))
+                    .alias("lo")).first()["lo"])
+        assert lo is not None and lo >= 0, f"{tbl}.{col} min epoch {lo}"
+
+
 def test_uv_approx_within_rsd(spark, sf_dir):
     approx = QUERIES["unique_visitors_approx"](spark, sf_dir).toPandas()
     exact = QUERIES["unique_visitors_hourly"](spark, sf_dir).toPandas()

@@ -774,7 +774,10 @@ def test_benchmark_decontam_broadcasts_eval_side(spark, sf_dir):
     m = re.findall(r"BroadcastHashJoin \[([^\]]*)\].*?(BuildLeft|BuildRight)",
                    plan)
     assert m, plan
-    assert all("g" in keys and side == "BuildRight" for keys, side in m), m
+    # word-boundary match on the n-gram column itself (g#<exprId>) —
+    # a bare substring "g" would also pass on e.g. lang#12 (ADVICE r8)
+    assert all(re.search(r"\bg#\d+", keys) and side == "BuildRight"
+               for keys, side in m), m
     # the corpus n-gram explode feeds the join directly: no exchange
     # may sit between the generate (explode) of the >= eval-max side
     # and the broadcast join probe
