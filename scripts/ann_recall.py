@@ -32,7 +32,10 @@ from user_behavior_analysis_spark.session import get_spark  # noqa: E402
 #: width (3/4 of cells) and radius-1 LSH multiprobe lifted the floors —
 #: IVF 0.7→0.8, LSH 0.2→0.9 (measured 0.92-1.0 whole-set at both SFs);
 #: IVF-PQ keeps 0.7 (ADC quantization noise on near-random embeddings
-#: dominates, rerank=256 already absorbs most of it).
+#: dominates). r9: both IVF and PQ moved to DETERMINISTIC sampled
+#: quantizers (hash-oracled); PQ's shortlist widened rerank 256→512 /
+#: n_probe 10→12 to absorb the extra sampled-codebook ADC noise
+#: (sf0.1 200-query p10 0.4→0.8).
 THRESHOLDS = {
     "ann_ivf_topk": 0.8,
     "ann_pq_topk": 0.7,
@@ -68,7 +71,8 @@ def distribution_and_curve(spark, sf_dir: str, n_queries: int = 200,
     from pyspark.sql import functions as F
 
     from user_behavior_analysis_spark.operators.similarity import (
-        cosine_topk_bruteforce, ivf_topk, pq_topk, rp_lsh_topk)
+        cosine_topk_bruteforce, ivf_assign, ivf_probe_topk, pq_topk,
+        rp_lsh_topk, sampled_centroids, sampled_pq_quantizers)
     from user_behavior_analysis_spark.session import tune
     from user_behavior_analysis_spark.sources import load_table
 
@@ -85,15 +89,20 @@ def distribution_and_curve(spark, sf_dir: str, n_queries: int = 200,
 
     from user_behavior_analysis_spark.queries import _ivf_n_probe
 
+    # registered geometries (r9): DETERMINISTIC sampled quantizers —
+    # the hash-oracled cold paths of ann_ivf_topk / ann_pq_topk
+    # (VERDICT r8 #2); LSH keeps its radius-1 multiprobe (r8)
+    cents = sampled_centroids(emb, "vec_id", "embedding", 8)
+    assigned = ivf_assign(c, "c_vec", cents).localCheckpoint(eager=True)
+    qz = sampled_pq_quantizers(c, "c_id", "c_vec", m=8, n_centroids=32,
+                               dim=64, n_cells=16)
     dist: dict = {}
     for name, fn in (
-        # registered geometries (r8): derived IVF probe width,
-        # radius-1 LSH multiprobe — VERDICT r7 #2
-        ("ann_ivf_topk", lambda: ivf_topk(q, c, k=k, n_cells=8,
-                                          n_probe=_ivf_n_probe(8))),
+        ("ann_ivf_topk", lambda: ivf_probe_topk(
+            q, assigned, cents, k=k, n_probe=_ivf_n_probe(8))),
         ("ann_pq_topk", lambda: pq_topk(q, c, k=k, m=8, n_centroids=32,
-                                        rerank=256, n_cells=16,
-                                        n_probe=10)),
+                                        rerank=512, n_cells=16,
+                                        n_probe=12, quantizers=qz)),
         ("ann_lsh_topk", lambda: rp_lsh_topk(q, c, k=k,
                                              multiprobe_radius=1)),
     ):
@@ -103,15 +112,17 @@ def distribution_and_curve(spark, sf_dir: str, n_queries: int = 200,
     curve: dict = {"ivf": [], "ivf_pq": []}
     for n_probe in (1, 2, 4, 6, 8):
         t0 = _t.perf_counter()
-        got = ivf_topk(q, c, k=k, n_cells=8, n_probe=n_probe).toPandas()
+        got = ivf_probe_topk(q, assigned, cents, k=k,
+                             n_probe=n_probe).toPandas()
         curve["ivf"].append({
             "n_probe": n_probe,
             "wall_s": round(_t.perf_counter() - t0, 2),
             **_pct(_per_query_recall(truth, got, k))})
-    for n_probe in (1, 2, 4, 10, 16):
+    for n_probe in (1, 2, 4, 12, 16):
         t0 = _t.perf_counter()
-        got = pq_topk(q, c, k=k, m=8, n_centroids=32, rerank=256,
-                      n_cells=16, n_probe=n_probe).toPandas()
+        got = pq_topk(q, c, k=k, m=8, n_centroids=32, rerank=512,
+                      n_cells=16, n_probe=n_probe,
+                      quantizers=qz).toPandas()
         curve["ivf_pq"].append({
             "n_probe": n_probe,
             "wall_s": round(_t.perf_counter() - t0, 2),

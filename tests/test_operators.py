@@ -1950,11 +1950,13 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
 def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
     """The product-level composition — full funnel (quality gate →
     paragraph dedup body rewrite → containment excerpt screen →
-    near-dup removal → materialized lang-partitioned corpus). Counts
-    must be monotone non-increasing per stage, the written parquet
-    must equal the curated count, partition dirs must prune by lang,
-    and the REWRITTEN bodies (stage 2) must be what lands in the
-    layout write."""
+    near-dup removal → multimodal byte screen → eval-set decontam
+    gate → materialized lang-partitioned corpus). Counts must be
+    monotone non-increasing per stage, the written parquet must equal
+    the curated count, partition dirs must prune by lang, and the
+    REWRITTEN bodies (stage 2) must be what lands in the layout
+    write. The two round-9 stages (VERDICT r8 #6) must report their
+    survival counts."""
     import glob
     import sys
     sys.path.insert(0, "/root/repo/scripts")
@@ -1962,9 +1964,17 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
     out = str(tmp_path / "curated")
     rep = run(spark, sf_dir, out)
     assert rep["input"] >= rep["quality_kept"] >= rep["para_kept"] \
-        >= rep["containment_kept"] >= rep["dedup_kept"] > 0
-    assert rep["written"] == rep["dedup_kept"]
-    assert sum(rep["by_lang"].values()) == rep["dedup_kept"]
+        >= rep["containment_kept"] >= rep["dedup_kept"] \
+        >= rep["media_kept"] >= rep["decontam_kept"] > 0
+    assert rep["written"] == rep["decontam_kept"]
+    assert rep["media_exact_pairs"] >= 0
+    assert rep["media_near_pairs"] >= 0
+    # the whole-doc MinHash stage already removed byte-identical
+    # bodies, so the byte screen must find no NEW exact dups here —
+    # a nonzero count would mean stage 4 leaked an exact dup
+    assert rep["media_exact_pairs"] == 0
+    assert rep["decontam_flagged"] >= 0
+    assert sum(rep["by_lang"].values()) == rep["decontam_kept"]
     dirs = glob.glob(out + "/parquet/lang=*")
     assert sorted(d.rsplit("=", 1)[1] for d in dirs) == \
         sorted(rep["by_lang"])
@@ -2096,7 +2106,7 @@ def test_curation_run_incremental_table(spark, sf_dir, tmp_path):
     assert t.latest_version() == 1
     # same corpus re-curated -> same survivor set; the merge must not
     # duplicate (doc_id is the key) and must keep every survivor
-    assert rep2["table"]["rows"] == n1 == rep2["dedup_kept"]
+    assert rep2["table"]["rows"] == n1 == rep2["decontam_kept"]
     ids = [r["doc_id"] for r in t.read().select("doc_id").collect()]
     assert len(ids) == len(set(ids)), "duplicate doc_ids after merge"
 

@@ -99,6 +99,35 @@ def ivf_index(corpus: DataFrame, vec_col: str, n_cells: int = 16,
     return assigned, centroids
 
 
+def sampled_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                      n_cells: int, seed: int = 23) -> list:
+    """DETERMINISTIC coarse quantizer: the ``n_cells`` corpus vectors
+    with the smallest md5-prefix hash of their id ARE the centroids
+    (cell i = i-th in (hash, id) order) — random-sampling KMeans
+    seeding without the Lloyd iterations, the standard IVF bootstrap
+    when training budget is zero. Unlike a trained quantizer this is a
+    pure function of the corpus, so the WHOLE assign + probe + re-rank
+    pipeline is SQL-reproducible and the registered ann_ivf_topk query
+    graduates from rows-only to hash-oracled (VERDICT r8 #2; the
+    ann_lsh_topk hyperplane precedent). Cell balance is worse than
+    Lloyd's — the derived probe width (3/4 of cells) already prices
+    that in, and the recall floor stays pinned by the same tests.
+
+    Driver cost: one TakeOrdered of ``n_cells`` rows (bounded,
+    broadcast-by-value downstream — the same contract as
+    ``ivf_index``'s clusterCenters)."""
+    from ..functions.text import md5_prefix_hash
+    rows = (corpus
+            .select(F.col(id_col).alias("_id"),
+                    as_double(vec_col).alias("_v"))
+            .withColumn("_h", md5_prefix_hash(
+                F.col("_id").cast("string"), seed=seed))
+            .orderBy("_h", "_id")
+            .limit(n_cells)
+            .collect())
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
 def ivf_assign(df: DataFrame, vec_col: str, centroids: list,
                out_col: str = "cell") -> DataFrame:
     """Assign vectors to their nearest FROZEN centroid (squared-L2
@@ -532,14 +561,21 @@ def pq_codebooks(corpus: DataFrame, vec_col: str, m: int = 8,
     return books
 
 
-def _book_sql(book: list[list[float]]) -> str:
-    # centroids rounded to 5 decimals: halves the literal-matrix string
-    # the parser/analyzer must chew per call (2k+ literals), and a 1e-5
-    # perturbation of a TRAINED quantizer is far below its own training
-    # variance — assignments are identical in practice, and both the
-    # encode and lookup sides read the same rounded values.
+def _book_sql(book: list[list[float]], nd: int | None = 5) -> str:
+    # centroids rounded to 5 decimals by default: halves the literal-
+    # matrix string the parser/analyzer must chew per call (2k+
+    # literals), and a 1e-5 perturbation of a TRAINED quantizer is far
+    # below its own training variance — assignments are identical in
+    # practice, and both the encode and lookup sides read the same
+    # rounded values. ``nd=None`` keeps EXACT values (repr round-trips
+    # doubles): required by the deterministic sampled-quantizer path,
+    # whose DuckDB oracle reads the same float32 values from parquet —
+    # a decimal re-rounding could disagree cross-engine on exact-tie
+    # decimals (banker's vs half-away), so the exact path never rounds.
     return "array(" + ",".join(
-        "array(" + ",".join(f"{round(x, 5)}D" for x in c) + ")"
+        "array(" + ",".join(
+            (f"{round(x, nd)}D" if nd is not None else f"{x!r}D")
+            for x in c) + ")"
         for c in book) + ")"
 
 
@@ -603,10 +639,35 @@ def _trained_quantizers(corpus: DataFrame, m: int, n_centroids: int,
     return books, cents
 
 
+def sampled_pq_quantizers(corpus: DataFrame, id_col: str, vec_col: str,
+                          m: int, n_centroids: int, dim: int,
+                          n_cells: int | None,
+                          book_seed: int = 29, cell_seed: int = 31):
+    """DETERMINISTIC PQ quantizers by hash-min sampling (the
+    ``sampled_centroids`` discipline applied to product quantization):
+    the ``n_centroids`` hash-smallest corpus vectors supply every
+    subspace's codebook (book s = their dims [s·d/m, (s+1)·d/m)), and
+    an independently-seeded sample of ``n_cells`` vectors supplies the
+    leading-16-dim coarse quantizer. Pure function of the corpus →
+    SQL-reproducible, which is what graduates ann_pq_topk to
+    hash-oracled (VERDICT r8 #2). Returns (books, cents)."""
+    sub = dim // m
+    samp = sampled_centroids(corpus, id_col, vec_col, n_centroids,
+                             seed=book_seed)
+    books = [[v[s * sub:(s + 1) * sub] for v in samp] for s in range(m)]
+    cents = None
+    if n_cells is not None:
+        coarse = sampled_centroids(corpus, id_col, vec_col, n_cells,
+                                   seed=cell_seed)
+        cents = [v[:min(16, dim)] for v in coarse]
+    return books, cents
+
+
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
             n_centroids: int = 16, dim: int = 64, seed: int = 42,
             rerank: int = 32, n_cells: int | None = None,
-            n_probe: int = 4, index_name: str | None = None) -> DataFrame:
+            n_probe: int = 4, index_name: str | None = None,
+            quantizers: tuple | None = None) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation and
     exact re-rank — the compressed-domain scale path: a 64-d float64
     vector (512 B) becomes m=8 one-byte codes, a 64× memory reduction,
@@ -636,11 +697,17 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
     from ..functions.text import let_expr
 
     sub_dim = dim // m
-    # serving order (VERDICT r7 #1): a FROZEN registered index first
-    # (train-once, the production path), then the per-corpus session
-    # cache, then train-in-query as the cold-start fallback
+    # serving order (VERDICT r7 #1): explicit quantizers first (the
+    # deterministic sampled path — rendered as EXACT literals, see
+    # _book_sql), then a FROZEN registered index (train-once, the
+    # production path), then the per-corpus session cache, then
+    # train-in-query as the cold-start fallback
+    nd: int | None = 5
     idx = ANN_INDEX_CATALOG.get(index_name) if index_name else None
-    if (idx is not None and idx.get("books") is not None
+    if quantizers is not None:
+        books, cents = quantizers
+        nd = None
+    elif (idx is not None and idx.get("books") is not None
             and (n_cells is None or idx.get("centroids") is not None)):
         books = idx["books"]
         cents = idx["centroids"] if n_cells is not None else None
@@ -653,7 +720,7 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
     codes = []
     for s, book in enumerate(books):
         sub = f"slice(cv, {s * sub_dim + 1}, {sub_dim})"
-        dists = f"transform({_book_sql(book)}, c -> {_l2sq('c', sub)})"
+        dists = f"transform({_book_sql(book, nd)}, c -> {_l2sq('c', sub)})"
         codes.append(let_expr(
             dists, "ds", "cast(array_position(ds, array_min(ds)) as int)"))
     c = (corpus.select("c_id", as_double("c_vec").alias("cv"))
@@ -664,7 +731,8 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
     tabs = []
     for s, book in enumerate(books):
         sub = f"slice(qv, {s * sub_dim + 1}, {sub_dim})"
-        tabs.append(f"transform({_book_sql(book)}, c -> {_l2sq('c', sub)})")
+        tabs.append(f"transform({_book_sql(book, nd)}, "
+                    f"c -> {_l2sq('c', sub)})")
     q = (queries.select("q_id", as_double("q_vec").alias("qv"))
                 .withColumn("qtabs", F.expr(
                     "array(" + ",".join(tabs) + ")")))
@@ -673,7 +741,7 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
         join_cond = q["q_id"] != c["c_id"]
     else:
         coarse_dim = min(16, dim)
-        cents_sql = _book_sql(cents)
+        cents_sql = _book_sql(cents, nd)
         csub = f"slice(cv, 1, {coarse_dim})"
         qsub = f"slice(qv, 1, {coarse_dim})"
         # corpus cell: L2 argmin over the literal centroid array —
