@@ -219,6 +219,59 @@ def ivf_maint_probe(spark, sf_dir: str, work_dir: str) -> dict:
     return row
 
 
+def bm25_maint_probe(spark, sf_dir: str, work_dir: str) -> dict:
+    """Maintained-BM25 pipeline probe (VERDICT r8 #1's done-criterion):
+    bootstrap the posting/df/scalar tables on a base 2/3 of the
+    documents, drain the remaining third through the maintenance sink
+    (delta appends + file-pruned forward MERGE), then probe the
+    maintained index train-free vs the from-scratch build. Records
+    bootstrap / drain / probe / from-scratch walls and the forward
+    MERGE prune hit at this domain."""
+    import shutil
+
+    from user_behavior_analysis_spark.operators.retrieval import (
+        bm25_index_bootstrap, bm25_maintenance_sink, bm25_probe_topk)
+    from user_behavior_analysis_spark.queries import (
+        _BM25_K, _BM25_N_QUERIES, _bm25_from_docs)
+
+    root = os.path.join(work_dir, "bm25maint")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    row: dict = {"docs": n}
+    # the delta is a contiguous TOP id range — the new-docs-arrive-
+    # with-new-ids ingest model, which is what the range-partitioned
+    # forward table's MERGE pruning is built for (an interleaved
+    # update-everything delta would honestly touch every file)
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.667)")).first()[0]
+    base = docs.where(F.col("doc_id") <= cut)
+    delta = docs.where(F.col("doc_id") > cut)
+    t0 = time.perf_counter()
+    fwd, stats, scalars = bm25_index_bootstrap(spark, root, base)
+    row["bootstrap_s"] = round(time.perf_counter() - t0, 2)
+    n_live = len(fwd.snapshot_files(None))
+    fn = bm25_maintenance_sink(fwd, stats, scalars)
+    t0 = time.perf_counter()
+    fn(delta, 0)
+    row["maint_drain_s"] = round(time.perf_counter() - t0, 2)
+    rewritten = len(fwd._read_manifest(fwd.latest_version())["removed"])
+    row["files_live_before"] = n_live
+    row["merge_prune_hit"] = round(1 - rewritten / max(n_live, 1), 3)
+    assert fwd.read().count() == n
+    qdocs = spark.range(_BM25_N_QUERIES).select(
+        F.col("id").alias("doc_id"))
+    t0 = time.perf_counter()
+    bm25_probe_topk(fwd.read(), stats.read(), scalars.read(), qdocs,
+                    k=_BM25_K) \
+        .write.format("noop").mode("overwrite").save()
+    row["probe_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    _bm25_from_docs(docs).write.format("noop").mode("overwrite").save()
+    row["from_scratch_s"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(root, ignore_errors=True)
+    return row
+
+
 def streaming_spot_check(spark, x10_dir: str, work_dir: str) -> dict:
     """Streaming-parity spot check AT the 10x domain (VERDICT r4 item
     7): replay the 10x events table as 5 time-ordered micro-batches
@@ -368,6 +421,12 @@ def main() -> None:
         "x10": ivf_maint_probe(spark, out_dir, out_dir),
     }
     print(json.dumps({"ivf_maintenance": out["ivf_maintenance"]}),
+          flush=True)
+    out["bm25_maintenance"] = {
+        "sf01": bm25_maint_probe(spark, BASE, out_dir),
+        "x10": bm25_maint_probe(spark, out_dir, out_dir),
+    }
+    print(json.dumps({"bm25_maintenance": out["bm25_maintenance"]}),
           flush=True)
     out["streaming_spot_check"] = streaming_spot_check(
         spark, out_dir, out_dir)

@@ -814,3 +814,19 @@ def test_kmv_day_overlap_bounded_downstream(spark, sf_dir):
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
     assert n_bnlj == len(m), plan  # every BNLJ is the bounded day cross
     assert "BroadcastHashJoin" in plan, plan  # sketch joins stay equi
+
+
+def test_media_neardup_no_pair_distinct_exchange(spark, sf_dir):
+    """media_neardup (r9, VERDICT r8 finding 2): the pair-level
+    distinct() is gone — candidate duplicates collapse inside the
+    doc_a-partitioned ranking window (a lag() sharing the window's
+    exchange + sort), so the plan must contain NO exchange keyed on
+    the (doc_a, doc_b) pair, and the dedup + rank must ride one
+    window partitioning."""
+    plan = plan_of(spark, "media_neardup", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert not re.search(r"hashpartitioning\(doc_a#\d+, doc_b#\d+",
+                         plan), plan
+    # both window passes (lag dedup + row_number rank) must appear,
+    # keyed on doc_a alone
+    assert plan.count("Window") >= 2 or "RunningWindowFunction" in plan

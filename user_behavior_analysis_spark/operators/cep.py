@@ -126,3 +126,119 @@ def followed_by_with_timeout(df: DataFrame, key: str, ts_col: str,
              .otherwise(F.lit("payed but already timeout")))
         .select(key, "create_ts", "pay_ts", "status")
     )
+
+
+# --- declarative pattern compiler (round 9, VERDICT r8 #4) -------------------
+
+class PatternStep:
+    """One step of a declarative CEP pattern: a ``name`` (labels the
+    output timestamp column ``<name>_ts``), a boolean ``predicate``
+    Column over the input's columns, and the step's ``contiguity``
+    relative to the PREVIOUS matched event — ``"strict"`` (Flink
+    ``next``: the immediately following event on the key must match)
+    or ``"relaxed"`` (Flink ``followedBy``: the FIRST event at or
+    after the previous match's time). Contiguity is ignored on the
+    anchor (first) step."""
+
+    __slots__ = ("name", "predicate", "contiguity")
+
+    def __init__(self, name: str, predicate, contiguity: str = "relaxed"):
+        if contiguity not in ("strict", "relaxed"):
+            raise ValueError(f"contiguity must be strict|relaxed: "
+                             f"{contiguity}")
+        self.name, self.predicate = name, predicate
+        self.contiguity = contiguity
+
+
+def match_pattern(df: DataFrame, key: str, ts_col: str,
+                  steps: list, within_s: int,
+                  anchor: str = "each",
+                  tiebreak: list[str] | None = None) -> DataFrame:
+    """Compile a declarative step pattern to the engine's lag/window +
+    conditional-min-aggregation SQL — the generalization the
+    reference hard-codes twice (strict-next 2-fails,
+    login-fail-detect/.../LoginFailWithCep.scala:50-57; followedBy
+    within timeout, order-pay-detect/.../OrderTimeout.scala:50-56).
+    ``login_fail_cep`` and ``order_timeout`` re-express through this
+    compiler with their oracles unchanged (hash-pinned), plus the
+    3-step funnel query it makes possible (``funnel_cep``).
+
+    Semantics (earliest-match): anchors are step-1 matches — every one
+    (``anchor='each'``, Flink's default) or only the per-key earliest
+    (``anchor='first'``, the reference's keyed-singleton shape). Each
+    later step matches the FIRST qualifying event: strict → the row at
+    the previous match's position + 1 (contiguity is positional, over
+    THIS df's rows); relaxed → minimum event time >= the previous
+    match's time (ties to the earlier position — deterministic given a
+    ``tiebreak`` column list whenever ``ts_col`` can tie per key).
+    Steps match greedily-earliest regardless of ``within_s``; the
+    whole-match span is checked at the END (``matched`` = every step
+    present AND last_ts - first_ts <= within_s), so a late completion
+    is distinguishable from a missing one — the reference's
+    'payed but already timeout' vs 'timeout' channels.
+
+    Output: one row per anchor with ``<name>_ts`` (epoch-second long,
+    null where the chain died), ``span_s``, and ``matched``. Timeout
+    channels are ``matched = false`` rows — the caller routes.
+
+    Scale shape: every join and aggregation keys on ``key`` (one
+    shuffle family); strict steps are position-equi joins; a relaxed
+    step fans out anchors x per-key candidates before its min-reduce —
+    the same per-key state the reference's CEP NFA holds, made
+    explicit. The base relation (positions + per-step predicate bits)
+    is computed once and checkpointed — k downstream branches must not
+    re-scan the source (the kmv checkpoint-once precedent)."""
+    if len(steps) < 2:
+        raise ValueError("a pattern needs >= 2 steps")
+    if anchor not in ("each", "first"):
+        raise ValueError(f"anchor must be each|first: {anchor}")
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    base = (df.withColumn("_pos", F.row_number().over(w))
+              .select(F.col(key).alias("_k"),
+                      F.col(ts_col).cast("long").alias("_ts"), "_pos",
+                      *[s.predicate.alias(f"_m{i}")
+                        for i, s in enumerate(steps)])
+              .localCheckpoint(eager=True))
+    n0 = f"{steps[0].name}_ts"
+    cur = (base.where(F.col("_m0"))
+               .select("_k", F.col("_pos").alias("p0"),
+                       F.col("_ts").alias(n0)))
+    if anchor == "first":
+        cur = (cur.groupBy("_k")
+                  .agg(F.min(F.struct(F.col(n0), F.col("p0")))
+                        .alias("_a"))
+                  .select("_k", F.col("_a.p0").alias("p0"),
+                          F.col(f"_a.{n0}").alias(n0)))
+    for i, step in enumerate(steps[1:], start=1):
+        ni = f"{step.name}_ts"
+        r = (base.where(F.col(f"_m{i}"))
+                 .select(F.col("_k").alias("_rk"),
+                         F.col("_pos").alias("_rp"),
+                         F.col("_ts").alias("_rt")))
+        prev_p, prev_t = f"p{i-1}", f"{steps[i-1].name}_ts"
+        if step.contiguity == "strict":
+            cur = (cur.join(r, (cur["_k"] == r["_rk"])
+                            & (r["_rp"] == cur[prev_p] + 1), "left")
+                      .drop("_rk")
+                      .withColumnRenamed("_rp", f"p{i}")
+                      .withColumnRenamed("_rt", ni))
+        else:
+            grp = list(cur.columns)
+            j = cur.join(r, (cur["_k"] == r["_rk"])
+                         & (r["_rt"] >= cur[prev_t]), "left")
+            cur = (j.groupBy(*grp)
+                    .agg(F.min(F.when(F.col("_rp").isNotNull(),
+                                      F.struct(F.col("_rt"),
+                                               F.col("_rp"))))
+                          .alias("_s"))
+                    .select(*grp, F.col("_s._rp").alias(f"p{i}"),
+                            F.col("_s._rt").alias(ni)))
+    last = f"{steps[-1].name}_ts"
+    span = F.col(last) - F.col(n0)
+    return (cur.withColumn("span_s", span)
+               .withColumn("matched",
+                           F.col(f"p{len(steps)-1}").isNotNull()
+                           & (span <= within_s))
+               .withColumnRenamed("_k", key)
+               .drop(*[f"p{i}" for i in range(len(steps))]))

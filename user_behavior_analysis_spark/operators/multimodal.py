@@ -223,12 +223,19 @@ def media_neardup_topk(df: DataFrame, id_col: str, payload_col: str,
                  Window.partitionBy("tab", "bucket").orderBy("doc_id")))
                  .where(F.col("rn") <= bucket_cap).drop("rn"))
     a, b = bkts.alias("a"), build.hint("shuffle_hash").alias("b")
+    # NO pair-level distinct (round 9, VERDICT r8 finding 2): a pair
+    # colliding in several tables rides to scoring duplicated (<=
+    # n_tables copies of a 2-column row; the score per copy is
+    # identical, a map-side expression), and the duplicates collapse
+    # inside the SAME doc_a-partitioned window the ranking already
+    # pays — a lag() pass over the identical (cos, doc_b) sort order,
+    # so dedup + rank share one exchange + one sort instead of adding
+    # a pair-keyed exchange of the widest relation before scoring.
     pairs = (a.join(b, (F.col("a.tab") == F.col("b.tab"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.doc_id") != F.col("b.doc_id")))
               .select(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-              .distinct())
+                      F.col("b.doc_id").alias("doc_b")))
     fa = feats.select(F.col("doc_id").alias("doc_a"),
                       F.col("hv").alias("ha"), F.col("sha").alias("sha_a"),
                       F.col("n2").alias("na2"))
@@ -243,7 +250,13 @@ def media_neardup_topk(df: DataFrame, id_col: str, payload_col: str,
                        "(acc, x) -> acc + x) / sqrt(na2 * nb2)"))
                    .withColumn("exact_dup", F.col("sha_a") == F.col("sha_b")))
     w = Window.partitionBy("doc_a").orderBy(F.desc("cos"), F.asc("doc_b"))
-    return (scored.withColumn("rn", F.row_number().over(w))
+    # duplicates of a pair share (cos, doc_b), so they are adjacent in
+    # the window order: keep the first, rank what survives — both
+    # window functions reuse one exchange + sort
+    return (scored.withColumn("_dup", F.lag("doc_b").over(w))
+                  .where(F.col("_dup").isNull()
+                         | (F.col("_dup") != F.col("doc_b")))
+                  .withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") <= k)
                   .select("doc_a", "doc_b", "cos", "exact_dup",
                           F.col("rn").cast("int").alias("rn")))

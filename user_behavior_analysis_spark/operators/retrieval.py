@@ -132,17 +132,21 @@ def explode_postings(fwd: DataFrame) -> DataFrame:
 
 def bm25_index_bootstrap(spark: SparkSession, root: str,
                          docs: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text"):
+                         text_col: str = "text", n_files: int = 16):
     """Create the three index TxTables from a base corpus (the batch
     bootstrap; the IVF train-on-base analog). The base's df counts ARE
     its deltas from empty, recorded at epoch -1 so stream epochs
-    (>= 0) stay monotonic for the txn markers. Returns (fwd, stats,
-    scalars)."""
+    (>= 0) stay monotonic for the txn markers. The forward table is
+    RANGE-partitioned on doc_id so a delta touching a narrow id range
+    (new documents arrive with new ids) rewrites only the intersecting
+    files — MERGE's min/max pruning needs disjoint per-file key ranges
+    to bite. Returns (fwd, stats, scalars)."""
     import os
 
     from ..tables import TxTable
 
-    fwd_rows = tokenize_postings(docs, id_col, text_col)
+    fwd_rows = tokenize_postings(docs, id_col, text_col) \
+        .repartitionByRange(n_files, "doc_id")
     fwd = TxTable.create(spark, os.path.join(root, "fwd"),
                          fwd_rows, ["doc_id"])
     df0 = (explode_postings(fwd.read())

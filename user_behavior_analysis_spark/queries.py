@@ -375,14 +375,28 @@ WHERE event_type = 'error' AND prev_type = 'error'
 
 @query("login_fail_cep", _LOGIN_FAIL_ORACLE)
 def login_fail_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cep import strict_pair
+    """J5 through the declarative pattern COMPILER (round 9, VERDICT
+    r8 #4): `begin('fail').next('fail').within(t)` as a two-step
+    strict pattern — same oracle, hash-unchanged, proving the compiler
+    reproduces the bespoke ``strict_pair`` operator exactly (the
+    operator itself remains the minimal lag form and is equivalence-
+    pinned in tests)."""
+    from .operators.cep import PatternStep, match_pattern
     logins = _events(spark, sf_dir).where(
         F.col("event_type").isin("error", "signup"))
-    out = strict_pair(logins, "user_id", "ts",
-                      F.col("event_type") == "error", _LOGIN_FAIL_WITHIN_S)
-    return out.withColumn(
-        "warning_msg",
-        F.lit(f"login fail 2 times in {_LOGIN_FAIL_WITHIN_S}s"))
+    fail = F.col("event_type") == "error"
+    m = match_pattern(
+        logins, "user_id", "ts",
+        [PatternStep("first_fail", fail),
+         PatternStep("last_fail", fail, "strict")],
+        within_s=_LOGIN_FAIL_WITHIN_S)
+    return (m.where("matched")
+             .select("user_id",
+                     F.col("first_fail_ts").alias("first_fail"),
+                     F.col("last_fail_ts").alias("last_fail"))
+             .withColumn(
+                 "warning_msg",
+                 F.lit(f"login fail 2 times in {_LOGIN_FAIL_WITHIN_S}s")))
 
 
 # --- J6 generalized: N consecutive fails within T --------------------------
@@ -456,14 +470,99 @@ FROM creates c LEFT JOIN pays p ON c.user_id = p.user_id
 
 @query("order_timeout", _ORDER_TIMEOUT_ORACLE)
 def order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cep import followed_by_with_timeout
+    """J3/J4 through the declarative pattern COMPILER (round 9,
+    VERDICT r8 #4): `begin('create').followedBy('pay').within(t)` with
+    the timeout side channel as an anchor='first' two-step relaxed
+    pattern — same oracle, hash-unchanged. The three reference
+    OrderResult channels map off the compiler's (pay_ts, matched)
+    columns: absent → timeout, matched → success, present-but-late →
+    'payed but already timeout' (OrderTimeout.scala:80,91)."""
+    from .operators.cep import PatternStep, match_pattern
     ev = _events(spark, sf_dir).where(
         F.col("event_type").isin("signup", "purchase"))
-    return followed_by_with_timeout(
+    m = match_pattern(
         ev, "user_id", "ts",
-        begin_flag=F.col("event_type") == "signup",
-        follow_flag=F.col("event_type") == "purchase",
-        within_s=_ORDER_TIMEOUT_S)
+        [PatternStep("create", F.col("event_type") == "signup"),
+         PatternStep("pay", F.col("event_type") == "purchase")],
+        within_s=_ORDER_TIMEOUT_S, anchor="first")
+    return (m.select(
+        "user_id",
+        F.col("create_ts"),
+        F.coalesce(F.col("pay_ts"), F.lit(-1)).alias("pay_ts"),
+        F.when(F.col("pay_ts").isNull(), F.lit("timeout"))
+         .when(F.col("matched"), F.lit("payed successfully"))
+         .otherwise(F.lit("payed but already timeout")).alias("status")))
+
+
+# --- 3-step funnel pattern through the compiler (round 9) -------------------
+# The query the declarative compiler makes possible beyond the
+# reference's two hard-coded shapes: view -> click -> purchase, relaxed
+# contiguity, within 2 days, aggregated per user.
+
+_FUNNEL_CEP_WITHIN_S = 172_800
+
+_FUNNEL_CEP_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), a AS (
+  SELECT user_id, event_id, t AS t0 FROM e WHERE event_type = 'view'
+), s1 AS (
+  SELECT a.user_id, a.event_id, a.t0, min(c.t) AS t1
+  FROM a LEFT JOIN e c
+    ON c.user_id = a.user_id AND c.event_type = 'click'
+       AND c.t >= a.t0
+  GROUP BY 1, 2, 3
+), s2 AS (
+  SELECT s1.user_id, s1.event_id, s1.t0, s1.t1, min(p.t) AS t2
+  FROM s1 LEFT JOIN e p
+    ON p.user_id = s1.user_id AND p.event_type = 'purchase'
+       AND s1.t1 IS NOT NULL AND p.t >= s1.t1
+  GROUP BY 1, 2, 3, 4
+)
+SELECT user_id,
+       COUNT(*) AS n_views,
+       CAST(SUM(CASE WHEN t2 IS NOT NULL
+                      AND t2 - t0 <= {_FUNNEL_CEP_WITHIN_S}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       COALESCE(MIN(CASE WHEN t2 IS NOT NULL
+                          AND t2 - t0 <= {_FUNNEL_CEP_WITHIN_S}
+                         THEN t2 - t0 END), -1) AS min_span_s
+FROM s2 GROUP BY user_id
+"""
+
+
+@query("funnel_cep", _FUNNEL_CEP_ORACLE)
+def funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step relaxed CEP funnel (view → click → purchase within 2
+    days) per user — the NEW pattern shape the round-9 declarative
+    compiler buys beyond the reference's two hard-coded dataflows
+    (VERDICT r8 #4's done-criterion): earliest-match per view anchor,
+    relaxed (followedBy) contiguity, whole-match span bound checked at
+    the end, aggregated to per-user funnel stats (anchor count,
+    in-window completions, fastest completion).
+
+    100 TB shape: everything the compiler emits shuffles on user_id
+    only; each relaxed step is anchors × per-key candidates before a
+    min-reduce — per-key state identical to a CEP NFA's, made
+    explicit. All output columns are integers (epoch-second spans,
+    counts), so the oracle is hash-exact."""
+    from .operators.cep import PatternStep, match_pattern
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("view", "click", "purchase"))
+    m = match_pattern(
+        ev, "user_id", "ts",
+        [PatternStep("view", F.col("event_type") == "view"),
+         PatternStep("click", F.col("event_type") == "click"),
+         PatternStep("buy", F.col("event_type") == "purchase")],
+        within_s=_FUNNEL_CEP_WITHIN_S, tiebreak=["event_id"])
+    return (m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(F.when(F.col("matched"), 1).otherwise(0))
+         .cast("long").alias("n_matched"),
+        F.coalesce(F.min(F.when(F.col("matched"), F.col("span_s"))),
+                   F.lit(-1)).cast("long").alias("min_span_s")))
 
 
 # --- J1: TxMatchByJoin — event-time interval join --------------------------
@@ -5672,10 +5771,15 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_ND_K, _MEDIA_ND_TABLES, _MEDIA_ND_PLANES = 3, 4, 8
 _MEDIA_ND_CAP, _MEDIA_ND_SEED = 64, 11
 
-_MEDIA_NEARDUP_ORACLE = f"""
-WITH ch AS (
+def _media_neardup_oracle(src: str = "documents",
+                          prelude: str = "") -> str:
+    """The media near-dup oracle body over any (doc_id, text) source
+    relation — ``prelude`` prepends extra CTEs (the round-9 mixed-
+    format query synthesizes its corpus in one)."""
+    return f"""
+WITH {prelude}ch AS (
   SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin
-  FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
+  FROM {src}, unnest(range(1, len(text) + 1)) AS r(i)
 ), hcnt AS (
   SELECT doc_id, bin, COUNT(*) AS cnt FROM ch GROUP BY doc_id, bin
 ), hvec AS (
@@ -5689,7 +5793,7 @@ WITH ch AS (
   SELECT v.doc_id, v.hv,
          list_sum([v.hv[i] * v.hv[i] FOR i IN range(1, 17)]) AS n2,
          sha256(d.text) AS sha
-  FROM hvec v JOIN documents d USING (doc_id)
+  FROM hvec v JOIN {src} d USING (doc_id)
 ), pw AS (
   SELECT t.range AS tab, p.range AS p, dd.range AS d,
          CAST(('0x' || substr(md5(
@@ -5738,6 +5842,9 @@ FROM rk WHERE rn <= {_MEDIA_ND_K}
 """
 
 
+_MEDIA_NEARDUP_ORACLE = _media_neardup_oracle()
+
+
 @query("media_neardup", _MEDIA_NEARDUP_ORACLE)
 def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free multimodal near-dup (VERDICT r7 #5): per-payload
@@ -5756,6 +5863,67 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     return media_neardup_topk(docs, "doc_id", "payload", k=_MEDIA_ND_K,
                               n_tables=_MEDIA_ND_TABLES,
+                              n_planes=_MEDIA_ND_PLANES,
+                              bucket_cap=_MEDIA_ND_CAP,
+                              seed=_MEDIA_ND_SEED)
+
+
+#: in-query mixed-format synthesis (round 9, VERDICT r8 #5 — the
+#: line_dedup in-query-synthesis precedent): deterministic format by
+#: doc_id % 3, each with a magic-byte prefix AND a format-specific byte
+#: DISTRIBUTION (lowercase text / uppercase "image" / digit "binary"),
+#: so the 16-bin histograms occupy different bins and cross-format
+#: cosine collapses while within-format near-dups stay retrievable.
+#: Pure ASCII transforms (upper/translate) so chars == bytes and the
+#: oracle's per-character ord() remains the byte histogram.
+_MEDIA_MIX_TRANSLATE_FROM = "abcdefghijklmnopqrstuvwxyz"
+_MEDIA_MIX_TRANSLATE_TO = "01234567890123456789012345"
+
+_MEDIA_MIX_PRELUDE = f"""syn AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'TXT0' || text
+           WHEN 1 THEN 'IMG1' || upper(text)
+           ELSE 'NUM2' || translate(text,
+                '{_MEDIA_MIX_TRANSLATE_FROM}',
+                '{_MEDIA_MIX_TRANSLATE_TO}')
+         END AS text
+  FROM documents
+), """
+
+_MEDIA_MIX_ORACLE = _media_neardup_oracle("syn", _MEDIA_MIX_PRELUDE)
+
+
+@query("media_mixed_neardup", _MEDIA_MIX_ORACLE)
+def media_mixed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free near-dup on a HETEROGENEOUS media corpus (round 9,
+    VERDICT r8 #5): three synthesized formats per doc_id % 3 — raw
+    text, an uppercase-alphabet "image" family, a digit-alphabet
+    "binary" family — each with a magic prefix, so the byte-histogram
+    screen faces exactly the mixed-format population it exists for
+    (the registered ``media_neardup`` runs on the single-format corpus
+    where the docstring concedes the signal is weak). Same operator,
+    same LSH/cap/cosine pipeline, fully hash-oracled: the synthesis is
+    ASCII-pure (upper/translate), so DuckDB replays payload bytes,
+    histograms, hyperplanes, and ranking bit-for-bit. Cross-format
+    separation + within-format planted retrieval are pinned in
+    tests/test_operators.py."""
+    from .operators.multimodal import media_neardup_topk
+    d = load_table(spark, sf_dir, "documents")
+    fmt = (F.col("doc_id") % 3).cast("int")
+    syn = d.select(
+        "doc_id",
+        F.when(fmt == 0, F.concat(F.lit("TXT0"), F.col("text")))
+         .when(fmt == 1, F.concat(F.lit("IMG1"), F.upper("text")))
+         .otherwise(F.concat(F.lit("NUM2"),
+                             F.translate("text",
+                                         _MEDIA_MIX_TRANSLATE_FROM,
+                                         _MEDIA_MIX_TRANSLATE_TO)))
+         .alias("text"))
+    payloads = syn.select("doc_id",
+                          F.encode("text", "UTF-8").alias("payload"))
+    return media_neardup_topk(payloads, "doc_id", "payload",
+                              k=_MEDIA_ND_K, n_tables=_MEDIA_ND_TABLES,
                               n_planes=_MEDIA_ND_PLANES,
                               bucket_cap=_MEDIA_ND_CAP,
                               seed=_MEDIA_ND_SEED)
@@ -7531,6 +7699,32 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every round by scripts/full_correctness.py (all entries, same comparison).
 # ---------------------------------------------------------------------------
 
+#: names with a green row in CORRECTNESS_r08.json (the driver's round-8
+#: newest-50 window: 48 green + the 2 by-design rows-only rows).
+#: ann_ivf_topk was in that window (rows-only) but round 9 re-keyed it
+#: (deterministic sampled quantizer + hash oracle, VERDICT r8 #2) —
+#: dropped so the NEW semantics rotate back into the driver window.
+_R08_DRIVER_VERIFIED = (
+    "media_neardup", "kmv_day_overlap", "neardup_triangles_capped",
+    "neardup_triangles", "rrf_fusion", "benchmark_decontam",
+    "bm25_topk", "ann_lsh_topk", "dedup_ngram_jaccard",
+    "scd2_dimension", "sequence_pack", "txtable_change_feed",
+    "txtable_version_diff", "knn_join", "semantic_dedup_clusters",
+    "embedding_neardup", "dedup_keep_best", "uv_sketch_rollup",
+    "txtable_merge_snapshot", "line_dedup", "concurrent_sessions",
+    "segment_revenue_salted", "quality_weighted_sample",
+    "signups_hourly_gapfilled", "incremental_dedup", "zorder_layout",
+    "setjoin_allpairs", "semantic_diversity_sample",
+    "temperature_mix_weights", "histogram_quantiles",
+    "price_band_revenue", "lm_bigram_surprisal", "context_chunks",
+    "paragraph_dedup", "customer_spend_deciles",
+    "discount_quantity_corr", "bilateral_trade", "funnel_steps",
+    "label_centroid_report", "tokenizer_fertility", "lang_id_confusion",
+    "revenue_trend", "data_quality_report", "ab_test_conversion",
+    "rfm_segments", "heavy_hitters_cms", "curation_pipeline",
+    "media_resize_plan", "media_byte_histogram",
+)
+
 #: names with a green row in CORRECTNESS_r06.json (the driver's round-6
 #: newest-50 window: 49 green + uv_sketch_rollup's by-design rows-only
 #: row). scd2_dimension was green there but its version/valid_to
@@ -7653,7 +7847,10 @@ _R03_DRIVER_VERIFIED = (
     # df-capped dedup_ngram_jaccard candidates — new semantics rotate
     # back into the driver window.
     "cohort_retention", "part_pagerank", "basket_pairs",
-    "ann_pq_topk", "props_key_stats",
+    # ann_pq_topk dropped in round 9: deterministic sampled quantizers
+    # + widened shortlist (rerank 512 / n_probe 12) + hash oracle — the
+    # NEW semantics rotate back into the driver window.
+    "props_key_stats",
     "last_touch_attribution", "cross_source_contamination",
     "tfidf_top_terms", "stratified_split_sample", "corpus_heavy_hitters",
     "lapsed_rich_customers", "sole_return_supplier", "disjunctive_revenue",
@@ -7698,11 +7895,13 @@ def _reorder_for_driver() -> None:
     # never the queries added this round.
     verified = (set(_R02_DRIVER_VERIFIED) | set(_R03_DRIVER_VERIFIED)
                 | set(_R04_DRIVER_VERIFIED) | set(_R05_DRIVER_VERIFIED)
-                | set(_R06_DRIVER_VERIFIED) | set(_R07_DRIVER_VERIFIED))
+                | set(_R06_DRIVER_VERIFIED) | set(_R07_DRIVER_VERIFIED)
+                | set(_R08_DRIVER_VERIFIED))
     fresh = [n for n in QUERIES if n not in verified][::-1]
     seen = set(fresh)
     ordered_verified = []
-    for tup in (_R07_DRIVER_VERIFIED, _R06_DRIVER_VERIFIED,
+    for tup in (_R08_DRIVER_VERIFIED, _R07_DRIVER_VERIFIED,
+                _R06_DRIVER_VERIFIED,
                 _R05_DRIVER_VERIFIED, _R04_DRIVER_VERIFIED,
                 _R03_DRIVER_VERIFIED, _R02_DRIVER_VERIFIED):
         for n in tup:
