@@ -2087,3 +2087,104 @@ def test_kmv_rollup_table_parity_and_collapse(spark, sf_dir,
         spark.createDataFrame([(0,)], "user_id long").withColumn(
             "ts", F.timestamp_seconds(F.lit(0))), last_epoch)
     assert t.latest_version() == v
+
+
+def test_pattern_stream_matches_batch_compiler(spark, sf_dir,
+                                               split_events_dir):
+    """The streaming NFA backend of the round-9 pattern compiler must
+    emit EXACTLY the batch compiler's matched rows — for a 3-step
+    relaxed funnel AND for the strict login pair — when the stream
+    replays the events table in time-ordered micro-batches (the
+    replay harness every parity test here uses)."""
+    from user_behavior_analysis_spark.operators.cep import (
+        PatternStep, match_pattern)
+    from user_behavior_analysis_spark.streaming.stateful import (
+        pattern_stream)
+
+    cases = [
+        ("funnel",
+         ["view", "click", "purchase"],
+         [PatternStep("v", F.col("event_type") == "view"),
+          PatternStep("c", F.col("event_type") == "click"),
+          PatternStep("p", F.col("event_type") == "purchase")],
+         172_800, "each"),
+        ("strictpair",
+         ["error", "signup"],
+         [PatternStep("a", F.col("event_type") == "error"),
+          PatternStep("b", F.col("event_type") == "error", "strict")],
+         1800, "each"),
+        ("firstanchor",
+         ["signup", "purchase"],
+         [PatternStep("create", F.col("event_type") == "signup"),
+          PatternStep("pay", F.col("event_type") == "purchase")],
+         604_800, "first"),
+    ]
+    for label, types, steps, within, anchor in cases:
+        src = stream_events(spark, split_events_dir).where(
+            F.col("event_type").isin(*types))
+        got = run_stream(
+            spark, pattern_stream(src, "user_id", "ts", steps, within,
+                                  anchor=anchor),
+            "append", f"pat_{label}")
+        got = got[got["matched"]]
+        batch = (match_pattern(
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_type").isin(*types)),
+            "user_id", "ts", steps, within, anchor=anchor)
+            .where("matched").toPandas())
+        ts_cols = [f"{s.name}_ts" for s in steps]
+        g = sorted(map(tuple, got[["user_id"] + ts_cols].values.tolist()))
+        b = sorted(map(tuple, batch[["user_id"] + ts_cols]
+                       .values.tolist()))
+        assert g == b, (label, len(g), len(b))
+        assert len(g) > 0 or label == "strictpair", label
+
+
+def test_pattern_stream_timeout_channel(spark, tmp_path):
+    """emit_timeouts=True: a partial whose anchor ages past within_s
+    emits a matched=false row with -1 for the missing steps when a
+    newer row arrives — the reference's timeout side output
+    (OrderTimeout.scala:80), generalized. (The drain-END group-timer
+    path exists for continuous streams but is deliberately NOT
+    exercised under availableNow: pending processing-time timers make
+    the drain spin no-data cleanup batches — the pattern_stream
+    docstring's caveat — so the fixture completes every expiry
+    inline and one matched pair proves the armed-timer path clears.)"""
+    from user_behavior_analysis_spark.operators.cep import PatternStep
+    from user_behavior_analysis_spark.streaming.stateful import (
+        pattern_stream)
+    d = tmp_path / "pat_to"
+    d.mkdir()
+    # A@0 expires inline when A@100 arrives; A@100 -> B@101 completes
+    # (clearing all state so the drain terminates promptly)
+    pd.DataFrame({"user_id": [1, 1, 1], "t": [0, 100, 101],
+                  "event_type": ["A", "A", "B"]}).to_parquet(
+        d / "part-000.parquet", index=False)
+    schema = spark.read.parquet(str(d)).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d))
+           .withColumn("ts", F.timestamp_seconds("t")))
+    steps = [PatternStep("a", F.col("event_type") == "A"),
+             PatternStep("b", F.col("event_type") == "B")]
+    # poll-and-stop instead of run_stream: under the
+    # ProcessingTimeTimeout conf Spark unconditionally schedules
+    # another batch (shouldRunAnotherBatch), so an availableNow drain
+    # never self-terminates — the emit_timeouts=False path avoids this
+    # by running under NoTimeout (see pattern_stream)
+    import time
+    q = (pattern_stream(src, "user_id", "ts", steps, within_s=2,
+                        emit_timeouts=True)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("pat_to").trigger(availableNow=True).start())
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) FROM pat_to").first()[0] >= 2:
+                break
+            time.sleep(2)
+        got = spark.sql("SELECT * FROM pat_to").toPandas()
+    finally:
+        q.stop()
+    rows = sorted(map(tuple, got[["user_id", "a_ts", "b_ts",
+                                  "matched"]].values.tolist()))
+    assert rows == [(1, 0, -1, False), (1, 100, 101, True)], rows
