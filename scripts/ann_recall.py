@@ -33,7 +33,7 @@ from user_behavior_analysis_spark.session import get_spark  # noqa: E402
 #: IVF 0.7→0.8, LSH 0.2→0.9 (measured 0.92-1.0 whole-set at both SFs);
 #: IVF-PQ keeps 0.7 (ADC quantization noise on near-random embeddings
 #: dominates). r9: both IVF and PQ moved to DETERMINISTIC sampled
-#: quantizers (hash-oracled); PQ's shortlist widened rerank 256→512 /
+#: quantizers (hash-oracled); PQ's shortlist widened rerank 256→768 /
 #: n_probe 10→12 to absorb the extra sampled-codebook ADC noise
 #: (sf0.1 200-query p10 0.4→0.8).
 THRESHOLDS = {
@@ -101,7 +101,7 @@ def distribution_and_curve(spark, sf_dir: str, n_queries: int = 200,
         ("ann_ivf_topk", lambda: ivf_probe_topk(
             q, assigned, cents, k=k, n_probe=_ivf_n_probe(8))),
         ("ann_pq_topk", lambda: pq_topk(q, c, k=k, m=8, n_centroids=32,
-                                        rerank=512, n_cells=16,
+                                        rerank=768, n_cells=16,
                                         n_probe=12, quantizers=qz)),
         ("ann_lsh_topk", lambda: rp_lsh_topk(q, c, k=k,
                                              multiprobe_radius=1)),
@@ -120,7 +120,7 @@ def distribution_and_curve(spark, sf_dir: str, n_queries: int = 200,
             **_pct(_per_query_recall(truth, got, k))})
     for n_probe in (1, 2, 4, 12, 16):
         t0 = _t.perf_counter()
-        got = pq_topk(q, c, k=k, m=8, n_centroids=32, rerank=512,
+        got = pq_topk(q, c, k=k, m=8, n_centroids=32, rerank=768,
                       n_cells=16, n_probe=n_probe,
                       quantizers=qz).toPandas()
         curve["ivf_pq"].append({

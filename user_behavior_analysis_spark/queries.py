@@ -4099,7 +4099,7 @@ WITH h AS (
     SELECT *, row_number() OVER (PARTITION BY q_id
                                  ORDER BY adc, c_id) AS arank
     FROM adc)
-  WHERE arank <= 512
+  WHERE arank <= 768
 ), rer AS (
   SELECT q_id, c_id, {_cos_sql('qe', 'ce')} AS cos FROM shortlist
 ), ranked AS (
@@ -4139,9 +4139,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode, cell probing, ADC shortlisting, and the exact re-rank
     bit-for-bit from the same parquet floats. Sampled codebooks carry
     more ADC noise than Lloyd's, so the shortlist/probe widened
-    rerank 256→512 and n_probe 10→12 (measured at sf0.1, 200 queries:
-    p10 0.4→0.8, mean 0.76→0.89 — rerank cost is 512 exact cosines
-    per query, still candidate-bounded)."""
+    rerank 256→768 and n_probe 10→12 (measured at sf0.1, 200 queries:
+    p10 0.4→0.8, mean 0.76→0.94, full-probe saturation 0.96 — rerank
+    cost is 768 exact cosines per query, still candidate-bounded)."""
     from .operators.similarity import (pq_topk, resolve_ivf_index,
                                        sampled_pq_quantizers)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4154,7 +4154,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if idx is None or idx.get("books") is None:
         qz = sampled_pq_quantizers(c, "c_id", "c_vec", m=8,
                                    n_centroids=32, dim=64, n_cells=16)
-    out = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=512,
+    out = pq_topk(q, c, k=5, m=8, n_centroids=32, rerank=768,
                   n_cells=16, n_probe=12,
                   index_name=f"embeddings_pq:{sf_dir}",
                   quantizers=qz)
