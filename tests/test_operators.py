@@ -2208,6 +2208,98 @@ def test_uv_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
             (day, est, exact[day])
 
 
+def test_asof_join_last_semantics(spark):
+    """Pins the as-of contract on a constructed timeline: latest
+    right row at-or-before each left row wins (equal ts INCLUDED),
+    ties at equal ts elect the largest payload tuple, left rows with
+    no preceding right row come back NULL (left-outer), and right
+    rows after the left ts never leak backwards."""
+    from user_behavior_analysis_spark.operators.joins import asof_join_last
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 5, 102), (3, 50, 103)],
+        "k long, ts_s long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 10, 901),   # tie at ts=10 -> 901 wins
+         (1, 20, 902), (1, 30, 903),   # 30 is after left ts=25
+         (2, 9, 904)],                 # after left ts=5 -> NULL
+        "k long, ts_s long, rid long")
+    out = {r["lid"]: r["rid"] for r in asof_join_last(
+        left, right, keys=["k"], ts_col="ts_s",
+        payload_cols=["rid"]).collect()}
+    assert out == {100: 901, 101: 902, 102: None, 103: None}, out
+
+
+def test_hll_det_register_merge_is_lossless(spark, sf_dir):
+    """The deterministic-HLL twin's serving claim: the period register
+    relation computed DIRECTLY over the whole period is bit-for-bit the
+    MAX-merge of the daily register relations (max is associative/
+    commutative/idempotent), so coarser rollups never need the facts."""
+    from user_behavior_analysis_spark.operators.distinct import (
+        hll_det_registers)
+    from user_behavior_analysis_spark.sources import load_table
+
+    pv = load_table(spark, sf_dir, "events").where(
+        F.lower("event_type") == "view").select(
+        (F.col("ts").cast("long") - (F.col("ts").cast("long") % 86400))
+        .alias("day_start"), "user_id")
+    daily = hll_det_registers(pv, ["day_start"], "user_id")
+    merged = {r["idx"]: r["m_reg"] for r in
+              daily.groupBy("idx").agg(F.max("m_reg").alias("m_reg"))
+                   .collect()}
+    direct = {r["idx"]: r["m_reg"] for r in
+              hll_det_registers(pv.withColumn("one", F.lit(1)),
+                                ["one"], "user_id").collect()}
+    assert merged == direct
+
+
+def test_hll_det_estimates_accurate_and_branches_engage(spark, sf_dir):
+    """Accuracy bounds for the hash-oracled deterministic HLL (the gate
+    proves determinism; THIS pins quality): hourly and rollup estimates
+    within 15% of the exact distinct (m=512 -> rsd ~4.6%, linear
+    counting below 2.5m), plus constructed populations pinning each
+    estimator branch — a tiny set rides linear counting near-exactly,
+    a 50k-cardinality set crosses into the raw-HLL branch and stays
+    inside 3x rsd."""
+    from user_behavior_analysis_spark.operators.distinct import (
+        hll_det_estimate, hll_det_registers)
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.sources import load_table
+
+    pv = load_table(spark, sf_dir, "events").where(
+        F.lower("event_type") == "view")
+    exact_h = {(r["ws"]): r["uv"] for r in pv.select(
+        (F.col("ts").cast("long") - (F.col("ts").cast("long") % 3600))
+        .alias("ws"), "user_id").groupBy("ws")
+        .agg(F.count_distinct("user_id").alias("uv")).collect()}
+    for r in QUERIES["uv_hll_det_hourly"](spark, sf_dir).collect():
+        true = exact_h[r["window_start"]]
+        assert abs(r["uv_est"] - true) <= max(2, 0.15 * true), \
+            (r["window_start"], r["uv_est"], true)
+
+    exact_d = {r["day_start"]: r["uv"] for r in pv.select(
+        (F.col("ts").cast("long") - (F.col("ts").cast("long") % 86400))
+        .alias("day_start"), "user_id").groupBy("day_start")
+        .agg(F.count_distinct("user_id").alias("uv")).collect()}
+    exact_d[-1] = pv.agg(F.count_distinct("user_id")).first()[0]
+    for r in QUERIES["uv_hll_det_rollup"](spark, sf_dir).collect():
+        true = exact_d[r["day_start"]]
+        assert abs(r["uv_est"] - true) <= max(2, 0.15 * true), \
+            (r["day_start"], r["uv_est"], true)
+
+    # branch pins: 5 distinct -> linear counting, near-exact
+    tiny = spark.range(1, 6).selectExpr("1 AS g", "id AS uid")
+    est5 = hll_det_estimate(
+        hll_det_registers(tiny, ["g"], "uid"), ["g"]).first()["uv_est"]
+    assert 3 <= est5 <= 7, est5
+    # 50k distinct -> raw branch (est > 2.5m = 1280), within 3x rsd
+    big = spark.range(1, 50001).selectExpr("1 AS g", "id AS uid")
+    est50k = hll_det_estimate(
+        hll_det_registers(big, ["g"], "uid"), ["g"]).first()["uv_est"]
+    assert est50k > 1280, "raw branch did not engage"
+    assert abs(est50k - 50000) <= 0.14 * 50000, est50k
+
+
 def test_dedup_keep_best_elects_quality_not_minid(spark):
     """keep-best vs min-id: in a planted near-dup cluster where the
     LATER doc is longer, keep_best elects the longer one while the

@@ -2009,6 +2009,84 @@ def test_two_level_rollup_epoch_replay_is_noop(spark, sf_dir,
     assert snap() == before
 
 
+def test_hll_det_rollup_table_parity_and_collapse(spark, sf_dir,
+                                                  split_events_dir,
+                                                  tmp_path):
+    """Persisted deterministic-HLL registers: streaming per-epoch
+    register partials appended to a TxTable must MAX-collapse on read
+    to EXACTLY the batch register relation (max of per-epoch maxes ==
+    max over all rows), the register-served estimates must match the
+    registered uv_hll_det_rollup bit-for-bit, physical collapse
+    changes row count but no estimate, and epoch replay is a no-op."""
+    from user_behavior_analysis_spark.operators.distinct import (
+        hll_det_registers)
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.streaming.jobs import (
+        collapse_hll_det_rollup, hll_det_estimates,
+        hll_det_registers_read, hll_det_rollup_sink)
+    from user_behavior_analysis_spark.tables import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "hlldet"),
+        spark.createDataFrame(
+            [], "day_start long, epoch long, idx int, m_reg int"),
+        ["day_start"])
+    ev = stream_events(spark, split_events_dir)
+    q = (ev.writeStream.outputMode("append")
+         .foreachBatch(hll_det_rollup_sink(t))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    # 1. streamed registers == batch registers, bit for bit
+    src = (load_table(spark, sf_dir, "events")
+           .selectExpr("CAST(ts AS LONG) - CAST(ts AS LONG) % 86400 "
+                       "AS day_start", "user_id"))
+    batch_regs = sorted(tuple(r) for r in
+                        hll_det_registers(src, ["day_start"], "user_id")
+                        .collect())
+    stream_regs = sorted(tuple(r) for r in
+                         hll_det_registers_read(t).collect())
+    assert stream_regs == batch_regs
+
+    # 2. register-served estimates == registered rollup query. The
+    #    registered query filters to 'view' events while the sink here
+    #    ingested ALL events, so rebuild the batch answer over the same
+    #    unfiltered facts via a second sink-equivalent: compare to
+    #    estimates computed from batch_regs directly.
+    from user_behavior_analysis_spark.operators.distinct import (
+        hll_det_estimate)
+    regs_df = hll_det_registers(src, ["day_start"], "user_id") \
+        .localCheckpoint(eager=True)
+    per_day = hll_det_estimate(regs_df, ["day_start"], out_col="uv_est")
+    merged = (regs_df.groupBy("idx")
+              .agg(F.max("m_reg").cast("int").alias("m_reg"))
+              .withColumn("day_start", F.lit(-1).cast("long")))
+    batch_est = sorted(tuple(r) for r in per_day.unionByName(
+        hll_det_estimate(merged, ["day_start"], out_col="uv_est"))
+        .collect())
+    served = sorted(tuple(r) for r in hll_det_estimates(t).collect())
+    assert served == batch_est
+
+    # 3. collapse: fewer-or-equal rows, identical estimates
+    n_partials = t.read().count()
+    collapse_hll_det_rollup(t)
+    assert t.read().count() <= n_partials
+    assert t.read().count() == len(stream_regs)
+    assert sorted(tuple(r) for r in
+                  hll_det_estimates(t).collect()) == batch_est
+    assert [h["op"] for h in t.history()][-1] == "replace_where"
+
+    # 4. at-least-once replay of a recorded epoch: marker no-ops
+    v = t.latest_version()
+    last_epoch = max(h["txn_version"] for h in t.history()
+                     if h.get("txn_app") == "uv_hll_det")
+    hll_det_rollup_sink(t)(
+        spark.createDataFrame([(0,)], "user_id long").withColumn(
+            "ts", F.timestamp_seconds(F.lit(0))), last_epoch)
+    assert t.latest_version() == v
+
+
 def test_kmv_rollup_table_parity_and_collapse(spark, sf_dir,
                                               split_events_dir,
                                               tmp_path):

