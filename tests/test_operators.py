@@ -2208,28 +2208,6 @@ def test_uv_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
             (day, est, exact[day])
 
 
-def test_asof_join_last_semantics(spark):
-    """Pins the as-of contract on a constructed timeline: latest
-    right row at-or-before each left row wins (equal ts INCLUDED),
-    ties at equal ts elect the largest payload tuple, left rows with
-    no preceding right row come back NULL (left-outer), and right
-    rows after the left ts never leak backwards."""
-    from user_behavior_analysis_spark.operators.joins import asof_join_last
-
-    left = spark.createDataFrame(
-        [(1, 10, 100), (1, 25, 101), (2, 5, 102), (3, 50, 103)],
-        "k long, ts_s long, lid long")
-    right = spark.createDataFrame(
-        [(1, 10, 900), (1, 10, 901),   # tie at ts=10 -> 901 wins
-         (1, 20, 902), (1, 30, 903),   # 30 is after left ts=25
-         (2, 9, 904)],                 # after left ts=5 -> NULL
-        "k long, ts_s long, rid long")
-    out = {r["lid"]: r["rid"] for r in asof_join_last(
-        left, right, keys=["k"], ts_col="ts_s",
-        payload_cols=["rid"]).collect()}
-    assert out == {100: 901, 101: 902, 102: None, 103: None}, out
-
-
 def test_hll_det_register_merge_is_lossless(spark, sf_dir):
     """The deterministic-HLL twin's serving claim: the period register
     relation computed DIRECTLY over the whole period is bit-for-bit the

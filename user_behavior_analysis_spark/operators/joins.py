@@ -200,59 +200,3 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, *,
         cond = cond & extra_cond
     return lb.join(rb, cond).drop("_oj_b", "_oj_b2")
 
-
-def asof_join_last(left: DataFrame, right: DataFrame, *,
-                   keys: list[str], ts_col: str,
-                   payload_cols: list[str]) -> DataFrame:
-    """Point-in-time (as-of) join, merge-scan formulation: every left
-    row gains the ``payload_cols`` of the LATEST right row with the
-    same ``keys`` and ``right.ts <= left.ts`` (NULLs when no right row
-    precedes it — left-outer semantics).
-
-    The classic formulations explode at scale: a range join is a
-    per-key cross, and "max ts per left row then self-join back"
-    scans the right side twice. This is instead the single-shuffle
-    merge-scan: tag both sides, union, and run one window pass per
-    key ordered by (ts, side, payloads) taking ``last(payload,
-    ignorenulls=True)`` over the unbounded-preceding frame — right
-    rows sort BEFORE left rows at equal ts (asof is <=), and all
-    payload columns are taken from the SAME winning row because they
-    are non-null on exactly the right rows. Cost: one exchange on
-    ``keys`` + one sort, independent of how many right rows precede
-    each left row; skewed keys fall to AQE like any other sort.
-
-    Determinism: among right-side ties at equal ts the ordering by
-    payload columns elects the largest payload tuple; left rows that
-    tie with each other see the same preceding frame of right rows,
-    so their outputs are order-independent.
-
-    ``left`` must not already carry ``payload_cols``; both inputs must
-    share ``keys`` + ``ts_col`` (callers pre-project, the repo's join
-    convention). Streaming twin: ``streaming.stateful`` temporal join.
-    """
-    from pyspark.sql import Window
-
-    extras = [c for c in left.columns
-              if c not in keys and c != ts_col]
-    l_tag = left.select(
-        *keys, ts_col,
-        *[F.col(c) for c in extras],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in payload_cols],
-        F.lit(1).alias("_side"))
-    r_tag = right.select(
-        *keys, ts_col,
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in extras],
-        *[F.col(c) for c in payload_cols],
-        F.lit(0).alias("_side"))
-    w = (Window.partitionBy(*keys)
-               .orderBy(ts_col, "_side", *payload_cols)
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    scan = l_tag.unionByName(r_tag).select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-               for c in payload_cols])
-    out = scan.where(F.col("_side") == 1).drop("_side", *payload_cols)
-    for c in payload_cols:
-        out = out.withColumnRenamed(f"_asof_{c}", c)
-    return out

@@ -661,66 +661,61 @@ def funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(-1)).cast("long").alias("min_span_s")))
 
 
-# --- point-in-time (as-of) join: purchase ← latest preceding view ----------
-# The batch twin of the streaming temporal join (stateful.py): attach to
-# every purchase the user's most recent view at-or-before it — the
-# attribution/state-enrichment primitive (trades-asof-quotes shape). The
-# reference's nearest analogue is the ±bound interval join (J1), which
-# answers "within a band", not "the latest before"; as-of is what a
-# feature-store lookup or last-touch enrichment actually needs.
+# --- point-in-time (as-of) join at ROW grain: purchase ← latest view -------
+# last_touch_attribution exercises operators/asof.py AGGREGATED (per-touch
+# revenue rollup); this is the row-level surface — every purchase row
+# enriched with the latest preceding view and the gap — the shape a
+# feature-store/point-in-time training join actually emits. Oracle is
+# DuckDB's NATIVE ASOF LEFT JOIN: a genuinely independent implementation
+# agreeing row-for-row with the union-tag window build.
 
 _ASOF_ORACLE = """
-WITH p AS (
+WITH v AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         MAX(event_id) AS view_id
+  FROM events WHERE lower(event_type) = 'view'
+  GROUP BY 1, 2
+), p AS (
   SELECT event_id AS purchase_id, user_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
   FROM events WHERE lower(event_type) = 'purchase'
-), v AS (
-  SELECT event_id AS view_id, user_id,
-         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
-  FROM events WHERE lower(event_type) = 'view'
-), u AS (
-  SELECT user_id, ts_s, 1 AS side, purchase_id,
-         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS view_ts
-  FROM p
-  UNION ALL
-  SELECT user_id, ts_s, 0, NULL, view_id, ts_s FROM v
-), scan AS (
-  SELECT *,
-         last_value(view_id IGNORE NULLS) OVER w AS last_view_id,
-         last_value(view_ts IGNORE NULLS) OVER w AS last_view_ts
-  FROM u
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, side, view_id, view_ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT purchase_id, user_id, ts_s AS purchase_ts,
-       last_view_id, last_view_ts,
-       ts_s - last_view_ts AS view_gap_s
-FROM scan WHERE side = 1
+SELECT p.purchase_id, p.user_id, p.ts_s AS purchase_ts,
+       v.view_id AS last_view_id, v.ts_s AS last_view_ts,
+       p.ts_s - v.ts_s AS view_gap_s
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts_s >= v.ts_s
 """
 
 
 @query("purchase_asof_view", _ASOF_ORACLE)
 def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each purchase gains the latest view by the same user
-    at-or-before it (ties at equal second: largest view event_id), NULL
-    when the purchase is the user's first touch. One exchange on
-    user_id + one sort — the merge-scan formulation
-    (operators/joins.py:asof_join_last docstring has the scale
-    argument); the oracle runs the identical union-scan in DuckDB, so
-    every output column is integer-exact."""
-    from .operators.joins import asof_join_last
+    """Row-level as-of join (operators/asof.py): each purchase gains
+    the latest view by the same user at-or-before it plus the gap in
+    seconds; NULLs when the purchase is the user's first touch. The
+    view side is pre-deduped to one row per (user, second) with the
+    max event_id — the operator's documented tie contract, mirrored by
+    the oracle's MAX + native ASOF semantics. One exchange on user_id
+    + one sort (asof_join's union-tag window); every output column is
+    integer-exact, so the native-ASOF oracle is hash-exact at row
+    grain — a stronger independence proof than replaying the same
+    window scan in SQL."""
+    from .operators.asof import asof_join
     ev = _events(spark, sf_dir)
     ts_s = F.col("ts").cast("long")
+    views = (ev.where(F.lower("event_type") == "view")
+               .select("user_id", ts_s.alias("ts_s"), "event_id")
+               .groupBy("user_id", "ts_s")
+               .agg(F.max("event_id").alias("view_id")))
+    views = views.select("user_id", "ts_s", "view_id",
+                         F.col("ts_s").alias("view_ts"))
     purchases = (ev.where(F.lower("event_type") == "purchase")
                    .select("user_id", ts_s.alias("ts_s"),
                            F.col("event_id").alias("purchase_id")))
-    views = (ev.where(F.lower("event_type") == "view")
-               .select("user_id", ts_s.alias("ts_s"),
-                       F.col("event_id").alias("view_id"),
-                       ts_s.alias("view_ts")))
-    out = asof_join_last(purchases, views, keys=["user_id"],
-                         ts_col="ts_s",
-                         payload_cols=["view_id", "view_ts"])
+    out = asof_join(purchases, views,
+                    left_on="user_id", right_on="user_id",
+                    left_ts="ts_s", right_ts="ts_s",
+                    payload=["view_id", "view_ts"])
     return out.select(
         "purchase_id", "user_id", F.col("ts_s").alias("purchase_ts"),
         F.col("view_id").alias("last_view_id"),
