@@ -2208,6 +2208,26 @@ def test_uv_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
             (day, est, exact[day])
 
 
+def test_linear_attribution_conserves_credit(spark, sf_dir):
+    """The integer-cents split's defining property: total credited
+    cents across all touch types == total purchase cents exactly (the
+    remainder policy exists precisely to make division lossless), and
+    the floor-division precondition holds (no negative event values —
+    Spark div truncates while DuckDB // floors, identical only on
+    non-negatives)."""
+    from user_behavior_analysis_spark.queries import _D12, QUERIES
+    from user_behavior_analysis_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert ev.agg(F.min("value")).first()[0] >= 0
+    total_cents = (ev.where(F.col("event_type") == "purchase")
+                     .agg(F.sum((F.col("value").cast(_D12) * 100)
+                                .cast("long"))).first()[0])
+    out = QUERIES["linear_attribution"](spark, sf_dir)
+    credited = out.agg(F.sum("credit_cents")).first()[0]
+    assert credited == total_cents, (credited, total_cents)
+
+
 def test_hll_det_register_merge_is_lossless(spark, sf_dir):
     """The deterministic-HLL twin's serving claim: the period register
     relation computed DIRECTLY over the whole period is bit-for-bit the

@@ -4149,6 +4149,94 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("string").cast("double").alias("total_value")))
 
 
+# --- linear (equal-split) multi-touch attribution ---------------------------
+# The multi-touch complement of last_touch_attribution: every purchase's
+# value, in EXACT INTEGER CENTS, split equally across all of the user's
+# touches (non-purchase events) in a 7-day lookback ending at the
+# purchase. Equal split is irrational in general, so the contract is the
+# deterministic integer policy: each touch gets cents div n, and the
+# FIRST (cents mod n) touches in (ts, event_id) order get one extra cent
+# — total credit per purchase is exactly its cents (conservation pinned
+# in pytest), and every row is integer, so the oracle is hash-exact.
+
+_ATTR_LOOKBACK_S = 604_800
+
+_LINEAR_ATTR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS pts,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tts,
+         event_id AS tid, event_type AS touch_type
+  FROM events WHERE event_type <> 'purchase'
+), j AS (
+  SELECT p.pid, p.cents, t.touch_type, t.tts, t.tid,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY t.tts, t.tid) AS rk,
+         COUNT(t.tid) OVER (PARTITION BY p.pid) AS n
+  FROM p LEFT JOIN t ON t.user_id = p.user_id
+   AND t.tts <= p.pts AND t.tts >= p.pts - {_ATTR_LOOKBACK_S}
+), c AS (
+  SELECT COALESCE(touch_type, 'none') AS touch,
+         CASE WHEN n = 0 THEN cents
+              ELSE cents // n
+                   + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
+         END AS c
+  FROM j
+)
+SELECT touch, COUNT(*) AS n_touchpoints,
+       CAST(SUM(c) AS BIGINT) AS credit_cents
+FROM c GROUP BY touch
+"""
+
+
+@query("linear_attribution", _LINEAR_ATTR_ORACLE)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution per touch type (see the oracle
+    comment for the exact-cents contract; floor division is safe
+    because event values are non-negative — pinned in pytest with the
+    credit-conservation property). Scale shape: the J1 pattern — an
+    equi-join on user_id with the 7-day band as a residual predicate
+    (state never fans out beyond the key match), then one window per
+    purchase whose width is the user's touch count inside the
+    lookback; hot users fall to AQE skew handling like any other
+    user-keyed window. No floats anywhere after the one decimal cast
+    both engines round identically."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    ts_s = F.col("ts").cast("long")
+    p = (ev.where(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("pid"),
+                   F.col("user_id").alias("p_user"),
+                   ts_s.alias("pts"),
+                   (F.col("value").cast(_D12) * 100)
+                   .cast("long").alias("cents")))
+    t = (ev.where(F.col("event_type") != "purchase")
+           .select(F.col("user_id").alias("t_user"), ts_s.alias("tts"),
+                   F.col("event_id").alias("tid"),
+                   F.col("event_type").alias("touch_type")))
+    j = p.join(t, (F.col("t_user") == F.col("p_user"))
+                  & (F.col("tts") <= F.col("pts"))
+                  & (F.col("tts") >= F.col("pts") - _ATTR_LOOKBACK_S),
+               "left")
+    w = Window.partitionBy("pid")
+    wo = w.orderBy("tts", "tid")
+    ranked = j.select(
+        "pid", "cents", "touch_type",
+        F.row_number().over(wo).alias("rk"),
+        F.count("tid").over(w).alias("n"))
+    credit = ranked.selectExpr(
+        "COALESCE(touch_type, 'none') AS touch",
+        "CASE WHEN n = 0 THEN cents "
+        "ELSE cents div n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END "
+        "END AS c")
+    return (credit.groupBy("touch")
+                  .agg(F.count(F.lit(1)).alias("n_touchpoints"),
+                       F.sum("c").cast("long").alias("credit_cents")))
+
+
 # --- JSON property extraction (event payload surface) -----------------------
 
 _PROPS_ORACLE = """
