@@ -127,6 +127,9 @@ SINGLE_PARTITION_OK = {
     "tfidf_top_terms": "1-row corpus-size scalar",
     "disjunctive_revenue": "1-row revenue scalar",
     "promo_revenue": "1-row promo-share scalar",
+    "value_quantile_sketch": "period min-k merge over |days| x k "
+                             "checkpointed sketch rows (<= 4k at 31 "
+                             "days, k=128)",
 }
 
 

@@ -2208,6 +2208,53 @@ def test_uv_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
             (day, est, exact[day])
 
 
+def test_value_quantile_sketch_merge_and_accuracy(spark, sf_dir):
+    """The bottom-k quantile sketch's two claims: (1) the period
+    sample built by min-k UNION of the daily sketches equals the
+    bottom-k over all rows directly (lossless merge — the KMV
+    argument with a value payload), so the period quantiles never
+    need the facts; (2) each sampled quantile sits inside the exact
+    distribution's ±15-rank-point neighborhood (k = 128 -> rank rsd
+    ~4.4% at p50; 15 points is a >3-sigma bound)."""
+    from user_behavior_analysis_spark.functions.text import (
+        md5_prefix_hash)
+    from user_behavior_analysis_spark.operators.topn import (
+        top_n_per_group)
+    from user_behavior_analysis_spark.queries import _QSK_K, QUERIES
+    from user_behavior_analysis_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("ts").cast("long")
+         - (F.col("ts").cast("long") % 86400)).alias("day_start"),
+        md5_prefix_hash(F.col("event_id").cast("string"), seed=37)
+        .alias("h"), "value")
+    daily = top_n_per_group(e, ["day_start"], [F.asc("h")],
+                            n=_QSK_K, rank_col="rk") \
+        .select("h", "value")
+    merged = sorted(tuple(r) for r in
+                    top_n_per_group(daily.withColumn("g", F.lit(1)),
+                                    ["g"], [F.asc("h")],
+                                    n=_QSK_K, rank_col="rk")
+                    .select("h", "value").collect())
+    direct = sorted(tuple(r) for r in
+                    top_n_per_group(e.withColumn("g", F.lit(1)), ["g"],
+                                    [F.asc("h")], n=_QSK_K,
+                                    rank_col="rk")
+                    .select("h", "value").collect())
+    assert merged == direct
+
+    out = {r["day_start"]: r for r in
+           QUERIES["value_quantile_sketch"](spark, sf_dir).collect()}
+    total = out[-1]
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        lo_q, hi_q = max(0.0, q - 0.15), min(1.0, q + 0.15)
+        lo, hi = ev.agg(
+            F.expr(f"percentile(value, {lo_q})"),
+            F.expr(f"percentile(value, {hi_q})")).first()
+        assert lo <= total[col] <= hi, (col, lo, total[col], hi)
+
+
 def test_linear_attribution_conserves_credit(spark, sf_dir):
     """The integer-cents split's defining property: total credited
     cents across all touch types == total purchase cents exactly (the

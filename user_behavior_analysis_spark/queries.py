@@ -4772,6 +4772,107 @@ def kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pair_overlap(sk, nd, _KMV_K, _KMV_DOMAIN)
 
 
+# --- mergeable quantile sketch (bottom-k hash sample) ------------------------
+# Completes the sketch family (distinct -> det-HLL/KMV, frequency -> CMS,
+# quantiles -> THIS): per-day bottom-k samples of the event value column,
+# keyed by the 60-bit md5 hash of the event id. A bottom-k-by-hash sample
+# is a uniform without-replacement sample whose union is LOSSLESSLY
+# mergeable (the k smallest hashes of a union are each inside their own
+# partition's k smallest — the exact KMV argument, carrying a value
+# payload), so any coarser period's quantiles are served from the daily
+# sketch rows with zero fact rescan. Estimates are SELECTED sample values
+# (ceil-rank order statistics, integer rank arithmetic, float COMPARISONS
+# only — no float math), so both engines reproduce them bit-for-bit and
+# the query rides the hash gate; rank accuracy is pinned in pytest.
+
+_QSK_K = 128
+
+
+def _qsk_idx_sql(qnum: int, qden: int, n: str = "n_s") -> str:
+    """ceil(q*n) as pure integer arithmetic, floored at 1 — identical
+    text valid in Spark (div) and DuckDB (caller swaps to //)."""
+    return f"GREATEST(1, ({qnum} * {n} + {qden - 1}) div {qden})"
+
+
+_QSK_ORACLE = f"""
+WITH e AS (
+  SELECT {tumbling_oracle_start('ts', 86400)} AS day_start,
+         CAST(('0x' || substr(md5('37|' || CAST(event_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS h,
+         value
+  FROM events
+), sk AS (
+  SELECT day_start, h, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY day_start
+                                 ORDER BY h) AS rk FROM e)
+  WHERE rk <= {_QSK_K}
+), allsk AS (
+  SELECT day_start, h, value FROM sk
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS day_start, h, value FROM (
+    SELECT h, value, row_number() OVER (ORDER BY h) AS rk FROM sk)
+  WHERE rk <= {_QSK_K}
+), ranked AS (
+  SELECT day_start, value,
+         row_number() OVER (PARTITION BY day_start
+                            ORDER BY value, h) AS rn,
+         COUNT(*) OVER (PARTITION BY day_start) AS n_s
+  FROM allsk
+)
+SELECT day_start, CAST(MAX(n_s) AS BIGINT) AS n_sample,
+       MAX(CASE WHEN rn = {_qsk_idx_sql(1, 2).replace(' div ', ' // ')}
+                THEN value END) AS p50,
+       MAX(CASE WHEN rn = {_qsk_idx_sql(9, 10).replace(' div ', ' // ')}
+                THEN value END) AS p90,
+       MAX(CASE WHEN rn = {_qsk_idx_sql(99, 100).replace(' div ', ' // ')}
+                THEN value END) AS p99
+FROM ranked GROUP BY day_start
+"""
+
+
+@query("value_quantile_sketch", _QSK_ORACLE)
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p90/p99 of the event value from bottom-k hash
+    samples (k = 128 rows/day max, ~9% rank rsd at p50), plus the
+    period quantiles (day_start = -1) from the MERGED sample — built
+    by min-k union over the daily sketch rows, never a fact rescan
+    (see the oracle comment for the losslessness argument). At 100 TB
+    this replaces a global sort: the sketch build is one bounded
+    (day, hash) top-k shuffle, every coarser rollup is |days|×k rows.
+    Exact-quantile twin for small data: ``histogram_quantiles``."""
+    from .operators.topn import top_n_per_group
+    ev = _events(spark, sf_dir)
+    from .functions.text import md5_prefix_hash
+    e = ev.select(
+        (F.col("ts").cast("long")
+         - (F.col("ts").cast("long") % 86400)).alias("day_start"),
+        md5_prefix_hash(F.col("event_id").cast("string"), seed=37)
+        .alias("h"),
+        "value")
+    sk = (top_n_per_group(e, ["day_start"], [F.asc("h")],
+                          n=_QSK_K, rank_col="rk")
+          .select("day_start", "h", "value")
+          .localCheckpoint(eager=True))  # reused: day grain + merge
+    merged = (top_n_per_group(sk.withColumn("g", F.lit(1)), ["g"],
+                              [F.asc("h")], n=_QSK_K, rank_col="rk")
+              .select(F.lit(-1).cast("long").alias("day_start"),
+                      "h", "value"))
+    allsk = sk.unionByName(merged)
+    agg = (allsk.groupBy("day_start")
+           .agg(F.sort_array(F.collect_list(F.struct("value", "h")))
+                .alias("arr")))
+    sel = agg.selectExpr(
+        "day_start", "size(arr) AS n_s", "arr")
+    return sel.selectExpr(
+        "day_start", "CAST(n_s AS BIGINT) AS n_sample",
+        f"element_at(arr, CAST({_qsk_idx_sql(1, 2)} AS INT)).value "
+        f"AS p50",
+        f"element_at(arr, CAST({_qsk_idx_sql(9, 10)} AS INT)).value "
+        f"AS p90",
+        f"element_at(arr, CAST({_qsk_idx_sql(99, 100)} AS INT)).value "
+        f"AS p99")
+
+
 # --- inter-purchase interval histogram --------------------------------------
 
 _INTERVAL_ORACLE = """
