@@ -2009,6 +2009,65 @@ def test_two_level_rollup_epoch_replay_is_noop(spark, sf_dir,
     assert snap() == before
 
 
+def test_bottomk_sample_table_parity_and_collapse(spark, sf_dir,
+                                                  split_events_dir,
+                                                  tmp_path):
+    """Persisted bottom-k value samples: streaming per-epoch min-k
+    partials appended to a TxTable must collapse-on-read to EXACTLY
+    the batch per-day samples (min-k union with a payload is lossless
+    — the KMV argument), physical collapse changes rows but no sample,
+    and epoch replay is a no-op."""
+    from user_behavior_analysis_spark.functions.text import (
+        md5_prefix_hash)
+    from user_behavior_analysis_spark.operators.topn import (
+        top_n_per_group)
+    from user_behavior_analysis_spark.queries import _QSK_K
+    from user_behavior_analysis_spark.streaming.jobs import (
+        bottomk_sample_sink, bottomk_samples, collapse_bottomk_samples)
+    from user_behavior_analysis_spark.tables import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "qsk"),
+        spark.createDataFrame(
+            [], "day_start long, epoch long, h long, value double"),
+        ["day_start"])
+    ev = stream_events(spark, split_events_dir)
+    q = (ev.writeStream.outputMode("append")
+         .foreachBatch(bottomk_sample_sink(t, k=_QSK_K))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    src = (load_table(spark, sf_dir, "events")
+           .select(F.expr("CAST(ts AS LONG) - CAST(ts AS LONG) % 86400")
+                   .alias("day_start"),
+                   md5_prefix_hash(F.col("event_id").cast("string"),
+                                   seed=37).alias("h"), "value"))
+    batch_sk = sorted(tuple(r) for r in
+                      top_n_per_group(src, ["day_start"], [F.asc("h")],
+                                      n=_QSK_K, rank_col="rk")
+                      .select("day_start", "h", "value").collect())
+    stream_sk = sorted(tuple(r) for r in
+                       bottomk_samples(t, k=_QSK_K).collect())
+    assert stream_sk == batch_sk
+
+    n_partials = t.read().count()
+    collapse_bottomk_samples(t, k=_QSK_K)
+    assert t.read().count() <= n_partials
+    assert t.read().count() == len(stream_sk)
+    assert sorted(tuple(r) for r in
+                  bottomk_samples(t, k=_QSK_K).collect()) == batch_sk
+    assert [h["op"] for h in t.history()][-1] == "replace_where"
+
+    v = t.latest_version()
+    last_epoch = max(h["txn_version"] for h in t.history()
+                     if h.get("txn_app") == "value_qsk")
+    bottomk_sample_sink(t, k=_QSK_K)(
+        spark.createDataFrame([(0, 1.0)], "event_id long, value double")
+        .withColumn("ts", F.timestamp_seconds(F.lit(0))), last_epoch)
+    assert t.latest_version() == v
+
+
 def test_hll_det_rollup_table_parity_and_collapse(spark, sf_dir,
                                                   split_events_dir,
                                                   tmp_path):

@@ -420,6 +420,81 @@ def collapse_kmv_rollup(table, k: int = 64) -> int:
     return table.replace_where(pred, collapsed)
 
 
+def bottomk_sample_sink(table, ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        value_col: str = "value",
+                        k: int = 128, seed: int = 37,
+                        app: str = "value_qsk"):
+    """foreachBatch tail persisting PER-DAY BOTTOM-K VALUE SAMPLES —
+    the serving state behind ``value_quantile_sketch`` (the fourth
+    sketch sink: HLL rows, KMV hashes, det-HLL registers, and now a
+    hash-sample carrying a value payload): each micro-batch reduces to
+    its days' ≤k smallest (id-hash, value) rows and APPENDS them —
+    blind append, txn marker no-ops replays. Min-k union with a
+    payload is lossless for the same reason KMV's is (every row of the
+    true day sample is inside its own epoch's k smallest), so streamed
+    samples == batch samples bit-for-bit and the served quantiles
+    match the registered query exactly (pinned in tests).
+
+    Table schema: (day_start long, epoch long, h long, value double),
+    keys [day_start]."""
+    from ..functions.text import md5_prefix_hash
+    from ..operators.topn import top_n_per_group
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if table._txn_already_applied(app, epoch_id):
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        src = batch_df.select(
+            F.expr(f"CAST({ts_col} AS LONG) - CAST({ts_col} AS LONG) "
+                   f"% 86400").alias("day_start"),
+            md5_prefix_hash(F.col(id_col).cast("string"),
+                            seed=seed).alias("h"),
+            F.col(value_col).alias("value"))
+        part = (top_n_per_group(src, ["day_start"], [F.asc("h")],
+                                n=k, rank_col="rk")
+                .select("day_start", "h", "value")
+                .withColumn("epoch", F.lit(int(epoch_id)).cast("long")))
+        if part.isEmpty():
+            return
+        table.append(part.select("day_start", "epoch", "h", "value"),
+                     txn_app=app, txn_version=epoch_id)
+    return fn
+
+
+def bottomk_samples(table, k: int = 128) -> DataFrame:
+    """Read path: collapse per-epoch partials to each day's true
+    bottom-k sample (day_start, h, value). The facts are never
+    touched; cost is O(days × epochs-since-collapse × k) rows."""
+    from ..operators.topn import top_n_per_group
+    rows = table.read().select("day_start", "h", "value")
+    return (top_n_per_group(rows, ["day_start"], [F.asc("h")],
+                            n=k, rank_col="rk")
+            .select("day_start", "h", "value"))
+
+
+def collapse_bottomk_samples(table, k: int = 128) -> int:
+    """Maintenance: physically collapse each day's partials to its
+    k-smallest rows (epoch = -1) in one atomic replace_where commit —
+    served quantiles unchanged (the read path already takes the same
+    min-k)."""
+    from ..operators.topn import top_n_per_group
+    collapsed = (top_n_per_group(table.read()
+                                 .select("day_start", "h", "value"),
+                                 ["day_start"], [F.asc("h")],
+                                 n=k, rank_col="rk")
+                 .select("day_start", "h", "value")
+                 .withColumn("epoch", F.lit(-1).cast("long"))
+                 .select("day_start", "epoch", "h", "value")
+                 .localCheckpoint(eager=True))
+    days = sorted({r[0] for r in
+                   collapsed.select("day_start").collect()})
+    if not days:
+        return table.latest_version()
+    pred = f"day_start IN ({', '.join(str(d) for d in days)})"
+    return table.replace_where(pred, collapsed)
+
+
 def hll_det_rollup_sink(table, ts_col: str = "ts",
                         id_col: str = "user_id",
                         app: str = "uv_hll_det"):
