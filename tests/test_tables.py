@@ -597,6 +597,47 @@ def test_read_pruned_skips_files(spark, base, tmp_path):
     assert t.read_pruned({"k": (10_000, 20_000)}).count() == 0
 
 
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Bloom file skipping where range stats are powerless: keys are
+    HASH-scattered across files, so every file's min/max covers every
+    lookup and read_pruned keeps all of them — the per-file Bloom
+    still skips the definite misses. Pins: (1) result == full scan +
+    filter for present AND absent keys; (2) the candidate set is a
+    strict subset of the files while range stats prune nothing;
+    (3) no false negatives across a key sweep (Bloom's guarantee);
+    (4) files appended WITHOUT a bloom-configured handle stay
+    candidates (mixed manifests are safe, never wrong)."""
+    df = (spark.range(0, 4096)
+               .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+               .repartition(8, "k"))  # hash layout: ranges all overlap
+    t = TxTable.create(spark, str(tmp_path / "t"), df, ["k"],
+                       bloom_cols=["k"])
+    files = t.snapshot_files(None)
+    assert len(files) == 8
+    assert all("bloom" in f and f["bloom"]["cols"].get("k")
+               for f in files)
+    # range stats cannot prune a mid-range key: every file qualifies
+    st_keep = [f for f in files
+               if f["stats"]["k"][0] <= 2048 <= f["stats"]["k"][1]]
+    assert len(st_keep) == 8
+    kept = t._bloom_candidate_files("k", 2048)
+    assert 1 <= len(kept) < 8, [f["path"] for f in kept]
+    assert rows(t.read_point("k", 2048)) == [(2048, "2048")]
+    # absent key: typically zero candidate files, always zero rows
+    assert t.read_point("k", 999_999).count() == 0
+    # no false negatives: the true file is always a candidate
+    for key in range(0, 4096, 257):
+        got = t.read_point("k", key).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(key, str(key))]
+    # a bloom-less writer handle appends files without blooms; lookups
+    # keep those files as candidates and stay correct
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    t2.append(spark.createDataFrame([(9000, "x")], "k long, v string"))
+    assert rows(t.read_point("k", 9000)) == [(9000, "x")]
+    kept2 = t._bloom_candidate_files("k", 9000)
+    assert any("bloom" not in f for f in kept2)
+
+
 def test_append_schema_evolution_additive_only(spark, base, tmp_path):
     """Schema contract on append: exact columns by default; additive
     evolution behind merge_schema=True (old files read as nulls for

@@ -7903,6 +7903,58 @@ def txtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").cast("double").alias("price"), "_change")
 
 
+_TXTABLE_POINT_ORACLE = """
+WITH keys AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 3
+  ORDER BY o_orderkey LIMIT 3
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
+"""
+
+
+@query("txtable_point_lookup", _TXTABLE_POINT_ORACLE)
+def txtable_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookups under the hash gate: create a
+    HASH-laid-out table (every file's key range overlaps every lookup,
+    so min/max stats cannot prune — the adversarial case for range
+    skipping) with per-file Blooms on the key, then ``read_point``
+    three deterministic keys. The oracle is a plain key-set filter, so
+    a Bloom false NEGATIVE (the one failure mode that loses data)
+    would hash-mismatch; the skipping itself — candidate files being a
+    strict subset while stats keep everything — is pinned in
+    tests/test_tables.py::test_bloom_point_lookup_skips_files. The
+    three keys are a driver-side collect of a 3-row limit: the same
+    O(metadata) class as the manifest decisions themselves.
+
+    100 TB shape: an id lookup on a streamed-into, hash-clustered
+    table touches O(1) candidate files instead of the table — the
+    complement of read_pruned's range skipping; ``bloom_bits`` sizes
+    with maxRecordsPerFile (2^18 here keeps ~1% fpp at sf0.1's ~19k
+    rows/file)."""
+    import tempfile
+
+    from .tables import TxTable
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        _dec("o_totalprice").alias("price"))
+    path = tempfile.mkdtemp(prefix="txtable_bloom_")
+    t = TxTable.create(spark, path,
+                       orders.repartition(8, "o_orderkey"),
+                       ["o_orderkey"], bloom_cols=["o_orderkey"],
+                       bloom_bits=1 << 18)
+    keys = [r[0] for r in
+            orders.where(F.col("o_orderkey") % 7 == 3)
+                  .orderBy("o_orderkey").limit(3).collect()]
+    out = None
+    for k in keys:
+        df = t.read_point("o_orderkey", k)
+        out = df if out is None else out.unionByName(df)
+    return out.select("o_orderkey", "o_orderpriority",
+                      F.col("price").cast("double").alias("price"))
+
+
 _TXTABLE_CDC_ORACLE = """
 WITH feed AS (
   SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price,

@@ -63,17 +63,47 @@ class CommitConflict(Exception):
     """Another writer committed this version first — re-read and retry."""
 
 
+#: per-file Bloom hash seeds — md5-prefix hashes (functions/text.py:53),
+#: distinct from every other seed family in the repo
+_BLOOM_SEEDS = (41, 43, 47)
+
+
+def _bloom_positions(value, m_bits: int) -> list[int]:
+    """Driver-side twin of the Spark-side bloom bit positions: md5 of
+    ``"{seed}|{str(value)}"``, first 15 hex chars as int, mod m — the
+    exact ``md5_prefix_hash(col.cast('string'), seed) % m`` expression
+    the writer runs, so lookups and writes agree bit-for-bit. Only
+    integer/string columns are supported (their Spark CAST(.. AS
+    STRING) matches Python ``str``; floats do not)."""
+    import hashlib
+    return [int(hashlib.md5(f"{s}|{value}".encode()).hexdigest()[:15],
+                16) % m_bits for s in _BLOOM_SEEDS]
+
+
 class TxTable:
     """Handle to one transaction-log table rooted at ``path``."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 checkpoint_interval: int = 10):
+                 checkpoint_interval: int = 10,
+                 bloom_cols: list[str] | None = None,
+                 bloom_bits: int = 8192):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_log")
         self.data_dir = os.path.join(path, "_data")
         #: every Nth commit also writes a log checkpoint (0 disables)
         self.checkpoint_interval = checkpoint_interval
+        #: OPT-IN per-file Bloom filters on these int/string columns —
+        #: writer-instance config like checkpoint_interval, not log
+        #: state: files written by a bloom-configured handle carry a
+        #: self-describing {"bits": m, "cols": {col: hex}} entry, files
+        #: written without stay prunable by range stats only, and
+        #: ``read_point`` handles the mix. Size ``bloom_bits`` to the
+        #: file row count (k=3 hashes: ~3% false positives at
+        #: m/n ≈ 8 bits per row; at 100 TB pair with
+        #: spark.sql.files.maxRecordsPerFile).
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = int(bloom_bits)
 
     # ------------------------------------------------------------------ log
     def _manifest_path(self, version: int) -> str:
@@ -299,6 +329,48 @@ class TxTable:
             cond = c if cond is None else (cond & c)
         return df.where(cond) if cond is not None else df
 
+    def _bloom_candidate_files(self, col: str, value,
+                               version: int | None = None) -> list[dict]:
+        """Driver-side file skipping for an equality lookup: keep a
+        file iff its Bloom for ``col`` has ALL three of the value's bit
+        positions set (definite-miss files drop — Bloom's no-false-
+        negative guarantee), falling back to the range stats, then to
+        keep, for files written without a bloom (mixed manifests are
+        fine; skipping only ever narrows, never excludes a match)."""
+        keep = []
+        for f in self.snapshot_files(version):
+            bl = f.get("bloom") or {}
+            hexbits = (bl.get("cols") or {}).get(col)
+            if hexbits is None:
+                st = f.get("stats", {}).get(col)
+                if (st is not None and st[0] is not None
+                        and (value < st[0] or value > st[1])):
+                    continue
+                keep.append(f)
+                continue
+            bits = int(hexbits, 16)
+            if all((bits >> p) & 1
+                   for p in _bloom_positions(value, bl["bits"])):
+                keep.append(f)
+        return keep
+
+    def read_point(self, col: str, value,
+                   version: int | None = None) -> DataFrame:
+        """Equality-lookup read with BLOOM file skipping — the
+        point-query complement of ``read_pruned``'s range skipping:
+        min/max stats cannot prune a scattered key (every file's range
+        covers it), a per-file Bloom can. Result equals
+        ``read().where(col == value)`` while scanning only candidate
+        files; false positives cost a wasted file scan, never a wrong
+        row (the equality predicate is re-applied). At 100 TB this is
+        the difference between an id lookup touching O(1) files and
+        touching the table."""
+        if value is None:
+            return self.read(version).where(F.col(col).isNull())
+        keep = self._bloom_candidate_files(col, value, version)
+        return (self._read_files(keep, version)
+                    .where(F.col(col) == F.lit(value)))
+
     def read_as_of(self, ts: float) -> DataFrame:
         """Time travel by wall clock: the last version committed ≤ ts
         (resolvable over RETAINED manifests and checkpoints — vacuum
@@ -334,22 +406,59 @@ class TxTable:
             aggs += [F.min(k).alias(f"_min_{k}"), F.max(k).alias(f"_max_{k}")]
         stats = (part.groupBy(F.input_file_name().alias("_file"))
                      .agg(*aggs).collect())
+        blooms = self._file_blooms(part)
         entries = []
         for r in stats:
             rel = os.path.join(commit_id, os.path.basename(
                 r["_file"].replace("file:", "")))
-            entries.append({
+            e = {
                 "path": rel, "rows": r["_rows"],
                 "stats": {k: [r[f"_min_{k}"], r[f"_max_{k}"]]
                           for k in key_cols},
-            })
+            }
+            if blooms is not None:
+                e["bloom"] = {"bits": self.bloom_bits,
+                              "cols": blooms.get(r["_file"], {})}
+            entries.append(e)
         return entries
+
+    def _file_blooms(self, part: DataFrame) -> dict | None:
+        """Per-file Bloom bitsets for the configured ``bloom_cols`` —
+        one extra distributed pass per column over the just-written
+        files (explode the 3 bit positions, collect the ≤m distinct
+        set per file), assembled to hex strings driver-side. Returns
+        {file: {col: hex}} or None when blooms are off."""
+        if not self.bloom_cols:
+            return None
+        from .functions.text import md5_prefix_hash
+        m = self.bloom_bits
+        out: dict[str, dict[str, str]] = {}
+        for col in self.bloom_cols:
+            if col not in part.columns:
+                continue
+            pos = F.explode(F.array(*[
+                (md5_prefix_hash(F.col(col).cast("string"), seed=s) % m)
+                .cast("int") for s in _BLOOM_SEEDS])).alias("_pos")
+            rows = (part.select(F.input_file_name().alias("_file"), pos)
+                        .groupBy("_file")
+                        .agg(F.collect_set("_pos").alias("_ps"))
+                        .collect())
+            for r in rows:
+                bits = 0
+                for p in r["_ps"]:
+                    if p is not None:
+                        bits |= 1 << p
+                out.setdefault(r["_file"], {})[col] = f"{bits:x}"
+        return out
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
                key_cols: list[str],
-               checkpoint_interval: int = 10) -> "TxTable":
-        t = cls(spark, path, checkpoint_interval=checkpoint_interval)
+               checkpoint_interval: int = 10,
+               bloom_cols: list[str] | None = None,
+               bloom_bits: int = 8192) -> "TxTable":
+        t = cls(spark, path, checkpoint_interval=checkpoint_interval,
+                bloom_cols=bloom_cols, bloom_bits=bloom_bits)
         added = t._write_files(df, key_cols)
         t._commit(0, {"op": "create", "schema": df.schema.json(),
                       "key_cols": key_cols, "added": added, "removed": []})
