@@ -597,6 +597,49 @@ def test_read_pruned_skips_files(spark, base, tmp_path):
     assert t.read_pruned({"k": (10_000, 20_000)}).count() == 0
 
 
+def test_collapse_append_race_re_derives(spark, tmp_path):
+    """The collapse×append race (code-review r9s2): a sink appending a
+    new epoch's partials between a collapse job's snapshot read and
+    its replace_where commit used to have those rows DELETED by the
+    predicate while absent from the stale collapsed relation — silent
+    sketch loss. Reproduced deterministically: the first replace_where
+    attempt is intercepted to inject a concurrent append; the
+    expected_version precondition must refuse it (CommitConflict), the
+    collapse loop re-derives from the fresh snapshot, and the raced-in
+    row survives the committed collapse."""
+    from user_behavior_analysis_spark.streaming.jobs import (
+        bottomk_samples, collapse_bottomk_samples)
+
+    schema = "day_start long, epoch long, h long, value double"
+    t = TxTable.create(spark, str(tmp_path / "t"),
+                       spark.createDataFrame([], schema), ["day_start"])
+    t.append(spark.createDataFrame([(0, 0, 50, 5.0), (0, 0, 60, 6.0)],
+                                   schema))
+    raced = {"n_attempts": 0}
+    orig = t.replace_where
+
+    def racing_replace(pred, df, **kw):
+        raced["n_attempts"] += 1
+        if raced["n_attempts"] == 1:
+            TxTable(spark, str(tmp_path / "t")).append(
+                spark.createDataFrame([(0, 1, 1, 0.5)], schema))
+        return orig(pred, df, **kw)
+
+    t.replace_where = racing_replace
+    collapse_bottomk_samples(t, k=128)
+    assert raced["n_attempts"] == 2, raced  # first attempt refused
+    got = sorted(tuple(r) for r in bottomk_samples(t, k=128).collect())
+    assert (0, 1, 0.5) in got, got  # the raced-in row survived
+    assert (0, 50, 5.0) in got and (0, 60, 6.0) in got
+
+    # the precondition itself: stale expected_version refuses outright
+    v = t.latest_version()
+    with pytest.raises(CommitConflict, match="advanced"):
+        orig("day_start IN (0)",
+             spark.createDataFrame([(0, -1, 50, 5.0)], schema),
+             expected_version=v - 1)
+
+
 def test_bloom_point_lookup_skips_files(spark, tmp_path):
     """Bloom file skipping where range stats are powerless: keys are
     HASH-scattered across files, so every file's min/max covers every

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .windows import _window_bounds
 
@@ -182,6 +182,25 @@ def hll_det_estimate(regs: DataFrame, group_cols: list[str],
                                .cast("long"))
               .withColumn(out_col, F.expr(hll_det_est_case_sql())))
     return est.select(*group_cols, out_col)
+
+
+def hll_det_day_and_total(regs: DataFrame, day_col: str = "day_start",
+                          out_col: str = "uv_est") -> DataFrame:
+    """The shared serving shape of the deterministic-HLL family: one
+    estimate row per grain plus the MAX-merged period total reported
+    as ``day_col = -1`` — used identically by the registered
+    ``uv_hll_det_rollup`` query and the register-table read path
+    (``streaming.jobs.hll_det_estimates``), so the bit-identical
+    parity between the two is definitional, not re-implemented. The
+    register relation is checkpointed once because BOTH consumers
+    (per-grain estimates, merged total) reuse it."""
+    regs = regs.localCheckpoint(eager=True)
+    per = hll_det_estimate(regs, [day_col], out_col=out_col)
+    merged = (regs.groupBy("idx")
+                  .agg(F.max("m_reg").cast("int").alias("m_reg"))
+                  .withColumn(day_col, F.lit(-1).cast("long")))
+    return per.unionByName(
+        hll_det_estimate(merged, [day_col], out_col=out_col))
 
 
 def kmv_pair_overlap(sk: DataFrame, nd: DataFrame, k: int,

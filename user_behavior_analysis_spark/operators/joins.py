@@ -199,4 +199,3 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, *,
     if extra_cond is not None:
         cond = cond & extra_cond
     return lb.join(rb, cond).drop("_oj_b", "_oj_b2")
-

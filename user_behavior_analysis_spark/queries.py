@@ -275,20 +275,15 @@ def uv_hll_det_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge is associative/commutative/idempotent, so any coarser grain
     (week, month, ad-hoc range) is the same constant-size exchange.
     Output: one row per day plus the period total as day_start = -1."""
-    from .operators.distinct import hll_det_estimate, hll_det_registers
+    from .operators.distinct import (hll_det_day_and_total,
+                                     hll_det_registers)
     pv = _events(spark, sf_dir).where(F.lower("event_type") == "view")
     src = pv.select(
         (F.col("ts").cast("long")
          - (F.col("ts").cast("long") % 86400)).alias("day_start"),
         "user_id")
-    regs = hll_det_registers(src, ["day_start"], "user_id") \
-        .localCheckpoint(eager=True)
-    per_day = hll_det_estimate(regs, ["day_start"], out_col="uv_est")
-    merged = (regs.groupBy("idx")
-                  .agg(F.max("m_reg").cast("int").alias("m_reg"))
-                  .withColumn("day_start", F.lit(-1).cast("long")))
-    total = hll_det_estimate(merged, ["day_start"], out_col="uv_est")
-    return per_day.unionByName(total)
+    regs = hll_det_registers(src, ["day_start"], "user_id")
+    return hll_det_day_and_total(regs)
 
 
 # --- A9: AppMarketing — total marketing events, 1h sliding every 10 min ----
@@ -4788,10 +4783,13 @@ def kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QSK_K = 128
 
 
-def _qsk_idx_sql(qnum: int, qden: int, n: str = "n_s") -> str:
-    """ceil(q*n) as pure integer arithmetic, floored at 1 — identical
-    text valid in Spark (div) and DuckDB (caller swaps to //)."""
-    return f"GREATEST(1, ({qnum} * {n} + {qden - 1}) div {qden})"
+def _qsk_idx_sql(qnum: int, qden: int, n: str = "n_s",
+                 dialect: str = "spark") -> str:
+    """ceil(q*n) as pure integer arithmetic, floored at 1. The dialect
+    split is the floor-division spelling only (Spark ``div`` / DuckDB
+    ``//``) — same convention as ``hll_det_est_case_sql``."""
+    fdiv = "div" if dialect == "spark" else "//"
+    return f"GREATEST(1, ({qnum} * {n} + {qden - 1}) {fdiv} {qden})"
 
 
 _QSK_ORACLE = f"""
@@ -4800,7 +4798,7 @@ WITH e AS (
          CAST(('0x' || substr(md5('37|' || CAST(event_id AS VARCHAR)),
                1, 15)) AS BIGINT) AS h,
          value
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), sk AS (
   SELECT day_start, h, value FROM (
     SELECT *, row_number() OVER (PARTITION BY day_start
@@ -4820,11 +4818,11 @@ WITH e AS (
   FROM allsk
 )
 SELECT day_start, CAST(MAX(n_s) AS BIGINT) AS n_sample,
-       MAX(CASE WHEN rn = {_qsk_idx_sql(1, 2).replace(' div ', ' // ')}
+       MAX(CASE WHEN rn = {_qsk_idx_sql(1, 2, dialect="duckdb")}
                 THEN value END) AS p50,
-       MAX(CASE WHEN rn = {_qsk_idx_sql(9, 10).replace(' div ', ' // ')}
+       MAX(CASE WHEN rn = {_qsk_idx_sql(9, 10, dialect="duckdb")}
                 THEN value END) AS p90,
-       MAX(CASE WHEN rn = {_qsk_idx_sql(99, 100).replace(' div ', ' // ')}
+       MAX(CASE WHEN rn = {_qsk_idx_sql(99, 100, dialect="duckdb")}
                 THEN value END) AS p99
 FROM ranked GROUP BY day_start
 """
@@ -4843,7 +4841,10 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.topn import top_n_per_group
     ev = _events(spark, sf_dir)
     from .functions.text import md5_prefix_hash
-    e = ev.select(
+    # NULL values are excluded up front on BOTH sides: Spark's
+    # sort_array ranks NULL struct fields first while DuckDB's ORDER BY
+    # defaults NULLS LAST — a latent rank shift the guard forecloses
+    e = ev.where(F.col("value").isNotNull()).select(
         (F.col("ts").cast("long")
          - (F.col("ts").cast("long") % 86400)).alias("day_start"),
         md5_prefix_hash(F.col("event_id").cast("string"), seed=37)

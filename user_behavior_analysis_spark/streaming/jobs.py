@@ -311,23 +311,52 @@ def sketch_rollup_estimates(table) -> DataFrame:
     return per_day.unionByName(total)
 
 
+def _collapse_with_retry(table, derive, grain_col: str,
+                         max_retries: int = 5) -> int:
+    """Concurrency-safe collapse loop shared by every sketch-table
+    maintenance job: derive the collapsed relation FROM a pinned
+    snapshot version and commit under replace_where's
+    ``expected_version`` precondition. Without the precondition, a
+    sink appending a new epoch's partials between the derive read and
+    the commit would have those rows deleted by the predicate but
+    absent from the stale collapsed relation — silent sketch loss
+    (latent in every collapse since the first sketch sink; the race
+    is reproduced deterministically in tests). On conflict the loop
+    re-derives from the fresh snapshot; collapse is idempotent, so
+    retries are safe."""
+    from ..tables import CommitConflict
+    for _ in range(max_retries):
+        v = table.latest_version()
+        collapsed = derive(table.read(version=v)) \
+            .localCheckpoint(eager=True)
+        grains = sorted({r[0] for r in
+                         collapsed.select(grain_col).distinct()
+                         .collect()})
+        if not grains:
+            return table.latest_version()
+        pred = f"{grain_col} IN ({', '.join(str(g) for g in grains)})"
+        try:
+            return table.replace_where(pred, collapsed,
+                                       expected_version=v)
+        except CommitConflict:
+            continue
+    raise CommitConflict("collapse retries exhausted")
+
+
 def collapse_sketch_rollup(table) -> int:
     """Maintenance: physically union each day's partials into ONE row
     (epoch = -1) in a single atomic replace_where commit over the
     touched days — the monoid-table analog of small-file compaction.
     Estimates are unchanged (union is associative + lossless); read
     cost drops from O(days x epochs) rows to O(days)."""
-    collapsed = (table.read()
-                 .groupBy("day_start")
-                 .agg(F.hll_union_agg("sk", F.lit(False)).alias("sk"))
-                 .withColumn("epoch", F.lit(-1).cast("long"))
-                 .select("day_start", "epoch", "sk")
-                 .localCheckpoint(eager=True))
-    days = [r[0] for r in collapsed.select("day_start").collect()]
-    if not days:
-        return table.latest_version()
-    pred = f"day_start IN ({', '.join(str(d) for d in days)})"
-    return table.replace_where(pred, collapsed)
+    return _collapse_with_retry(
+        table,
+        lambda rows: (rows.groupBy("day_start")
+                      .agg(F.hll_union_agg("sk", F.lit(False))
+                           .alias("sk"))
+                      .withColumn("epoch", F.lit(-1).cast("long"))
+                      .select("day_start", "epoch", "sk")),
+        "day_start")
 
 
 def kmv_rollup_sink(table, ts_col: str = "ts", id_col: str = "user_id",
@@ -409,15 +438,16 @@ def collapse_kmv_rollup(table, k: int = 64) -> int:
     estimates unchanged (min-k union is associative and read-time
     collapse already takes the same min-k); read cost drops to
     O(days × k) rows."""
-    collapsed = (kmv_sketches(table, k)
-                 .withColumn("epoch", F.lit(-1).cast("long"))
-                 .select("day", "epoch", "h")
-                 .localCheckpoint(eager=True))
-    days = [r[0] for r in collapsed.select("day").distinct().collect()]
-    if not days:
-        return table.latest_version()
-    pred = f"day IN ({', '.join(str(d) for d in days)})"
-    return table.replace_where(pred, collapsed)
+    from ..operators.topn import top_n_per_group
+    return _collapse_with_retry(
+        table,
+        lambda rows: (top_n_per_group(
+            rows.select("day", "h").distinct(), ["day"],
+            [F.asc("h")], n=k, rank_col="rk")
+            .select("day", "h")
+            .withColumn("epoch", F.lit(-1).cast("long"))
+            .select("day", "epoch", "h")),
+        "day")
 
 
 def bottomk_sample_sink(table, ts_col: str = "ts",
@@ -479,20 +509,15 @@ def collapse_bottomk_samples(table, k: int = 128) -> int:
     served quantiles unchanged (the read path already takes the same
     min-k)."""
     from ..operators.topn import top_n_per_group
-    collapsed = (top_n_per_group(table.read()
-                                 .select("day_start", "h", "value"),
-                                 ["day_start"], [F.asc("h")],
-                                 n=k, rank_col="rk")
-                 .select("day_start", "h", "value")
-                 .withColumn("epoch", F.lit(-1).cast("long"))
-                 .select("day_start", "epoch", "h", "value")
-                 .localCheckpoint(eager=True))
-    days = sorted({r[0] for r in
-                   collapsed.select("day_start").collect()})
-    if not days:
-        return table.latest_version()
-    pred = f"day_start IN ({', '.join(str(d) for d in days)})"
-    return table.replace_where(pred, collapsed)
+    return _collapse_with_retry(
+        table,
+        lambda rows: (top_n_per_group(
+            rows.select("day_start", "h", "value"), ["day_start"],
+            [F.asc("h")], n=k, rank_col="rk")
+            .select("day_start", "h", "value")
+            .withColumn("epoch", F.lit(-1).cast("long"))
+            .select("day_start", "epoch", "h", "value")),
+        "day_start")
 
 
 def hll_det_rollup_sink(table, ts_col: str = "ts",
@@ -545,16 +570,10 @@ def hll_det_estimates(table) -> DataFrame:
     """Per-day UV estimates plus the period total (day_start = -1)
     served ENTIRELY from the register table — identical output
     contract to, and bit-identical values with, the batch
-    ``uv_hll_det_rollup`` query on the same facts (the estimator is a
-    pure integer function of the registers)."""
-    from ..operators.distinct import hll_det_estimate
-    regs = hll_det_registers_read(table).localCheckpoint(eager=True)
-    per_day = hll_det_estimate(regs, ["day_start"], out_col="uv_est")
-    merged = (regs.groupBy("idx")
-                  .agg(F.max("m_reg").cast("int").alias("m_reg"))
-                  .withColumn("day_start", F.lit(-1).cast("long")))
-    total = hll_det_estimate(merged, ["day_start"], out_col="uv_est")
-    return per_day.unionByName(total)
+    ``uv_hll_det_rollup`` query on the same facts — definitional:
+    both call the same ``hll_det_day_and_total``."""
+    from ..operators.distinct import hll_det_day_and_total
+    return hll_det_day_and_total(hll_det_registers_read(table))
 
 
 def collapse_hll_det_rollup(table) -> int:
@@ -563,18 +582,13 @@ def collapse_hll_det_rollup(table) -> int:
     replace_where commit — estimates unchanged (max is associative and
     the read path already takes the same max); read cost drops to
     O(days × 512) rows."""
-    collapsed = (table.read()
-                 .groupBy("day_start", "idx")
-                 .agg(F.max("m_reg").cast("int").alias("m_reg"))
-                 .withColumn("epoch", F.lit(-1).cast("long"))
-                 .select("day_start", "epoch", "idx", "m_reg")
-                 .localCheckpoint(eager=True))
-    days = sorted({r[0] for r in
-                   collapsed.select("day_start").collect()})
-    if not days:
-        return table.latest_version()
-    pred = f"day_start IN ({', '.join(str(d) for d in days)})"
-    return table.replace_where(pred, collapsed)
+    return _collapse_with_retry(
+        table,
+        lambda rows: (rows.groupBy("day_start", "idx")
+                      .agg(F.max("m_reg").cast("int").alias("m_reg"))
+                      .withColumn("epoch", F.lit(-1).cast("long"))
+                      .select("day_start", "epoch", "idx", "m_reg")),
+        "day_start")
 
 
 def session_window_stream(events: DataFrame, ts_col: str, key: str,

@@ -423,32 +423,33 @@ class TxTable:
         return entries
 
     def _file_blooms(self, part: DataFrame) -> dict | None:
-        """Per-file Bloom bitsets for the configured ``bloom_cols`` —
-        one extra distributed pass per column over the just-written
-        files (explode the 3 bit positions, collect the ≤m distinct
-        set per file), assembled to hex strings driver-side. Returns
+        """Per-file Bloom bitsets for the configured ``bloom_cols`` in
+        ONE extra distributed pass over the just-written files: every
+        column's 3 bit positions ride a single exploded (col, pos)
+        struct array, one groupBy(file, col) collects the ≤m distinct
+        positions, and the driver assembles hex strings. Returns
         {file: {col: hex}} or None when blooms are off."""
-        if not self.bloom_cols:
+        cols = [c for c in self.bloom_cols if c in part.columns]
+        if not cols:
             return None
         from .functions.text import md5_prefix_hash
         m = self.bloom_bits
+        tagged = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     (md5_prefix_hash(F.col(c).cast("string"), seed=s)
+                      % m).cast("int").alias("p"))
+            for c in cols for s in _BLOOM_SEEDS])).alias("_cp")
+        rows = (part.select(F.input_file_name().alias("_file"), tagged)
+                    .groupBy("_file", F.col("_cp.c").alias("_c"))
+                    .agg(F.collect_set(F.col("_cp.p")).alias("_ps"))
+                    .collect())
         out: dict[str, dict[str, str]] = {}
-        for col in self.bloom_cols:
-            if col not in part.columns:
-                continue
-            pos = F.explode(F.array(*[
-                (md5_prefix_hash(F.col(col).cast("string"), seed=s) % m)
-                .cast("int") for s in _BLOOM_SEEDS])).alias("_pos")
-            rows = (part.select(F.input_file_name().alias("_file"), pos)
-                        .groupBy("_file")
-                        .agg(F.collect_set("_pos").alias("_ps"))
-                        .collect())
-            for r in rows:
-                bits = 0
-                for p in r["_ps"]:
-                    if p is not None:
-                        bits |= 1 << p
-                out.setdefault(r["_file"], {})[col] = f"{bits:x}"
+        for r in rows:
+            bits = 0
+            for p in r["_ps"]:
+                if p is not None:
+                    bits |= 1 << p
+            out.setdefault(r["_file"], {})[r["_c"]] = f"{bits:x}"
         return out
 
     @classmethod
@@ -636,7 +637,8 @@ class TxTable:
     def replace_where(self, predicate: str, df: DataFrame,
                       txn_app: str | None = None,
                       txn_version: int | None = None,
-                      max_retries: int = 5) -> int | None:
+                      max_retries: int = 5,
+                      expected_version: int | None = None) -> int | None:
         """Atomic predicate-scoped overwrite — Delta's ``replaceWhere``,
         the backfill primitive: in ONE commit, delete every row matching
         ``predicate`` and insert ``df`` (whose rows must ALL match the
@@ -651,6 +653,15 @@ class TxTable:
         are unaffected (time travel intact); concurrency follows the
         merge loop — read-validate-retry on commit conflict, orphaned
         files collected by vacuum.
+
+        ``expected_version``: optimistic-concurrency precondition for
+        callers whose ``df`` was DERIVED from a snapshot (the collapse
+        maintenance jobs): when set, the write refuses (CommitConflict)
+        if the table has advanced past that version — without it, rows
+        committed by a concurrent writer between the caller's read and
+        this commit would match the predicate, be deleted, and not be
+        in the stale ``df`` (silent data loss). The caller retries by
+        re-deriving from the fresh snapshot.
         """
         if self._txn_already_applied(txn_app, txn_version):
             return None
@@ -667,6 +678,10 @@ class TxTable:
             if self._txn_already_applied(txn_app, txn_version):
                 return None
             base_v = self.latest_version()
+            if expected_version is not None and base_v != expected_version:
+                raise CommitConflict(
+                    f"snapshot advanced to v{base_v} past expected "
+                    f"v{expected_version}; re-derive and retry")
             files = self.snapshot_files(base_v)
             hot = []
             if files:
