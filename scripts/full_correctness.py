@@ -8,7 +8,12 @@ every registered query, and writes an artifact in the driver's exact
 row format so the uncapped evidence is inspectable next to the capped
 hard signal.
 
-Usage:  python scripts/full_correctness.py [out.json] [sf_dir]
+Usage:  python scripts/full_correctness.py [out.json] [sf_dir] [only]
+
+``only`` is an optional comma-separated query-name list: run just
+those queries and MERGE their rows into an existing ``out.json``
+(new-query delta runs between full sweeps; the full sweep remains the
+per-round close discipline).
 """
 
 from __future__ import annotations
@@ -23,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_FULL.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = {n for n in (sys.argv[3].split(",") if len(sys.argv) > 3
+                        else []) if n}
 
     from pyspark.sql import SparkSession
 
@@ -34,8 +41,11 @@ def main() -> int:
     from user_behavior_analysis_spark.queries import ORACLES, QUERIES
 
     report: dict[str, dict] = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            report = json.load(fh)
     failed = 0
-    for name in QUERIES:
+    for name in (n for n in QUERIES if not only or n in only):
         row: dict = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "spark_rows": None,
                      "oracle_rows": None, "err": None}

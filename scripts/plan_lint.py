@@ -136,6 +136,10 @@ SINGLE_PARTITION_OK = {
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANLINT.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # optional comma-separated subset: lint just those queries and
+    # MERGE into an existing artifact (full_correctness.py convention)
+    only = {n for n in (sys.argv[3].split(",") if len(sys.argv) > 3
+                        else []) if n}
 
     from user_behavior_analysis_spark.queries import QUERIES
     from user_behavior_analysis_spark.session import get_spark
@@ -144,8 +148,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     report: dict = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            report = json.load(f)["queries"]
     hard_fail = 0
-    for name, fn in QUERIES.items():
+    for name, fn in ((n, f) for n, f in QUERIES.items()
+                     if not only or n in only):
         row: dict = {"flags": []}
         try:
             df = fn(spark, sf_dir)

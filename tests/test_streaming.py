@@ -2226,6 +2226,86 @@ def test_kmv_rollup_table_parity_and_collapse(spark, sf_dir,
     assert t.latest_version() == v
 
 
+def test_count_rollup_table_parity_and_collapse(spark, sf_dir,
+                                                split_events_dir,
+                                                tmp_path):
+    """Persisted hot-items bucket counts (round 9): streaming
+    per-epoch count partials appended to a TxTable must SUM-collapse
+    on read to EXACTLY the batch bucket relation (counts are an
+    additive monoid over disjoint micro-batches), the table-served
+    sliding top-5 must match BOTH registered flagship derivations
+    bit-for-bit, physical collapse changes row count but no served
+    row, and epoch replay is a no-op."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.streaming.jobs import (
+        bucket_counts, collapse_count_rollup, count_rollup_sink,
+        topn_from_buckets)
+    from user_behavior_analysis_spark.tables import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "hotbuckets"),
+        spark.createDataFrame(
+            [], "bucket_start long, item_id int, epoch long, cnt long"),
+        ["bucket_start"])
+    ev = stream_events(spark, split_events_dir)
+    pv = (ev.where(F.lower("event_type") == "view")
+            .select(F.get_json_object("props", "$.k").cast("int")
+                    .alias("item_id"), "ts"))
+    q = (pv.writeStream.outputMode("append")
+         .foreachBatch(count_rollup_sink(t, slide_s=300))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    # 1. streamed buckets == batch buckets, row for row
+    batch_pv = (load_table(spark, sf_dir, "events")
+                .where(F.lower("event_type") == "view")
+                .selectExpr(
+                    "CAST(get_json_object(props, '$.k') AS INT)"
+                    " AS item_id",
+                    "CAST(ts AS LONG) - CAST(ts AS LONG) % 300"
+                    " AS bucket_start"))
+    batch_buckets = sorted(
+        tuple(r) for r in batch_pv.groupBy("bucket_start", "item_id")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect())
+    stream_buckets = sorted(tuple(r) for r in
+                            bucket_counts(t).collect())
+    assert stream_buckets == batch_buckets
+
+    # 2. table-served sliding top-5 == both registered flagship
+    #    derivations (direct window AND bucket rollup)
+    served = sorted(tuple(r) for r in
+                    topn_from_buckets(t, 3600, 300, n=5).collect())
+    for name in ("hot_items_topn", "hot_items_bucket_rollup"):
+        batch = sorted(tuple(r) for r in
+                       QUERIES[name](spark, sf_dir).collect())
+        assert served == batch, name
+
+    # 3. collapse: fewer rows, identical served relation
+    n_partials = t.read().count()
+    collapse_count_rollup(t)
+    assert t.read().count() <= n_partials
+    assert t.read().count() == len(stream_buckets)  # 1 row/bucket-key
+    assert sorted(tuple(r) for r in
+                  topn_from_buckets(t, 3600, 300, n=5)
+                  .collect()) == served
+    assert [h["op"] for h in t.history()][-1] == "replace_where"
+
+    # 4. at-least-once replay of a recorded epoch: marker no-ops
+    v = t.latest_version()
+    last_epoch = max(h["txn_version"] for h in t.history()
+                     if h.get("txn_app") == "hot_buckets")
+    count_rollup_sink(t, slide_s=300)(
+        spark.createDataFrame([(1,)], "item_id int").withColumn(
+            "ts", F.timestamp_seconds(F.lit(0))), last_epoch)
+    assert t.latest_version() == v
+
+    # 5. a duration that doesn't tile the bucket grid is rejected at
+    #    serve time (the sliding_from_buckets guard, reachable here)
+    with pytest.raises(ValueError, match="not a multiple"):
+        topn_from_buckets(t, 3600, 299, n=5)
+
+
 def test_pattern_stream_matches_batch_compiler(spark, sf_dir,
                                                split_events_dir):
     """The streaming NFA backend of the round-9 pattern compiler must

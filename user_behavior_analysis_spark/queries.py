@@ -93,6 +93,39 @@ def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("window_start", "window_end", "item_id", "cnt", "rn")
 
 
+@query("hot_items_bucket_rollup", _HOT_ITEMS_ORACLE)
+def hot_items_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship answered via the SERVING-TABLE algebra (round 9):
+    reduce events to tumbling 5-min bucket counts first, then roll the
+    1h/5m sliding windows from the BUCKET relation and rank — the
+    exact read path ``streaming.jobs.topn_from_buckets`` runs over the
+    ``count_rollup_sink``-maintained TxTable (streamed==batch bucket
+    parity pinned in tests/test_streaming.py). Same oracle as
+    ``hot_items_topn``: an event's containing windows are exactly its
+    bucket's containing windows, so the two derivations are
+    bit-identical. At 100 TB this is the shape that wins: the ×12
+    window explode runs over the already-reduced bucket rows (|items|
+    × buckets), not the events, and a persisted bucket table answers
+    ANY duration that tiles the 5-min grid with zero fact rescan —
+    the durable form of HotItems.scala:78-84's keyed pre-aggregation."""
+    from .streaming.jobs import sliding_from_buckets
+    pv = (
+        _events(spark, sf_dir)
+        .where(F.lower("event_type") == "view")
+        .select(
+            F.get_json_object("props", "$.k").cast("int").alias("item_id"),
+            (F.col("ts").cast("long")
+             - F.col("ts").cast("long") % 300).alias("bucket_start"),
+        )
+    )
+    buckets = (pv.groupBy("bucket_start", "item_id")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+    win = sliding_from_buckets(buckets, 3600, 300, ["item_id"])
+    top = top_n_per_group(win, ["window_start"],
+                          [F.desc("cnt"), F.asc("item_id")], n=5)
+    return top.select("window_start", "window_end", "item_id", "cnt", "rn")
+
+
 # ---------------------------------------------------------------------------
 # Event-type mapping used throughout (FIXTURES.md §6 driver-table mapping):
 #   'view' ≙ pv behavior      | 'error' ≙ login fail   | 'signup' ≙ success /

@@ -591,6 +591,89 @@ def collapse_hll_det_rollup(table) -> int:
         "day_start")
 
 
+def count_rollup_sink(table, ts_col: str = "ts", slide_s: int = 300,
+                      keys: Sequence[str] = ("item_id",),
+                      app: str = "hot_buckets"):
+    """foreachBatch tail persisting TUMBLING-BUCKET COUNTS — the
+    serving-table form of the reference flagship (HotItems.scala:78-84
+    keyed 1h/5m count): each micro-batch reduces to its
+    (bucket_start, *keys) partial counts and APPENDS them with an
+    epoch column — no read-modify-write, one blind-append commit per
+    epoch (txn marker makes replays no-ops). Counts are the simplest
+    additive monoid, so streamed partials SUM-collapse on read to
+    exactly the batch bucket relation, and any sliding geometry whose
+    duration tiles the bucket grid is a READ-time choice over this
+    table (``topn_from_buckets``) with zero fact rescan — the
+    two-level rollup (``bucket_count_stream``/``sliding_from_buckets``)
+    argument, made durable. The caller pre-shapes the stream (filter +
+    key projection) so one sink body serves any keyed count.
+
+    Table schema: (bucket_start long, *keys, epoch long, cnt long)."""
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if table._txn_already_applied(app, epoch_id):
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        part = (batch_df
+                .withColumn(
+                    "bucket_start",
+                    F.col(ts_col).cast("long")
+                    - F.col(ts_col).cast("long") % slide_s)
+                .groupBy("bucket_start", *keys)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("epoch", F.lit(int(epoch_id)).cast("long")))
+        if part.isEmpty():
+            return
+        table.append(part.select("bucket_start", *keys, "epoch", "cnt"),
+                     txn_app=app, txn_version=epoch_id)
+    return fn
+
+
+def bucket_counts(table, keys: Sequence[str] = ("item_id",)) -> DataFrame:
+    """Read path: SUM-collapse the per-epoch count partials to the
+    true bucket relation (bucket_start, *keys, cnt). O(buckets ×
+    epochs-since-collapse) rows in, O(buckets × keys) out; the facts
+    are never touched."""
+    return (table.read()
+                 .groupBy("bucket_start", *keys)
+                 .agg(F.sum("cnt").alias("cnt")))
+
+
+def topn_from_buckets(table, duration_s: int, slide_s: int,
+                      keys: Sequence[str] = ("item_id",),
+                      n: int = 5) -> DataFrame:
+    """Serve the reference flagship (top-N per sliding window) ENTIRELY
+    from the persisted bucket table: roll the requested sliding
+    geometry with ``sliding_from_buckets`` (which rejects a duration
+    that doesn't tile the bucket grid), then rank per window. Output
+    contract matches the batch ``hot_items_topn`` / the registered
+    ``hot_items_bucket_rollup`` twin: (window_start, window_end,
+    *keys, cnt, rn) — bit-identical on the same facts because an
+    event's containing windows are exactly its bucket's containing
+    windows (the bucket grid IS the slide grid)."""
+    win = sliding_from_buckets(bucket_counts(table, keys),
+                               duration_s, slide_s, keys)
+    top = top_n_per_group(
+        win, ["window_start"],
+        [F.desc("cnt")] + [F.asc(k) for k in keys], n=n)
+    return top.select("window_start", "window_end", *keys, "cnt", "rn")
+
+
+def collapse_count_rollup(table,
+                          keys: Sequence[str] = ("item_id",)) -> int:
+    """Maintenance: physically collapse each bucket's count partials
+    to one SUMMED row (epoch = -1) in a single atomic replace_where
+    commit — served counts unchanged (sum is associative and the read
+    path already takes the same sum); read cost drops to O(buckets ×
+    keys) rows."""
+    return _collapse_with_retry(
+        table,
+        lambda rows: (rows.groupBy("bucket_start", *keys)
+                      .agg(F.sum("cnt").alias("cnt"))
+                      .withColumn("epoch", F.lit(-1).cast("long"))
+                      .select("bucket_start", *keys, "epoch", "cnt")),
+        "bucket_start")
+
+
 def session_window_stream(events: DataFrame, ts_col: str, key: str,
                           gap: str, watermark: str = "5 seconds") -> DataFrame:
     """Streaming sessionization via the native session_window —
