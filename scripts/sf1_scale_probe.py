@@ -272,6 +272,61 @@ def bm25_maint_probe(spark, sf_dir: str, work_dir: str) -> dict:
     return row
 
 
+def count_maint_probe(spark, sf_dir: str, work_dir: str) -> dict:
+    """Served-flagship pipeline probe (round 9): drain the domain's
+    item views through ``count_rollup_sink`` as 3 time-ordered epochs
+    (blind appends), physically collapse, then serve the 1h/5m top-5
+    from the bucket table — asserted row-identical to the batch
+    flagship at this domain. Records drain / collapse / serve /
+    from-scratch walls; serve cost is the read-side rollup over the
+    already-reduced bucket relation, never the events."""
+    import shutil
+
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.streaming.jobs import (
+        collapse_count_rollup, count_rollup_sink, topn_from_buckets)
+    from user_behavior_analysis_spark.tables import TxTable
+
+    root = os.path.join(work_dir, "hotbuckets")
+    shutil.rmtree(root, ignore_errors=True)
+    pv = (load_table(spark, sf_dir, "events")
+          .where(F.lower("event_type") == "view")
+          .select(F.get_json_object("props", "$.k").cast("int")
+                  .alias("item_id"), "ts"))
+    lo, hi = pv.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds() or 1
+    t = TxTable.create(
+        spark, root,
+        spark.createDataFrame(
+            [], "bucket_start long, item_id int, epoch long, cnt long"),
+        ["bucket_start"])
+    fn = count_rollup_sink(t, slide_s=300)
+    row: dict = {"views": pv.count()}
+    t0 = time.perf_counter()
+    for i in range(3):
+        a = F.lit(lo) + F.expr(f"INTERVAL {int(span * i / 3)} SECOND")
+        b = (F.lit(lo)
+             + F.expr(f"INTERVAL {int(span * (i + 1) / 3) if i < 2 else int(span) + 1} SECOND"))
+        fn(pv.where((F.col("ts") >= a) & (F.col("ts") < b)), i)
+    row["drain_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    collapse_count_rollup(t)
+    row["collapse_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    served = topn_from_buckets(t, 3600, 300, n=5)
+    n_served = served.count()
+    row["serve_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    batch = QUERIES["hot_items_topn"](spark, sf_dir)
+    n_batch = batch.count()
+    row["from_scratch_s"] = round(time.perf_counter() - t0, 2)
+    assert n_served == n_batch
+    assert served.exceptAll(batch).isEmpty()
+    row["windows"] = n_served
+    shutil.rmtree(root, ignore_errors=True)
+    return row
+
+
 def streaming_spot_check(spark, x10_dir: str, work_dir: str) -> dict:
     """Streaming-parity spot check AT the 10x domain (VERDICT r4 item
     7): replay the 10x events table as 5 time-ordered micro-batches
@@ -390,6 +445,13 @@ def txtable_probe(spark, sf_dir: str, work_dir: str) -> dict:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1synth"
+    # optional delta mode (full_correctness.py convention): argv[2] is a
+    # comma-separated query-name subset, argv[3] an existing artifact to
+    # MERGE the new rows into. The table/maintenance/streaming probes
+    # only run on full sweeps — their rows are already in the artifact.
+    only = {n for n in (sys.argv[2].split(",") if len(sys.argv) > 2
+                        else []) if n}
+    merge_path = sys.argv[3] if len(sys.argv) > 3 else None
     spark = get_spark("sf1-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(f"{out_dir}/lineitem.parquet"):
@@ -401,7 +463,7 @@ def main() -> None:
     QUERIES["hot_items_topn"](spark, "/root/testdata/sf0.001") \
         .write.format("noop").mode("overwrite").save()
     out: dict = {"factor": FACTOR}
-    for name in SUBSET:
+    for name in (n for n in SUBSET if not only or n in only):
         row = {}
         for label, sf_dir in (("sf01_s", BASE), ("x10_s", out_dir)):
             t0 = time.perf_counter()
@@ -411,6 +473,19 @@ def main() -> None:
         row["ratio"] = round(row["x10_s"] / max(row["sf01_s"], 1e-9), 1)
         out[name] = row
         print(json.dumps({name: row}), flush=True)
+    if only:
+        if merge_path:
+            with open(merge_path) as fh:
+                merged = json.load(fh)
+            merged.update({k: v for k, v in out.items() if k != "factor"})
+            with open(merge_path, "w") as fh:
+                json.dump(merged, fh, indent=1)
+            print(f"merged {sorted(k for k in out if k != 'factor')} "
+                  f"into {merge_path}", flush=True)
+        else:
+            print(json.dumps(out))
+        spark.stop()
+        return
     out["txtable"] = {
         "sf01": txtable_probe(spark, BASE, out_dir),
         "x10": txtable_probe(spark, out_dir, out_dir),
@@ -427,6 +502,12 @@ def main() -> None:
         "x10": bm25_maint_probe(spark, out_dir, out_dir),
     }
     print(json.dumps({"bm25_maintenance": out["bm25_maintenance"]}),
+          flush=True)
+    out["count_maintenance"] = {
+        "sf01": count_maint_probe(spark, BASE, out_dir),
+        "x10": count_maint_probe(spark, out_dir, out_dir),
+    }
+    print(json.dumps({"count_maintenance": out["count_maintenance"]}),
           flush=True)
     out["streaming_spot_check"] = streaming_spot_check(
         spark, out_dir, out_dir)

@@ -1939,6 +1939,43 @@ def test_sliding_from_buckets_rejects_non_divisible_geometry(spark):
         sliding_from_buckets(buckets, 3600, 420, ["event_type"])
 
 
+def test_finer_bucket_table_serves_coarser_geometries(spark, sf_dir):
+    """Round-9 generalization: ONE finest-grain (5-min) bucket table
+    serves any geometry whose duration AND slide are whole multiples
+    of the bucket width — hourly tumbling, 30m/15m sliding — each
+    bit-identical to the direct windowed_agg over the raw events
+    (window boundaries land on the bucket grid, so every bucket lies
+    wholly inside or wholly outside each window). A slide off the
+    bucket grid is rejected."""
+    from user_behavior_analysis_spark.operators.windows import (
+        windowed_agg)
+    from user_behavior_analysis_spark.streaming.jobs import (
+        sliding_from_buckets)
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.lower("event_type") == "view")
+          .select("ts", "event_type"))
+    buckets = (ev.selectExpr(
+        "event_type",
+        "CAST(ts AS LONG) - CAST(ts AS LONG) % 300 AS bucket_start")
+        .groupBy("bucket_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True))
+    cols = ["event_type", "cnt", "window_start", "window_end"]
+    for duration, slide in ((3600, 3600), (1800, 900), (3600, 1500)):
+        served = sorted(tuple(r) for r in sliding_from_buckets(
+            buckets, duration, slide, ["event_type"], bucket_s=300)
+            .selectExpr(*cols).collect())
+        direct = sorted(tuple(r) for r in windowed_agg(
+            ev, "ts", f"{duration} seconds", f"{slide} seconds",
+            keys=["event_type"],
+            aggs=[F.count(F.lit(1)).alias("cnt")])
+            .selectExpr(*cols).collect())
+        assert served and served == direct, (duration, slide)
+    with pytest.raises(ValueError, match="not a multiple"):
+        sliding_from_buckets(buckets, 3600, 450, ["event_type"],
+                             bucket_s=300)
+
+
 def test_sliding_from_buckets_rejects_misaligned_bucket(spark):
     """A bucket row whose start is off the slide grid would land in the
     wrong windows; the executor-side assert_true must fail the job

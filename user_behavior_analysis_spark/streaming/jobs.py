@@ -120,7 +120,8 @@ def bucket_count_stream(events: DataFrame, ts_col: str, slide: str,
 
 
 def sliding_from_buckets(buckets: DataFrame, duration_s: int,
-                         slide_s: int, keys: Sequence[str]) -> DataFrame:
+                         slide_s: int, keys: Sequence[str],
+                         bucket_s: int | None = None) -> DataFrame:
     """Stage 2: roll sliding windows from the bucket table. Each
     bucket feeds the duration_s/slide_s sliding windows that contain
     it — the same explode the batch oracles use, but over BUCKET rows
@@ -128,31 +129,55 @@ def sliding_from_buckets(buckets: DataFrame, duration_s: int,
     over an already-reduced relation. One hash exchange on
     (window_start, keys).
 
-    ``duration_s`` must be a multiple of ``slide_s`` (the bucket table
-    was built at ``slide_s`` granularity — a non-multiple duration
-    can't be tiled by whole buckets, and silently flooring ``n`` would
-    emit windows shorter than requested under a window_end label that
-    still claims ``window_start + duration_s``)."""
-    if duration_s % slide_s != 0:
+    ``bucket_s`` is the grain the bucket table was built at (defaults
+    to ``slide_s`` — the two-level streaming shape where the bucket
+    grid IS the slide grid). A FINER bucket table serves COARSER
+    geometries too: any (duration, slide) with ``slide_s`` and
+    ``duration_s`` whole multiples of ``bucket_s`` tiles exactly in
+    buckets (window boundaries land on the bucket grid, so every
+    bucket lies wholly inside or wholly outside each window) — one
+    finest-grain persisted table answers the 1h/5m flagship, the
+    hourly tumbling PV, and any dashboard geometry on the same grid
+    with zero fact rescan. Non-tiling geometries are rejected:
+    silently flooring would emit windows shorter than requested under
+    a window_end label that still claims ``window_start +
+    duration_s``."""
+    if bucket_s is None:
+        bucket_s = slide_s
+    if duration_s % bucket_s != 0 or slide_s % bucket_s != 0:
         raise ValueError(
-            f"duration_s={duration_s} is not a multiple of "
-            f"slide_s={slide_s}: the {slide_s}s bucket table can only "
-            "roll windows whose length is a whole number of buckets")
-    n = duration_s // slide_s
+            f"duration_s={duration_s}/slide_s={slide_s} is not a "
+            f"multiple of bucket_s={bucket_s}: the {bucket_s}s bucket "
+            "table can only roll windows whose length and slide are "
+            "whole numbers of buckets")
+    # candidate window count per bucket: ceil(duration/slide) slide
+    # steps cover every grid window that can contain the bucket
+    n = (duration_s + slide_s - 1) // slide_s
     # executor-side alignment check (one modulo per already-reduced
-    # bucket row): a bucket whose start isn't on the slide grid would
+    # bucket row): a bucket whose start isn't on the bucket grid would
     # silently land in the wrong windows. assert_true-as-filter so
     # column pruning can't drop the check.
     aligned = F.assert_true(
-        F.col("bucket_start") % slide_s == 0,
-        F.concat(F.lit(f"bucket_start not aligned to slide_s={slide_s}: "),
+        F.col("bucket_start") % bucket_s == 0,
+        F.concat(F.lit(f"bucket_start not aligned to bucket_s={bucket_s}: "),
                  F.col("bucket_start").cast("string")))
+    # w_hi: the largest slide-grid start <= bucket_start. Fixtures pin
+    # ts >= 0 (FIXTURES.md epoch-0 invariant), so plain % is floor.
+    w_hi = F.col("bucket_start") - F.col("bucket_start") % slide_s
     exploded = buckets.where(aligned.isNull()).select(
-        *keys, "cnt",
+        *keys, "cnt", "bucket_start",
         F.explode(F.sequence(
-            F.col("bucket_start") - (n - 1) * slide_s,
-            F.col("bucket_start"),
+            w_hi - (n - 1) * slide_s, w_hi,
             F.lit(slide_s))).alias("window_start"))
+    # keep only windows that CONTAIN the whole bucket: w <= b (by
+    # construction) and b + bucket_s <= w + duration. When bucket_s ==
+    # slide_s and duration % slide == 0 every candidate provably
+    # passes, so the filter is elided and the plan keeps the pinned
+    # round-8 shape.
+    if not (bucket_s == slide_s and duration_s % slide_s == 0):
+        exploded = exploded.where(
+            F.col("bucket_start") + bucket_s
+            <= F.col("window_start") + duration_s)
     return (exploded
             .groupBy("window_start", *keys)
             .agg(F.sum("cnt").alias("cnt"))
@@ -640,7 +665,7 @@ def bucket_counts(table, keys: Sequence[str] = ("item_id",)) -> DataFrame:
 
 def topn_from_buckets(table, duration_s: int, slide_s: int,
                       keys: Sequence[str] = ("item_id",),
-                      n: int = 5) -> DataFrame:
+                      n: int = 5, bucket_s: int | None = None) -> DataFrame:
     """Serve the reference flagship (top-N per sliding window) ENTIRELY
     from the persisted bucket table: roll the requested sliding
     geometry with ``sliding_from_buckets`` (which rejects a duration
@@ -651,7 +676,8 @@ def topn_from_buckets(table, duration_s: int, slide_s: int,
     event's containing windows are exactly its bucket's containing
     windows (the bucket grid IS the slide grid)."""
     win = sliding_from_buckets(bucket_counts(table, keys),
-                               duration_s, slide_s, keys)
+                               duration_s, slide_s, keys,
+                               bucket_s=bucket_s)
     top = top_n_per_group(
         win, ["window_start"],
         [F.desc("cnt")] + [F.asc(k) for k in keys], n=n)
