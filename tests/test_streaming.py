@@ -2343,6 +2343,51 @@ def test_count_rollup_table_parity_and_collapse(spark, sf_dir,
         topn_from_buckets(t, 3600, 299, n=5)
 
 
+def test_expire_buckets_keeps_horizon_exact(spark, sf_dir, tmp_path):
+    """Serving-table retention: expiring buckets before a cutoff must
+    (a) drop exactly the pre-cutoff rows in one replace_where commit,
+    (b) leave every window WHOLLY inside the retained horizon
+    bit-identical to the full-data batch answer (a window starting at
+    or after the cutoff only sums buckets at or after it), and
+    (c) keep the dropped horizon readable via time travel until
+    vacuum."""
+    from user_behavior_analysis_spark.queries import QUERIES
+    from user_behavior_analysis_spark.streaming.jobs import (
+        count_rollup_sink, expire_buckets, topn_from_buckets)
+    from user_behavior_analysis_spark.tables import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "exp"),
+        spark.createDataFrame(
+            [], "bucket_start long, item_id int, epoch long, cnt long"),
+        ["bucket_start"])
+    pv = (load_table(spark, sf_dir, "events")
+          .where(F.lower("event_type") == "view")
+          .select(F.get_json_object("props", "$.k").cast("int")
+                  .alias("item_id"), "ts"))
+    count_rollup_sink(t, slide_s=300)(pv, 0)
+    starts = sorted(r[0] for r in
+                    t.read().select("bucket_start").distinct().collect())
+    cutoff = starts[len(starts) // 2]
+    v_before = t.latest_version()
+    n_pre = t.read().where(f"bucket_start < {cutoff}").count()
+    assert n_pre > 0
+    expire_buckets(t, cutoff)
+    assert t.read().where(f"bucket_start < {cutoff}").count() == 0
+    assert [h["op"] for h in t.history()][-1] == "replace_where"
+    # (c) time travel still sees the dropped horizon
+    assert (t.read(version=v_before)
+             .where(f"bucket_start < {cutoff}").count() == n_pre)
+    # (b) windows fully inside the horizon are exact vs full batch
+    served = sorted(tuple(r) for r in
+                    topn_from_buckets(t, 3600, 300, n=5)
+                    .where(F.col("window_start") >= cutoff).collect())
+    batch = sorted(tuple(r) for r in
+                   QUERIES["hot_items_topn"](spark, sf_dir)
+                   .where(F.col("window_start") >= cutoff).collect())
+    assert served == batch
+
+
 def test_pattern_stream_matches_batch_compiler(spark, sf_dir,
                                                split_events_dir):
     """The streaming NFA backend of the round-9 pattern compiler must

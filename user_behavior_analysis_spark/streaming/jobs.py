@@ -700,6 +700,21 @@ def collapse_count_rollup(table,
         "bucket_start")
 
 
+def expire_buckets(table, before_start: int) -> int:
+    """Retention for the serving-table lifecycle (append → collapse →
+    EXPIRE): atomically drop every bucket row with ``bucket_start <
+    before_start`` via an empty-relation replace_where — one commit,
+    file-granular copy-on-write, time travel intact (the dropped
+    horizon is still readable at older versions until vacuum). At
+    100 TB this is what keeps the bucket table O(horizon), not
+    O(history): a dashboard that serves the trailing week never pays
+    for the year, and the range-partitioned layout means expiry
+    rewrites only the files that straddle the cutoff."""
+    empty = table.read().limit(0)
+    return table.replace_where(f"bucket_start < {int(before_start)}",
+                               empty)
+
+
 def session_window_stream(events: DataFrame, ts_col: str, key: str,
                           gap: str, watermark: str = "5 seconds") -> DataFrame:
     """Streaming sessionization via the native session_window —
