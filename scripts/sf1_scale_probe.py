@@ -474,6 +474,16 @@ def main() -> None:
         out[name] = row
         print(json.dumps({name: row}), flush=True)
     if only:
+        # pseudo-name: run the count-maintenance pipeline probe as
+        # part of a delta (it post-dates the full r9 sweep)
+        if "count_maintenance" in only:
+            out["count_maintenance"] = {
+                "sf01": count_maint_probe(spark, BASE, out_dir),
+                "x10": count_maint_probe(spark, out_dir, out_dir),
+            }
+            print(json.dumps(
+                {"count_maintenance": out["count_maintenance"]}),
+                flush=True)
         if merge_path:
             with open(merge_path) as fh:
                 merged = json.load(fh)

@@ -1976,6 +1976,49 @@ def test_finer_bucket_table_serves_coarser_geometries(spark, sf_dir):
                              bucket_s=300)
 
 
+def test_sliding_from_buckets_property_vs_bruteforce(spark):
+    """Property pin for the round-9 geometry generalization: for
+    random bucket relations and random (duration, slide, bucket_s)
+    grid geometries — including slide > duration (sampling windows
+    with gaps) and slide != bucket_s — the rolled relation equals a
+    brute-force per-bucket window assignment computed in Python."""
+    from hypothesis import given, settings, strategies as st
+    from user_behavior_analysis_spark.streaming.jobs import (
+        sliding_from_buckets)
+
+    bucket_s = 60
+    row = st.tuples(st.integers(0, 40),          # bucket index
+                    st.sampled_from(["a", "b"]),  # key
+                    st.integers(1, 9))            # cnt
+    geom = st.tuples(st.integers(1, 6), st.integers(1, 8))
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=12, unique_by=lambda r:
+                    (r[0], r[1])), geom)
+    def check(rows, dm):
+        d_mult, s_mult = dm
+        duration, slide = d_mult * bucket_s, s_mult * bucket_s
+        sdf = spark.createDataFrame(
+            [(i * bucket_s, k, c) for i, k, c in rows],
+            "bucket_start long, key string, cnt long")
+        got = sorted(tuple(r) for r in sliding_from_buckets(
+            sdf, duration, slide, ["key"], bucket_s=bucket_s)
+            .selectExpr("window_start", "key", "cnt", "window_end")
+            .collect())
+        exp: dict = {}
+        for i, k, c in rows:
+            b = i * bucket_s
+            w = b - b % slide
+            while w + duration >= b + bucket_s:
+                exp[(w, k)] = exp.get((w, k), 0) + c
+                w -= slide
+        expected = sorted((w, k, c, w + duration)
+                          for (w, k), c in exp.items())
+        assert got == expected, (rows, duration, slide, got, expected)
+
+    check()
+
+
 def test_sliding_from_buckets_rejects_misaligned_bucket(spark):
     """A bucket row whose start is off the slide grid would land in the
     wrong windows; the executor-side assert_true must fail the job
