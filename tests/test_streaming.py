@@ -2386,6 +2386,43 @@ def test_count_rollup_table_parity_and_collapse(spark, sf_dir,
         topn_from_buckets(t, 3600, 299, n=5)
 
 
+def test_count_rollup_late_rows_stay_exact(spark, tmp_path):
+    """The count sink's structural advantage over watermarked native
+    sliding state: a LATE row arriving epochs after its bucket closed
+    just appends another additive partial — SUM-collapse folds it in
+    and the served relation equals the all-data batch answer exactly,
+    where a watermarked stream would have dropped the row. (The cost
+    is unbounded bucket lifetime, which `expire_buckets` bounds by
+    policy instead of by watermark.)"""
+    from user_behavior_analysis_spark.streaming.jobs import (
+        bucket_counts, count_rollup_sink, topn_from_buckets)
+    from user_behavior_analysis_spark.tables import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "late"),
+        spark.createDataFrame(
+            [], "bucket_start long, item_id int, epoch long, cnt long"),
+        ["bucket_start"])
+    fn = count_rollup_sink(t, slide_s=300)
+    # epoch 0: items at t=100 and t=700; epoch 1: on-time t=1000 PLUS
+    # a late row for the long-closed t=100 bucket
+    df0 = spark.createDataFrame([(1, 100), (1, 700), (2, 700)],
+                                "item_id int, sec int") \
+        .withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    df1 = spark.createDataFrame([(2, 1000), (1, 110)],
+                                "item_id int, sec int") \
+        .withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    fn(df0, 0)
+    fn(df1, 1)
+    got = sorted(tuple(r) for r in bucket_counts(t).collect())
+    # all five rows, late one included: bucket 0 has item 1 twice
+    assert got == [(0, 1, 2), (600, 1, 1), (600, 2, 1), (900, 2, 1)]
+    served = {(r["window_start"], r["item_id"]): r["cnt"]
+              for r in topn_from_buckets(t, 600, 300, n=5).collect()}
+    assert served[(0, 1)] == 2  # window [0,600) sees the late row
+    assert served[(600, 2)] == 2  # buckets 600 + 900 both inside
+
+
 def test_expire_buckets_keeps_horizon_exact(spark, sf_dir, tmp_path):
     """Serving-table retention: expiring buckets before a cutoff must
     (a) drop exactly the pre-cutoff rows in one replace_where commit,
