@@ -830,3 +830,21 @@ def test_media_neardup_no_pair_distinct_exchange(spark, sf_dir):
     # both window passes (lag dedup + row_number rank) must appear,
     # keyed on doc_a alone
     assert plan.count("Window") >= 2 or "RunningWindowFunction" in plan
+
+
+def test_hot_items_bucket_rollup_explodes_reduced_relation(spark, sf_dir):
+    """hot_items_bucket_rollup (r9): the x12 window explode must run
+    over the ALREADY-REDUCED bucket relation, never the raw events —
+    in the top-down plan text the Generate sits ABOVE the bucket-grain
+    count aggregate (deeper = later), both aggregates keep their
+    partial/final map-side-combine pairs, the top-N rides the
+    WindowGroupLimit partial/final pair, and the event_type filter
+    reaches the parquet scan."""
+    plan = plan_of(spark, "hot_items_bucket_rollup", sf_dir)
+    gen = plan.index("Generate explode")
+    bucket_agg = plan.index("HashAggregate(keys=[bucket_start")
+    assert gen < bucket_agg, plan  # explode consumes the aggregate
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert plan.count("WindowGroupLimit") == 2, plan  # partial+final
+    assert "PushedFilters: [IsNotNull(event_type)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
