@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..fanout import fan_out
 from ..functions.text import fingerprint, md5_prefix_hash, tokens, word_ngrams
 
 
@@ -40,9 +41,15 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
                   ngram: int) -> DataFrame:
-    """Non-distinct (doc_id, g) word-shingle relation — map-side only."""
+    """Non-distinct (doc_id, g) word-shingle relation — map-side only.
+
+    The projected 2-column input is fanned out across cores before the
+    CPU-heavy tokenize/explode stage (fanout.fan_out: an added exchange
+    only when the scan is narrower than the cluster, identity at scale).
+    """
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        fan_out(df.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("t")))
           .withColumn("toks", tokens("t"))
           .withColumn("g", F.explode(word_ngrams("toks", ngram)))
           .select("doc_id", "g")
@@ -200,10 +207,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # propagation half-round fused into initialization (same groupBy
     # shuffle the identity init would need for the distinct, one fewer
     # loop iteration on every shallow near-dup graph).
+    # lazy: round 1's convergence count materializes this together with
+    # its own checkpoint — no standalone init job (p0 above stays eager
+    # because its lineage is the expensive pair pipeline and the union
+    # reads it twice before any cache exists).
     labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
                    .select(F.col("u").alias("node"),
                            F.least(F.col("u"), F.col("mv")).alias("rep"))
-              ).localCheckpoint(eager=True)
+              ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.select(F.col("node").alias("v"), "rep"), "v")
@@ -221,18 +232,23 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # rep is itself a node (it's a min over node ids), so the inner
         # self-join is total. The pre-round label rides along as ``old``
         # so convergence is read off the SAME checkpointed frame — no
-        # extra join back to ``labels`` and no full count: isEmpty()
-        # stops at the first still-moving row.
+        # extra join back to ``labels``. ONE driver action per round:
+        # the lazy localCheckpoint is materialized BY the convergence
+        # count itself (the count computes every partition of the
+        # marked RDD, which caches them), instead of an eager
+        # checkpoint job followed by a separate isEmpty job — per
+        # round that halves the driver barriers on the critical path,
+        # the same latency at sf0.1 and on a 1000-node cluster.
         jumped = (
             new.alias("x")
                .join(new.alias("y"), F.col("x.rep") == F.col("y.node"))
                .select(F.col("x.node").alias("node"),
                        F.col("x.old").alias("old"),
                        F.col("y.rep").alias("rep"))
-        ).localCheckpoint(eager=True)
-        converged = jumped.where(F.col("old") != F.col("rep")).isEmpty()
+        ).localCheckpoint(eager=False)
+        moved = jumped.where(F.col("old") != F.col("rep")).count()
         labels = jumped.select("node", "rep")
-        if converged:
+        if moved == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
@@ -421,8 +437,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         # Safe against the no-persist note below because every join in
         # this branch is explicitly shuffle-hash-pinned (no broadcast
         # decision is left to the checkpoint's unknown stats).
-        dfreq = sh.groupBy("gh").agg(F.count(F.lit(1)).alias("df_n"))
-        shd = (sh.join(dfreq.hint("shuffle_hash"), "gh")
+        # df_n rides a vocabulary-keyed WINDOW over the postings (one
+        # exchange of sh by gh) instead of a groupBy + shuffle-hash
+        # join back (aggregate exchange + probe re-exchange of the
+        # same relation) — guide §2.4: a window partitioned like the
+        # aggregation shares its one shuffle. Per-gh partitions are
+        # df-bounded only for rare shingles, but the window computes a
+        # plain count (no buffering of rows beyond the frame scan), so
+        # a boilerplate shingle costs a long sorted run, not memory.
+        shd = (sh.withColumn(
+                   "df_n", F.count(F.lit(1)).over(Window.partitionBy("gh")))
                  .localCheckpoint(eager=True))
         rare = shd.where(F.col("df_n") <= df_cap).select("doc_id", "gh")
         common = shd.where(F.col("df_n") > df_cap).select("doc_id", "gh")
@@ -634,16 +658,17 @@ def unit_dedup_reconstruct(df: DataFrame, text_col: str, id_col: str,
     map-side; nothing row-local leaves Tungsten until the ranking
     exchange.
     """
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias(text_col))
     if split_lines:
         sep = "\n"
         units_arr = F.filter(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
             lambda x: x != "")
         exploded = (
-            df.select(F.col(id_col).alias("doc_id"),
-                      units_arr.alias("u"))
-              .where(F.size("u") > 0)
-              .select("doc_id", F.posexplode("u").alias("uidx", "unit"))
+            src.select("doc_id", units_arr.alias("u"))
+               .where(F.size("u") > 0)
+               .select("doc_id", F.posexplode("u").alias("uidx", "unit"))
         )
     else:
         sep = " "
@@ -655,9 +680,9 @@ def unit_dedup_reconstruct(df: DataFrame, text_col: str, id_col: str,
             lambda i: F.concat_ws(
                 " ", F.slice("t", i * unit_tokens + 1, unit_tokens)))
         exploded = (
-            df.select(F.col(id_col).alias("doc_id"), t.alias("t"))
-              .where(F.size("t") > 0)
-              .select("doc_id", F.posexplode(units).alias("uidx", "unit"))
+            src.select("doc_id", t.alias("t"))
+               .where(F.size("t") > 0)
+               .select("doc_id", F.posexplode(units).alias("uidx", "unit"))
         )
     w = (Window.partitionBy(F.xxhash64("unit"), F.col("unit"))
                .orderBy("doc_id", "uidx"))
@@ -722,12 +747,16 @@ def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
           .select("doc_id", md5_prefix_hash(F.col("g")).alias("tok"))
           .distinct()
           .localCheckpoint(eager=False))
-    dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
+    # Document frequency rides a tok-keyed WINDOW over the staged
+    # postings (guide §2.4): one exchange of tk by tok, where the
+    # groupBy + shuffle-hash join back paid the aggregate exchange
+    # PLUS a probe re-exchange of the same relation.
     # Per-doc rarest-first position + set size off ONE doc_id exchange:
     # the rank window and the count window share the hash partitioning.
     w_pos = Window.partitionBy("doc_id").orderBy("dfr", "tok")
     w_all = Window.partitionBy("doc_id")
-    ranked = (tk.join(dfreq.hint("shuffle_hash"), "tok")
+    ranked = (tk.withColumn(
+                  "dfr", F.count(F.lit(1)).over(Window.partitionBy("tok")))
                 .withColumn("pos", F.row_number().over(w_pos))
                 .withColumn("n", F.count(F.lit(1)).over(w_all)))
     # minimal overlap ⌈t·n⌉ in exact integer form; prefix keeps positions
@@ -754,7 +783,12 @@ def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
                      F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
-             .distinct())
+             .distinct()
+             # the candidate relation feeds FIVE exec subtrees (cdocs
+             # union ×2, its repeat under each packed side, the verify
+             # join) and exchange reuse does not fire across them —
+             # staging it makes the prefix self-join run ONCE
+             .localCheckpoint(eager=False))
     # Verify sets are materialized ONLY for docs that appear in some
     # candidate pair (left-semi restriction): the collect_list cost is
     # candidate-bounded, never corpus-bounded — the same
@@ -764,7 +798,10 @@ def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
                  .distinct())
     packed = (tk.join(cdocs.hint("shuffle_hash"), "doc_id", "left_semi")
                 .groupBy("doc_id")
-                .agg(F.sort_array(F.collect_list("tok")).alias("toks")))
+                .agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+                # read twice (pa, pb): stage so the semi-join +
+                # collect_list aggregate run once, not per side
+                .localCheckpoint(eager=False))
     pa = packed.select(F.col("doc_id").alias("doc_a"),
                        F.col("toks").alias("ta"))
     pb = packed.select(F.col("doc_id").alias("doc_b"),
@@ -894,8 +931,12 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
              .select(F.col(id_col).alias("doc_id"),
                      F.explode(F.expr(winnow_fingerprints_expr(
                          "toks", k, w))).alias("fp")))
-    df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("dfc"))
-    kept = (fps.join(df_tbl.hint("shuffle_hash"), "fp")
+    # df gate via fp-keyed window (guide §2.4): one exchange of the
+    # fingerprint relation instead of aggregate + join-probe
+    # re-exchange; (doc_id, fp) rows are distinct per doc (winnowing
+    # array_distinct), so count(*) per fp == doc frequency.
+    kept = (fps.withColumn(
+                "dfc", F.count(F.lit(1)).over(Window.partitionBy("fp")))
                .where(F.col("dfc") <= max_df)
                .select("doc_id", "fp")
                .localCheckpoint(eager=True))

@@ -65,15 +65,21 @@ def pagerank(edges: DataFrame, a: str = "a", b: str = "b",
     iterative-algorithm hygiene (same reason GraphX checkpoints).
     Returns ``(node, rank_scaled)``.
     """
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    # The directed edge list is re-read every iteration (plus once for
-    # degrees): persist it, or each pass re-executes the upstream
-    # pipeline that produced the graph — the textbook iterative-Spark
-    # mistake. MEMORY_AND_DISK so a 100 TB-derived edge list degrades
-    # to local spill instead of OOM.
+    # Mirror the canonical edge list MAP-SIDE (posexplode of the two
+    # orientations) instead of a self-union: a union re-executes the
+    # upstream pair pipeline once per branch, the explode reads it
+    # once. The directed edge list is then re-read every iteration
+    # (plus once for degrees): persist it, or each pass re-executes
+    # the upstream pipeline that produced the graph — the textbook
+    # iterative-Spark mistake. MEMORY_AND_DISK so a 100 TB-derived
+    # edge list degrades to local spill instead of OOM.
     from pyspark import StorageLevel
-    und = (e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    und = (e.select(F.explode(F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v"))))
+            .alias("_e"))
+            .select("_e.u", "_e.v")
         .repartition(F.col("u"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))

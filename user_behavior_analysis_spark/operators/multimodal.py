@@ -125,24 +125,31 @@ def byte_histograms(df: DataFrame, group_col: str,
     """
     import numpy as np
 
-    def fn(batches) :
+    def fn(batches):
         for pdf in batches:
-            out_g, out_b, out_c = [], [], []
-            for grp, part in pdf.groupby(group_col, sort=False):
-                # null payloads would TypeError inside b"".join and
-                # kill the job — exactly the corrupt-input case this
-                # screen exists for. Drop them; they contribute no bytes.
-                buf = np.frombuffer(
-                    b"".join(part[payload_col].dropna()), dtype=np.uint8)
-                hist = np.bincount(buf >> 4, minlength=16)
-                nz = np.nonzero(hist)[0]
-                out_g += [grp] * len(nz)
-                out_b += nz.tolist()
-                out_c += hist[nz].tolist()
+            # ONE vectorized bincount per batch over (group-code, bin)
+            # instead of a Python-level loop over pandas groups (the
+            # near-dup caller has one group per payload, so that loop
+            # was effectively per-row). Null payloads contribute no
+            # bytes and null GROUP keys are dropped — both exactly as
+            # the pandas groupby did (groupby drops NaN keys; dropna
+            # skipped null payloads).
+            codes, uniques = pd.factorize(pdf[group_col], sort=False)
+            pl = pdf[payload_col]
+            mask = pl.notna().to_numpy() & (codes >= 0)
+            bufs = pl.to_numpy(dtype=object)[mask]
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                               count=len(bufs))
+            buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            byte_codes = np.repeat(codes[mask], lens) * 16 + (buf >> 4)
+            hist = np.bincount(
+                byte_codes, minlength=len(uniques) * 16).reshape(-1, 16)
+            nzg, nzb = np.nonzero(hist)
             yield pd.DataFrame({
-                "grp": pd.Series(out_g, dtype="object"),
-                "bin": pd.Series(out_b, dtype="int32"),
-                "cnt": pd.Series(out_c, dtype="int64")})
+                "grp": pd.Series(np.asarray(uniques, dtype=object)[nzg]
+                                 if len(nzg) else [], dtype="object"),
+                "bin": pd.Series(nzb, dtype="int32"),
+                "cnt": pd.Series(hist[nzg, nzb], dtype="int64")})
 
     partials = (df.select(F.col(group_col), F.col(payload_col))
                   .mapInPandas(fn, BYTE_HIST_SCHEMA))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..fanout import fan_out
 from ..functions.vectors import as_double, cosine, dot, norm
 
 
@@ -136,6 +137,7 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: list,
     CDC-maintained index) assigns deltas IDENTICALLY to the batch
     index build. Ties (measure-zero on float centroids) break to the
     lower cell id via the struct array_min."""
+    df = fan_out(df)  # identity on streaming deltas and real-scale scans
     v = as_double(vec_col)
     dists = F.array(*[
         F.struct(
@@ -456,7 +458,7 @@ def rp_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     Radius >1 is deliberately unsupported: C(b,2) extra probes buys
     little once radius-1 has closed the tail.
     """
-    c = (corpus.select("c_id", as_double("c_vec").alias("cv"))
+    c = (fan_out(corpus.select("c_id", as_double("c_vec").alias("cv")))
                .select("c_id", "cv",
                        F.posexplode(F.expr(rp_lsh_buckets_expr(
                            "cv", n_tables, n_planes, dim, seed)))
@@ -723,7 +725,7 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
         dists = f"transform({_book_sql(book, nd)}, c -> {_l2sq('c', sub)})"
         codes.append(let_expr(
             dists, "ds", "cast(array_position(ds, array_min(ds)) as int)"))
-    c = (corpus.select("c_id", as_double("c_vec").alias("cv"))
+    c = (fan_out(corpus.select("c_id", as_double("c_vec").alias("cv")))
                .withColumn("codes", F.expr(
                    "array(" + ",".join(codes) + ")")))
 

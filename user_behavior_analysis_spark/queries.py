@@ -3876,17 +3876,29 @@ def _bm25_from_docs(docs: DataFrame) -> DataFrame:
     tf/dl/df/n/lt, then the shared integer scoring core."""
     from .functions.text import tokens
     from .operators.retrieval import bm25_score_topk
+    from pyspark.sql import Window
     tf = (docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
               .where(F.col("tok") != "")
               .groupBy("doc_id", "tok")
               .agg(F.count(F.lit(1)).alias("tf")))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # dl rides a doc-keyed window over tf instead of a groupBy + join
+    # back (guide §2.4: same-key window needs no second shuffle pair) —
+    # one exchange of the postings instead of an aggregate exchange
+    # plus a join probe re-exchange; per-doc partitions are bounded by
+    # document length, so no skew exposure.
+    postings = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     lt = tf.agg(F.sum("tf").alias("lt"))
     qt = (tf.where(F.col("doc_id") < _BM25_N_QUERIES)
             .select(F.col("doc_id").alias("q_id"),
                     F.col("tok").alias("q_tok")))
+    # df stays the full-vocabulary aggregate: a broadcast semi-join on
+    # the query tokens shuffles fewer bytes but SERIALIZES the DAG on
+    # the qtoks broadcast build (measured +0.3 s interleaved vs this
+    # shape's fully parallel branches), and the tok exchange is
+    # map-side partially aggregated anyway.
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # query terms + their df + the two corpus scalars: still a tiny
     # relation (queries × query-length rows), broadcast-able by design
     qterms = (qt.join(dfreq.hint("shuffle_hash"),
@@ -3894,7 +3906,6 @@ def _bm25_from_docs(docs: DataFrame) -> DataFrame:
                 .crossJoin(F.broadcast(n))
                 .crossJoin(F.broadcast(lt))
                 .select("q_id", "q_tok", "df", "n", "lt"))
-    postings = tf.join(dl.hint("shuffle_hash"), "doc_id")
     return bm25_score_topk(qterms, postings, k=_BM25_K)
 
 
@@ -3941,16 +3952,26 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "toks", _WINNOW_K, _WINNOW_W)))
               .select("doc_id", "source",
                       F.explode("fps").alias("fp")))
-    keep = (fp.groupBy("fp")
-              .agg(F.countDistinct("doc_id").alias("nd"))
-              .where(F.col("nd") <= 100)
-              .select("fp"))
-    fpk = fp.join(keep.hint("shuffle_hash"), "fp")
+    # Boilerplate gate via fp-keyed window (guide §2.4): winnowing
+    # fingerprints are array_distinct per doc, so count(*) per fp ==
+    # countDistinct(doc_id) — one exchange of the fingerprint relation
+    # replaces the separate countDistinct aggregate + gate join, and
+    # both self-join sides below canonicalize to the SAME exchange
+    # subtree, so the winnow scan runs ONCE under a ReusedExchange
+    # (the before-plan executed it four times: plan nodes 1/7/22/28).
+    from pyspark.sql import Window
+    fpk = (fp.withColumn(
+               "nd", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+             .where(F.col("nd") <= 100))
     a = fpk.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("doc_a"),
                    F.col("source").alias("source_a"))
     b = fpk.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("doc_b"),
                    F.col("source").alias("source_b"))
-    pairs = (a.join(b, (a.fp_a == b.fp_b) & (a.doc_a < b.doc_b))
+    # shuffle-hash pin: both sides are corpus-scaled (never broadcast
+    # at 100 TB) and already hash-partitioned by fp from the window —
+    # the join adds no exchange on either side
+    pairs = (a.join(b.hint("shuffle_hash"),
+                    (a.fp_a == b.fp_b) & (a.doc_a < b.doc_b))
                .where(F.col("source_a") != F.col("source_b"))
                .select("doc_a", "doc_b",
                        F.least("source_a", "source_b").alias("source_lo"),
@@ -4637,8 +4658,12 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pairs = co_occurrence_pairs(li, "l_orderkey", "l_partkey",
                                 cap=8, min_count=2)
+    # checkpoint=True truncates each iterate's lineage (guide §3.3:
+    # materialize intermediates to keep iterative plans shallow) — the
+    # un-truncated 3-iteration plan carried 396 Exchange nodes that
+    # Catalyst/AQE re-planned from scratch on every pass
     pr = pagerank(pairs, a="item_a", b="item_b",
-                  iterations=3, scale=_PR_SCALE)
+                  iterations=3, scale=_PR_SCALE, checkpoint=True)
     return pr.orderBy(F.desc("rank_scaled"), "node").limit(50)
 
 

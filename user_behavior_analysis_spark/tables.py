@@ -68,6 +68,21 @@ class CommitConflict(Exception):
 _BLOOM_SEEDS = (41, 43, 47)
 
 
+def _bitset_hex(positions, m_bits: int) -> str:
+    """Hex string of the m-bit bitset with ``positions`` set —
+    numpy-vectorized (bytes buffer + one int.from_bytes) instead of
+    per-position Python big-int shifts, which at 2^18 bits × 10^5
+    positions were the slowest step of a Bloom-indexed commit."""
+    import numpy as np
+    arr = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    ps = np.asarray([p for p in positions if p is not None],
+                    dtype=np.int64)
+    if len(ps):
+        np.bitwise_or.at(arr, ps >> 3,
+                         np.left_shift(1, (ps & 7)).astype(np.uint8))
+    return f"{int.from_bytes(arr.tobytes(), 'little'):x}"
+
+
 def _bloom_positions(value, m_bits: int) -> list[int]:
     """Driver-side twin of the Spark-side bloom bit positions: md5 of
     ``"{seed}|{str(value)}"``, first 15 hex chars as int, mod m — the
@@ -404,9 +419,21 @@ class TxTable:
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for k in key_cols:
             aggs += [F.min(k).alias(f"_min_{k}"), F.max(k).alias(f"_max_{k}")]
+        # Bloom bit positions ride the SAME per-file stats aggregate
+        # (one post-write scan instead of two): per (col, seed) a
+        # collect_set of ≤m distinct int positions — no explode, so the
+        # row count feeding the aggregate stays the file's row count.
+        bloom_cols = [c for c in self.bloom_cols if c in part.columns]
+        if bloom_cols:
+            from .functions.text import md5_prefix_hash
+            m = self.bloom_bits
+            for c in bloom_cols:
+                for i, s in enumerate(_BLOOM_SEEDS):
+                    aggs.append(F.collect_set(
+                        (md5_prefix_hash(F.col(c).cast("string"), seed=s)
+                         % m).cast("int")).alias(f"_bl_{i}_{c}"))
         stats = (part.groupBy(F.input_file_name().alias("_file"))
                      .agg(*aggs).collect())
-        blooms = self._file_blooms(part)
         entries = []
         for r in stats:
             rel = os.path.join(commit_id, os.path.basename(
@@ -416,41 +443,15 @@ class TxTable:
                 "stats": {k: [r[f"_min_{k}"], r[f"_max_{k}"]]
                           for k in key_cols},
             }
-            if blooms is not None:
+            if bloom_cols:
                 e["bloom"] = {"bits": self.bloom_bits,
-                              "cols": blooms.get(r["_file"], {})}
+                              "cols": {c: _bitset_hex(
+                                  [p for i in range(len(_BLOOM_SEEDS))
+                                   for p in r[f"_bl_{i}_{c}"]],
+                                  self.bloom_bits)
+                                  for c in bloom_cols}}
             entries.append(e)
         return entries
-
-    def _file_blooms(self, part: DataFrame) -> dict | None:
-        """Per-file Bloom bitsets for the configured ``bloom_cols`` in
-        ONE extra distributed pass over the just-written files: every
-        column's 3 bit positions ride a single exploded (col, pos)
-        struct array, one groupBy(file, col) collects the ≤m distinct
-        positions, and the driver assembles hex strings. Returns
-        {file: {col: hex}} or None when blooms are off."""
-        cols = [c for c in self.bloom_cols if c in part.columns]
-        if not cols:
-            return None
-        from .functions.text import md5_prefix_hash
-        m = self.bloom_bits
-        tagged = F.explode(F.array(*[
-            F.struct(F.lit(c).alias("c"),
-                     (md5_prefix_hash(F.col(c).cast("string"), seed=s)
-                      % m).cast("int").alias("p"))
-            for c in cols for s in _BLOOM_SEEDS])).alias("_cp")
-        rows = (part.select(F.input_file_name().alias("_file"), tagged)
-                    .groupBy("_file", F.col("_cp.c").alias("_c"))
-                    .agg(F.collect_set(F.col("_cp.p")).alias("_ps"))
-                    .collect())
-        out: dict[str, dict[str, str]] = {}
-        for r in rows:
-            bits = 0
-            for p in r["_ps"]:
-                if p is not None:
-                    bits |= 1 << p
-            out.setdefault(r["_file"], {})[r["_c"]] = f"{bits:x}"
-        return out
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
@@ -576,11 +577,19 @@ class TxTable:
             return None
         keys = self._key_cols()
         # schema enforcement: cast to the declared table schema so the
-        # written files' parquet types never drift from the reads
-        batch = self._conform(batch).localCheckpoint(eager=True)
-        n_rows, n_keys = batch.agg(
-            F.count(F.lit(1)),
-            F.count_distinct(F.struct(*keys))).first()
+        # written files' parquet types never drift from the reads.
+        # ONE driver action validates and bounds the batch: the lazy
+        # localCheckpoint is materialized by the combined
+        # duplicate-check + key-bounds aggregate (previously three
+        # separate jobs: eager checkpoint, dup agg, bounds agg).
+        batch = self._conform(batch).localCheckpoint(eager=False)
+        pre = batch.agg(
+            F.count(F.lit(1)).alias("_n_rows"),
+            F.count_distinct(F.struct(*keys)).alias("_n_keys"),
+            *[f for k in keys for f in (F.min(k).alias(f"lo_{k}"),
+                                        F.max(k).alias(f"hi_{k}"))]).first()
+        n_rows, n_keys = pre["_n_rows"], pre["_n_keys"]
+        bounds = pre
         if n_rows != n_keys:
             if on_dup == "error":
                 raise ValueError(
@@ -595,10 +604,9 @@ class TxTable:
             batch = (batch.withColumn("_rn", F.row_number().over(w))
                           .where(F.col("_rn") == 1).drop("_rn")
                           .localCheckpoint(eager=True))
-        # batch key bounds: one tiny driver row to prune files against
-        bounds = batch.agg(*[f for k in keys for f in
-                             (F.min(k).alias(f"lo_{k}"),
-                              F.max(k).alias(f"hi_{k}"))]).first()
+        # batch key bounds came with the combined aggregate above; a
+        # dup-resolve pass keeps one row per key, so the per-key min/max
+        # over the surviving rows is unchanged.
         for _ in range(max_retries):
             if self._txn_already_applied(txn_app, txn_version):
                 return None
@@ -667,7 +675,9 @@ class TxTable:
             return None
         keys = self._key_cols()
         pred = F.expr(predicate)
-        df = self._conform(df).localCheckpoint(eager=True)
+        # lazy checkpoint, materialized by the predicate-violation count
+        # — one driver action instead of two
+        df = self._conform(df).localCheckpoint(eager=False)
         n_outside = df.where(~F.coalesce(pred, F.lit(False))).count()
         if n_outside:
             raise ValueError(
