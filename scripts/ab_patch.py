@@ -36,10 +36,13 @@ def main() -> int:
 
     kind, _, name = toggle.partition(":")
     if kind == "attr":
-        real = getattr(Q, name)
+        from user_behavior_analysis_spark.operators import dedup as D
+        targets = [(m, getattr(m, name)) for m in (Q, D)
+                   if hasattr(m, name)]
 
         def set_mode(on: bool) -> None:
-            setattr(Q, name, real if on else (lambda df: df))
+            for m, real in targets:
+                setattr(m, name, real if on else (lambda df: df))
     else:
         def set_mode(on: bool) -> None:
             fanout.AB_DISABLE = set() if on else {name}

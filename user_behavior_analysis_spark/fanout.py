@@ -25,6 +25,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: A/B toggle for candidate optimizations under measurement
+#: (scripts/ab_patch.py): candidate code keeps both paths behind
+#: ``ab_on("<tag>")`` until the interleaved A/B lands, then the losing
+#: path is deleted. Always empty in production.
+AB_DISABLE: set[str] = set()
+
+
+def ab_on(tag: str) -> bool:
+    return tag not in AB_DISABLE
+
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin ``df`` across ``defaultParallelism`` partitions iff it

@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .fanout import fan_out as _fan_out_text
 from .functions.text import tokens as tokens_of
 from .operators.topn import top_n_per_group
 from .operators.windows import sliding_oracle_from, tumbling_oracle_start, windowed_agg
@@ -1813,7 +1814,8 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  stopword_ratio, token_count, tokens)
     # tokenize ONCE into a materialized column; every downstream metric
     # reuses it instead of re-running the split regex per expression
-    docs = load_table(spark, sf_dir, "documents") \
+    docs = _fan_out_text(load_table(spark, sf_dir, "documents")
+                         .select("doc_id", "text")) \
         .withColumn("toks", tokens("text"))
     t = F.col("toks")
     return docs.select(
@@ -2228,8 +2230,13 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection; the only shuffle is whatever the consumer adds
     (here: none)."""
     from .functions.text import tokens, winnow_fingerprints_expr
+    # winnowing is the most expensive per-row text stage in the registry
+    # and this query has ZERO exchanges — without a fan-out the whole
+    # compute runs on one core at test scan widths (guide §2.5 input
+    # skew: one unsplittable input partition); identity at scale
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _fan_out_text(load_table(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
         .withColumn("toks", tokens("text"))
         .withColumn("fps",
                     F.expr(winnow_fingerprints_expr("toks", _WINNOW_K,
@@ -3946,7 +3953,8 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     + per-source-pair count are both bounded by the surviving pair set."""
     from .functions.text import tokens, winnow_fingerprints_expr
     docs = load_table(spark, sf_dir, "documents")
-    fp = (docs.withColumn("toks", tokens("text"))
+    fp = (_fan_out_text(docs.select("doc_id", "source", "text"))
+              .withColumn("toks", tokens("text"))
               .withColumn("fps",
                           F.expr(winnow_fingerprints_expr(
                               "toks", _WINNOW_K, _WINNOW_W)))
@@ -5186,7 +5194,8 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id, bigram) formulation would shuffle the whole corpus).
     Complements quality_filter (corpus-level ratios) with the
     within-doc repetition dimension of the Gopher rules."""
-    return repetition_gate(load_table(spark, sf_dir, "documents"))
+    return repetition_gate(_fan_out_text(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")))
 
 
 # --- window frames: running + sliding per-customer spend --------------------
@@ -6129,6 +6138,9 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: map-side combine at the Arrow boundary; final
     aggregate carries |sources| x 16 groups."""
     from .operators.multimodal import byte_histograms
+    # NO fan_out here: round-robining payload bytes costs more than the
+    # single-core Arrow stage saves (A/B off 0.42 s / on 0.78 s — the
+    # same payload-shuffle loss as media_neardup; guide §2.3)
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.encode("text", "UTF-8").alias("payload"))
     return byte_histograms(docs, "source", "payload")
