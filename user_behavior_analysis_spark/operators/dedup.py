@@ -142,9 +142,38 @@ def verify_pairs_jaccard(df: DataFrame, pairs: DataFrame, text_col: str,
 
     Returns (doc_a, doc_b, jaccard) for candidates meeting ``threshold``.
     """
-    sh = (_doc_shingles(df, text_col, id_col, ngram)
-          .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
-          .distinct())
+    raw = (_doc_shingles(df, text_col, id_col, ngram)
+           .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh")))
+    if threshold > 0:
+        # set sizes ride the SAME doc-keyed dedup window and travel
+        # WITH the posting rows through the intersection join (max()
+        # aggregates of a per-doc constant), so the separate sizes
+        # aggregate and the two size join-backs disappear. A pair with
+        # zero common shingles can never reach a positive threshold,
+        # so the left-join + coalesce(0) shape is only kept for the
+        # threshold <= 0 contract edge below (interleaved A/B vs the
+        # join-back shape on dedup_pipeline: 3.65 -> 2.98 s).
+        sh = _posting_dedup_sized(raw, "doc_id", "gh", "n")
+        sa = sh.select(F.col("doc_id").alias("doc_a"),
+                       F.col("gh").alias("gha"), F.col("n").alias("na"))
+        sb = sh.select(F.col("doc_id").alias("b2"),
+                       F.col("gh").alias("ghb"), F.col("n").alias("nb"))
+        return (
+            pairs.select("doc_a", "doc_b")
+                 .join(sa, "doc_a")
+                 .join(sb, (F.col("doc_b") == F.col("b2"))
+                       & (F.col("gha") == F.col("ghb")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("inter_n"),
+                      F.max("na").alias("na"), F.max("nb").alias("nb"))
+                 .withColumn("jaccard",
+                             F.col("inter_n").cast("double")
+                             / (F.col("na") + F.col("nb")
+                                - F.col("inter_n")))
+                 .where(F.col("jaccard") >= threshold)
+                 .select("doc_a", "doc_b", "jaccard")
+        )
+    sh = raw.distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gha"))
     sb = sh.select(F.col("doc_id").alias("b2"), F.col("gh").alias("ghb"))
@@ -424,30 +453,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # keys instead of ~25-byte n-gram strings, and the join compares
     # longs. Set semantics survive because the same hash is applied in
     # the oracle (collisions, if any, collide identically).
-    sh = (_doc_shingles(df, text_col, id_col, ngram)
-          .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
-          .distinct())
+    raw = _doc_shingles(df, text_col, id_col, ngram) \
+        .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
     if df_cap is not None:
-        # tag every posting with its shingle's document frequency (ONE
-        # vocabulary-keyed join) and STAGE the tagged index once: six
-        # downstream branches (rare ×2, common ×2, sizes, csizes) read
-        # the materialized relation instead of re-running the
-        # tokenize→md5→distinct pipeline per branch — the in-process
-        # analog of staging shingles to a temp table at petabyte scale.
-        # Safe against the no-persist note below because every join in
-        # this branch is explicitly shuffle-hash-pinned (no broadcast
-        # decision is left to the checkpoint's unknown stats).
-        # df_n rides a vocabulary-keyed WINDOW over the postings (one
-        # exchange of sh by gh) instead of a groupBy + shuffle-hash
-        # join back (aggregate exchange + probe re-exchange of the
-        # same relation) — guide §2.4: a window partitioned like the
-        # aggregation shares its one shuffle. Per-gh partitions are
-        # df-bounded only for rare shingles, but the window computes a
-        # plain count (no buffering of rows beyond the frame scan), so
-        # a boilerplate shingle costs a long sorted run, not memory.
-        shd = (sh.withColumn(
-                   "df_n", F.count(F.lit(1)).over(Window.partitionBy("gh")))
-                 .localCheckpoint(eager=True))
+        # STAGE the df-tagged index once: six downstream branches
+        # (rare ×2, common ×2, sizes, csizes) read the materialized
+        # relation instead of re-running the tokenize→md5 pipeline per
+        # branch — the in-process analog of staging shingles to a temp
+        # table at petabyte scale. Safe against the no-persist note
+        # below because every join in this branch is explicitly
+        # shuffle-hash-pinned (no broadcast decision is left to the
+        # checkpoint's unknown stats).
+        #
+        # The (doc_id, gh) dedup is FOLDED INTO the vocabulary-keyed
+        # window pass (guide §2.4: operations keyed the same way share
+        # one exchange): one hash(gh) exchange + one (gh, doc_id) sort
+        # dedupes (lag against the previous doc_id) AND counts df_n,
+        # where distinct-then-window paid a second full exchange of
+        # the posting relation (hash(doc_id, gh) for the distinct,
+        # hash(gh) for the window). Within-doc repeat shingles are
+        # rare, so distinct's map-side partial combine saved almost
+        # nothing — the extra exchange was pure cost (interleaved A/B:
+        # jaccard 4.33→3.53 s, triangles −0.55/−0.20 s). Per-gh
+        # partitions are df-bounded only for rare shingles, but both
+        # window functions stream the sorted run (no buffering), so a
+        # boilerplate shingle costs a long sorted run, not memory.
+        wo = Window.partitionBy("gh").orderBy("doc_id")
+        shd = (raw.withColumn("_pv", F.lag("doc_id").over(wo))
+                  .where(F.col("_pv").isNull()
+                         | (F.col("_pv") != F.col("doc_id")))
+                  .drop("_pv")
+                  .withColumn("df_n", F.count(F.lit(1)).over(
+                      Window.partitionBy("gh")))
+                  .localCheckpoint(eager=True))
         rare = shd.where(F.col("df_n") <= df_cap).select("doc_id", "gh")
         common = shd.where(F.col("df_n") > df_cap).select("doc_id", "gh")
         # per-doc totals AND capped-out counts in ONE doc-keyed pass
@@ -571,6 +609,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                    .where(F.col("jaccard") >= threshold)
                    .select("doc_a", "doc_b", "jaccard"))
         return base.unionByName(rec)
+    sh = raw.distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Every relation here is CORPUS-scaled (shingles ~ docs x |text|,
     # sizes ~ |docs|): pin all three joins to shuffle-hash so Catalyst's
@@ -743,21 +782,27 @@ def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
     # substring_containment hit). localCheckpoint materializes each
     # narrow relation once — at petabyte scale this is the temp-table
     # staging step.
+    # (doc_id, tok) dedup FOLDED into the vocabulary-keyed df window
+    # (guide §2.4, the ngram_jaccard_pairs treatment): one hash(tok)
+    # exchange + (tok, doc_id) sort both dedupes (lag against the
+    # previous doc_id) and counts dfr, where distinct-then-window paid
+    # a second full exchange of the posting relation (interleaved A/B:
+    # 3.25→3.08 s).
+    wo = Window.partitionBy("tok").orderBy("doc_id")
     tk = (_doc_shingles(df, text_col, id_col, ngram)
           .select("doc_id", md5_prefix_hash(F.col("g")).alias("tok"))
-          .distinct()
+          .withColumn("_pv", F.lag("doc_id").over(wo))
+          .where(F.col("_pv").isNull()
+                 | (F.col("_pv") != F.col("doc_id")))
+          .drop("_pv")
+          .withColumn("dfr", F.count(F.lit(1)).over(
+              Window.partitionBy("tok")))
           .localCheckpoint(eager=False))
-    # Document frequency rides a tok-keyed WINDOW over the staged
-    # postings (guide §2.4): one exchange of tk by tok, where the
-    # groupBy + shuffle-hash join back paid the aggregate exchange
-    # PLUS a probe re-exchange of the same relation.
     # Per-doc rarest-first position + set size off ONE doc_id exchange:
     # the rank window and the count window share the hash partitioning.
     w_pos = Window.partitionBy("doc_id").orderBy("dfr", "tok")
     w_all = Window.partitionBy("doc_id")
-    ranked = (tk.withColumn(
-                  "dfr", F.count(F.lit(1)).over(Window.partitionBy("tok")))
-                .withColumn("pos", F.row_number().over(w_pos))
+    ranked = (tk.withColumn("pos", F.row_number().over(w_pos))
                 .withColumn("n", F.count(F.lit(1)).over(w_all)))
     # minimal overlap ⌈t·n⌉ in exact integer form; prefix keeps positions
     # 1 .. n - ⌈t·n⌉ + 1.
@@ -819,6 +864,24 @@ def allpairs_jaccard_join(df: DataFrame, text_col: str, id_col: str,
                          / F.col("union_n")).alias("jaccard")))
 
 
+def _posting_dedup_sized(sh: DataFrame, key_col: str, item_col: str,
+                         size_col: str) -> DataFrame:
+    """Dedupe a (key, item) posting relation AND attach the per-key set
+    size in ONE key-partitioned window pass: sort by item within the
+    key, drop rows equal to their predecessor (lag), count the
+    survivors — where distinct-then-count-window paid a second full
+    exchange of the postings (hash(key, item) for the distinct,
+    hash(key) for the window). Guide §2.4; the ngram_jaccard_pairs /
+    allpairs treatment, keyed by document here."""
+    wo = Window.partitionBy(key_col).orderBy(item_col)
+    return (sh.withColumn("_pv", F.lag(item_col).over(wo))
+              .where(F.col("_pv").isNull()
+                     | (F.col("_pv") != F.col(item_col)))
+              .drop("_pv")
+              .withColumn(size_col, F.count(F.lit(1)).over(
+                  Window.partitionBy(key_col))))
+
+
 def corpus_dedup_index(corpus: DataFrame, text_col: str, id_col: str,
                        ngram: int = 3,
                        stage: bool = False) -> tuple[DataFrame, DataFrame]:
@@ -829,12 +892,11 @@ def corpus_dedup_index(corpus: DataFrame, text_col: str, id_col: str,
     micro-batch loop) builds them ONCE instead of per batch."""
     fp_old = corpus.select(F.col(id_col).alias("old_id"),
                            fingerprint(text_col).alias("fp"))
-    w_old = Window.partitionBy("old_id")
-    sh_old = (_doc_shingles(corpus, text_col, id_col, ngram)
-              .select(F.col("doc_id").alias("old_id"),
-                      md5_prefix_hash(F.col("g")).alias("gh"))
-              .distinct()
-              .withColumn("nb", F.count(F.lit(1)).over(w_old)))
+    sh_old = _posting_dedup_sized(
+        _doc_shingles(corpus, text_col, id_col, ngram)
+        .select(F.col("doc_id").alias("old_id"),
+                md5_prefix_hash(F.col("g")).alias("gh")),
+        "old_id", "gh", "nb")
     if stage:
         fp_old = fp_old.localCheckpoint(eager=True)
         sh_old = sh_old.localCheckpoint(eager=True)
@@ -880,11 +942,12 @@ def incremental_dedup_status(corpus: DataFrame, batch: DataFrame,
     # joins would re-execute the whole scan→shingle→hash pipeline per
     # consumer (measured ~2x the query). The window costs one narrow
     # exchange of 8-byte keyed rows; the gram hashing runs once.
-    w_new = Window.partitionBy("doc_id")
-    sh_new = (_doc_shingles(batch, text_col, id_col, ngram)
-              .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh"))
-              .distinct()
-              .withColumn("na", F.count(F.lit(1)).over(w_new)))
+    # deduped + sized in one doc-keyed window pass (interleaved A/B
+    # with the distinct-then-window shape: 2.27 -> 1.98 s)
+    sh_new = _posting_dedup_sized(
+        _doc_shingles(batch, text_col, id_col, ngram)
+        .select("doc_id", md5_prefix_hash(F.col("g")).alias("gh")),
+        "doc_id", "gh", "na")
     inter = (sh_new.join(sh_old.hint("shuffle_hash"), "gh")
                    .groupBy("doc_id", "old_id")
                    .agg(F.count(F.lit(1)).alias("inter_n"),

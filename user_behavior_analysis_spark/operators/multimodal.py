@@ -222,6 +222,14 @@ def media_neardup_topk(df: DataFrame, id_col: str, payload_col: str,
                .withColumn("n2", F.expr(
                    "aggregate(zip_with(hv, hv, (x, y) -> x * y), 0D, "
                    "(acc, x) -> acc + x)")))
+    # feats feeds THREE plan branches (bucket explode, probe-side fa,
+    # build-side fb) and sits on top of the Arrow histogram stage —
+    # without staging, the mapInPandas pipeline re-executes per branch.
+    # One eager localCheckpoint of the per-doc feature relation (|docs|
+    # rows × 16 doubles — the lightweight proxy, never payloads) makes
+    # every branch read the materialized rows (guide §3.3 / §5;
+    # interleaved A/B: media_neardup 4.27→3.50 s, mixed 3.63→3.04 s).
+    feats = feats.localCheckpoint(eager=True)
     bkts = feats.select(
         "doc_id",
         F.posexplode(F.expr(rp_lsh_buckets_expr(
@@ -249,8 +257,16 @@ def media_neardup_topk(df: DataFrame, id_col: str, payload_col: str,
     fb = feats.select(F.col("doc_id").alias("doc_b"),
                       F.col("hv").alias("hb"), F.col("sha").alias("sha_b"),
                       F.col("n2").alias("nb2"))
-    scored = (pairs.join(fa.hint("shuffle_hash"), "doc_a")
-                   .join(fb.hint("shuffle_hash"), "doc_b")
+    # join build-side features FIRST (doc_b), probe-side LAST (doc_a):
+    # the ranking window below partitions by doc_a, so the last join's
+    # hash(doc_a) exchange doubles as the window's distribution and the
+    # candidate relation crosses the wire once less (guide §2.4 /
+    # §3.3 — key the join so its output partitioning is the one the
+    # next operator needs; plan: 14 → 12 Exchanges, wall a wash at
+    # sf0.1 but one fewer full exchange of the widest relation at
+    # scale)
+    scored = (pairs.join(fb.hint("shuffle_hash"), "doc_b")
+                   .join(fa.hint("shuffle_hash"), "doc_a")
                    .where((F.col("na2") > 0) & (F.col("nb2") > 0))
                    .withColumn("cos", F.expr(
                        "aggregate(zip_with(ha, hb, (x, y) -> x * y), 0D, "

@@ -4127,6 +4127,12 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.topn import top_n_per_group
     bm = bm25_topk(spark, sf_dir).select(
         "q_id", "doc_id", F.col("rn").alias("rn_a"))
+    # fp feeds both sides of the overlap self-join; deliberately NOT
+    # checkpointed: the winnow stage recomputes per branch, but both
+    # branches (and the whole BM25 ranker) schedule concurrently inside
+    # the one noop action, while an eager checkpoint BARRIER serializes
+    # them (interleaved A/B: 3.56 s free-running vs 4.36 s staged — the
+    # same §1.1 lesson as BM25's reverted broadcast semi-filter).
     fp = rolling_fingerprints(spark, sf_dir)
     qfp = (fp.where(F.col("doc_id") < _BM25_N_QUERIES)
              .select(F.col("doc_id").alias("q_id"),
@@ -5734,6 +5740,11 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE array() END")
     inst = (docs.select("doc_id", "source", toks.alias("t"))
                 .select("doc_id", "source", F.explode(ngrams).alias("g")))
+    # deliberately the join-back shape, NOT a g-keyed window: a window
+    # over the trigram key would save ~0.1 s here (measured) but puts a
+    # boilerplate trigram's every instance into ONE sorted run that AQE
+    # cannot split (guide §2.5 — skew handling applies to joins only),
+    # where this SHJ probe is exactly what AQE skew-join splits at scale
     df_tbl = (inst.groupBy("g")
                   .agg(F.countDistinct("doc_id").alias("df")))
     joined = inst.join(df_tbl.hint("shuffle_hash"), "g")
