@@ -488,6 +488,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   .localCheckpoint(eager=True))
         rare = shd.where(F.col("df_n") <= df_cap).select("doc_id", "gh")
         common = shd.where(F.col("df_n") > df_cap).select("doc_id", "gh")
+        if common.isEmpty():
+            # Runtime short-circuit off the staged index (one cheap
+            # filter scan of the in-memory checkpoint): when NO shingle
+            # exceeds the cap — the sf-domain density, "max df 25 vs
+            # cap 128" — the capped algebra reduces EXACTLY to the
+            # exhaustive join (rare == all postings, every c == 0, so
+            # the upper-bound admission IS the exact Jaccard, the
+            # common-intersection join adds 0, and the saturated set
+            # {c >= t*n} is empty), yet its plan still carried the
+            # common branches and the whole MinHash recovery pass as
+            # empty exchanges and AQE stages. Build the reduced plan
+            # instead; any over-cap shingle keeps the full capped +
+            # recovery construction below (the x10/x30 probes engage
+            # it by construction). Interleaved A/B: jaccard 3.67→2.64,
+            # triangles −1.0/−1.2 s.
+            ra, rb = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
+            ir = (ra.join(rb, (F.col("a.gh") == F.col("b.gh"))
+                          & (F.col("a.doc_id") < F.col("b.doc_id")))
+                    .groupBy(F.col("a.doc_id").alias("doc_a"),
+                             F.col("b.doc_id").alias("doc_b"))
+                    .agg(F.count(F.lit(1)).alias("ir")))
+            sizes = shd.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n"))
+            sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("na"))
+            sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("nb"))
+            return (ir.join(sa.hint("shuffle_hash"), "doc_a")
+                      .join(sb.hint("shuffle_hash"), "doc_b")
+                      .withColumn("jaccard",
+                                  F.col("ir").cast("double")
+                                  / (F.col("na") + F.col("nb")
+                                     - F.col("ir")))
+                      .where(F.col("jaccard") >= threshold)
+                      .select("doc_a", "doc_b", "jaccard"))
         # per-doc totals AND capped-out counts in ONE doc-keyed pass
         stats = shd.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n"),
@@ -998,6 +1033,12 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     # fingerprint relation instead of aggregate + join-probe
     # re-exchange; (doc_id, fp) rows are distinct per doc (winnowing
     # array_distinct), so count(*) per fp == doc frequency.
+    # sizes stay a separate post-stage aggregate + join-backs HERE
+    # (unlike verify_pairs_jaccard): carrying n on the posting rows
+    # would add a doc-keyed window to the eager checkpoint's critical
+    # path, while the three exchanges it removes all run on SMALL
+    # post-checkpoint relations (measured +0.14 s fused — §1.1, the
+    # ideal-plan-vs-measured rule).
     kept = (fps.withColumn(
                 "dfc", F.count(F.lit(1)).over(Window.partitionBy("fp")))
                .where(F.col("dfc") <= max_df)
