@@ -218,10 +218,15 @@ def test_event_anomaly_stats_are_broadcast(spark, sf_dir):
 
 def test_doc_repetition_is_scan_only(spark, sf_dir):
     plan = plan_of(spark, "doc_repetition", sf_dir)
-    # the repetition gate is row-local array math: one codegen scan over
-    # documents, no shuffle anywhere — the only shape a per-doc quality
-    # filter can afford at corpus scale
-    assert "Exchange" not in plan, plan
+    # the repetition gate is row-local array math: no KEYED shuffle
+    # anywhere — the only data movement allowed is the round-robin
+    # map-parallelism floor (fanout.fan_out, round 9), which is an
+    # identity at production scan widths; a hashpartitioning exchange
+    # would mean the per-doc filter started shuffling the corpus
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning".lower() in plan.lower(), plan
 
 
 def test_collocation_vocabulary_joins_are_shuffle(spark, sf_dir):
