@@ -170,6 +170,19 @@ def test_sole_return_supplier_stats_never_broadcast(spark, sf_dir):
         plan), plan
 
 
+def test_sole_return_supplier_no_distinct_expand(spark, sf_dir):
+    # r9: both correlation sides derive from ONE (orderkey, suppkey)
+    # grouping — the two-countDistinct Expand (2x every lineitem row
+    # through the aggregate) must stay gone, and the two branch scans
+    # must stay byte-identical (same pushed not-null filters) so AQE
+    # stage-reuses the shared shuffle instead of scanning twice.
+    plan = plan_of(spark, "sole_return_supplier", sf_dir)
+    assert "Expand" not in plan, plan
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    lineitem = [s for s in scans if "l_orderkey" in s]
+    assert len(lineitem) == 2 and lineitem[0] == lineitem[1], scans
+
+
 def test_market_share_single_fact_fact_shuffle(spark, sf_dir):
     # Q8 shape: every dim chain broadcasts; lineitem⋈orders is the only
     # shuffle join and it is pinned (a fact must never broadcast).

@@ -3527,15 +3527,30 @@ def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_returnflag")
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name")
-    stats = (li.groupBy("l_orderkey")
-               .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                    F.countDistinct(
-                        F.when(F.col("l_returnflag") == "R",
-                               F.col("l_suppkey"))).alias("n_ret"))
-               .where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
-               .withColumnRenamed("l_orderkey", "st_orderkey"))
-    guilty = (li.where(F.col("l_returnflag") == "R")
-                .select("l_orderkey", "l_suppkey").distinct())
+    # One (orderkey, suppkey) grouping feeds BOTH correlation sides
+    # (round 9, guide §2.4): n_supp == countDistinct(suppkey) is the
+    # per-order row count of this relation, n_ret == countDistinct
+    # (when R, suppkey) is its has_ret sum, and the guilty pairs are
+    # its has_ret == 1 rows — so the two-distinct Expand (2x every
+    # lineitem row through the aggregate) and the second lineitem
+    # scan both collapse into one partial-aggregated shuffle that AQE
+    # stage-reuses across the branches. The explicit not-null filter
+    # keeps the count(*)/countDistinct equivalence exact (no
+    # null-suppkey group) AND gives both branches byte-identical scan
+    # subtrees (the supplier join infers IsNotNull(l_suppkey) on one
+    # side only, which would otherwise block the exchange reuse).
+    per = (li.where(F.col("l_orderkey").isNotNull()
+                    & F.col("l_suppkey").isNotNull())
+             .groupBy("l_orderkey", "l_suppkey")
+             .agg(F.max(F.when(F.col("l_returnflag") == "R", 1)
+                         .otherwise(0)).alias("has_ret")))
+    stats = (per.groupBy("l_orderkey")
+                .agg(F.count(F.lit(1)).alias("n_supp"),
+                     F.sum("has_ret").alias("n_ret"))
+                .where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+                .withColumnRenamed("l_orderkey", "st_orderkey"))
+    guilty = (per.where(F.col("has_ret") == 1)
+                 .select("l_orderkey", "l_suppkey"))
     cnt = (guilty.join(stats.hint("shuffle_hash"),
                        guilty.l_orderkey == stats.st_orderkey)
                  .groupBy("l_suppkey")
