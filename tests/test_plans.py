@@ -866,3 +866,40 @@ def test_hot_items_bucket_rollup_explodes_reduced_relation(spark, sf_dir):
     assert plan.count("WindowGroupLimit") == 2, plan  # partial+final
     assert "PushedFilters: [IsNotNull(event_type)" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- Runtime exchange-reuse pins (round 9) ----------------------------------
+# Unlike the static assertions above, these two EXECUTE the query: AQE
+# exchange reuse is only visible in the post-execution adaptive plan
+# (the static explain shows every branch unreused). They pin the
+# round-9 canonicalization work — branch subtrees kept byte-identical
+# so the corpus-tokenize shuffle materializes once.
+
+def _executed_plan(df) -> str:
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_bm25_tokenize_shuffle_reused(spark, sf_dir):
+    """bm25_topk cold path: postings, df and lt all derive from one tf
+    relation whose scan -> tokenize -> partial-agg -> exchange subtree
+    must stay canonically identical across the three branches (explicit
+    doc_id not-null, tf >= 1 pruning guard), so the corpus tokenize
+    runs ONCE and the other branches read the reused shuffle."""
+    df = QUERIES["bm25_topk"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "ReusedExchange" in plan, plan
+    scans = plan.count("documents.parquet")
+    assert scans <= 3, f"tf subtree de-canonicalized: {scans} scans"
+
+
+def test_lm_bigram_unigram_shuffle_reused(spark, sf_dir):
+    """lm_bigram_surprisal: the vocab-size aggregate must reuse the
+    unigram count exchange (c1 >= 1 pruning guard) instead of
+    re-tokenizing the corpus."""
+    df = QUERIES["lm_bigram_surprisal"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "ReusedExchange" in plan, plan
+    scans = plan.count("documents.parquet")
+    assert scans <= 3, f"unigram subtree de-canonicalized: {scans} scans"

@@ -3899,7 +3899,14 @@ def _bm25_from_docs(docs: DataFrame) -> DataFrame:
     from .functions.text import tokens
     from .operators.retrieval import bm25_score_topk
     from pyspark.sql import Window
-    tf = (docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # The explicit doc_id not-null filter mirrors the IsNotNull the
+    # scoring join infers on the postings branch, so every consumer of
+    # tf below (postings window, df aggregate, lt scalar) canonicalizes
+    # the SAME scan -> tokenize -> partial-agg -> exchange subtree and
+    # AQE stage-reuses it instead of re-tokenizing the corpus per
+    # branch (the sole_return_supplier change-12 discipline).
+    tf = (docs.where(F.col("doc_id").isNotNull())
+              .select("doc_id", F.explode(tokens("text")).alias("tok"))
               .where(F.col("tok") != "")
               .groupBy("doc_id", "tok")
               .agg(F.count(F.lit(1)).alias("tf")))
@@ -3919,8 +3926,13 @@ def _bm25_from_docs(docs: DataFrame) -> DataFrame:
     # the query tokens shuffles fewer bytes but SERIALIZES the DAG on
     # the qtoks broadcast build (measured +0.3 s interleaved vs this
     # shape's fully parallel branches), and the tok exchange is
-    # map-side partially aggregated anyway.
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # map-side partially aggregated anyway. The tf >= 1 filter is a
+    # semantic no-op (counts are >= 1 by construction) that stops
+    # column pruning from dropping the count out of this branch's
+    # partial aggregate — which would de-canonicalize the shared tf
+    # exchange and break the stage reuse.
+    dfreq = (tf.where(F.col("tf") >= 1)
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
     # query terms + their df + the two corpus scalars: still a tiny
     # relation (queries × query-length rows), broadcast-able by design
     qterms = (qt.join(dfreq.hint("shuffle_hash"),
@@ -7246,10 +7258,22 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = (toks.select("lang", F.explode("t").alias("w"))
                .groupBy("lang", "w")
                .agg(F.count(F.lit(1)).alias("c1")))
-    voc = uni.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
-    bc = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # voc's no-op c1 >= 1 filter stops column pruning from dropping the
+    # count out of its partial aggregate, so this branch canonicalizes
+    # the SAME unigram exchange as the scoring join below and AQE
+    # stage-reuses it — one unigram tokenize instead of two (the
+    # bm25/sole_return_supplier round-9 discipline).
+    voc = (uni.where(F.col("c1") >= 1)
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("v")))
+    # cb stays a separate count-table JOIN, not a window over the
+    # scoring exchange: a (lang, w1, w2) window would put every
+    # instance of a hot bigram ("of the") into ONE sorted run that AQE
+    # cannot split, where the SHJ probe is exactly what AQE skew-join
+    # splits at 100 TB (the boilerplate_ngrams decision); measured
+    # +0.12 s locally too (the window sort beats nothing here).
     # count tables are corpus-scaled: pin shuffle-hash so a test-scale
     # size estimate can never bake in a broadcast that OOMs at 100x
+    bc = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     scored = (bg.join(bc.hint("shuffle_hash"), ["lang", "w1", "w2"])
                 .join(uni.withColumnRenamed("w", "w1").hint("shuffle_hash"),
                       ["lang", "w1"])
