@@ -3763,7 +3763,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("tok") != ""))
     tf = (toks.groupBy("doc_id", "tok")
               .agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # the no-op tf >= 1 filter keeps this branch's partial aggregate
+    # canonically identical to the scoring branch's (column pruning
+    # would otherwise drop the count), so AQE stage-reuses the tf
+    # exchange and the corpus tokenize runs ONCE (the bm25 change-13
+    # discipline).
+    dfreq = (tf.where(F.col("tf") >= 1)
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
                .withColumnRenamed("tok", "df_tok"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     sc = (tf.join(dfreq.hint("shuffle_hash"),
