@@ -903,3 +903,52 @@ def test_lm_bigram_unigram_shuffle_reused(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
     scans = plan.count("documents.parquet")
     assert scans <= 3, f"unigram subtree de-canonicalized: {scans} scans"
+
+
+def test_cms_grouping_shuffle_reused(spark, sf_dir):
+    """heavy_hitters_cms: sketch and candidate set both derive from one
+    (tok, h1, h2) grouping (sketch = sum of its counts — exact
+    integers), guarded against pruning divergence, so the corpus is
+    tokenized ONCE and the grouping exchange is stage-reused."""
+    df = QUERIES["heavy_hitters_cms"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "ReusedExchange" in plan, plan
+    scans = plan.count("documents.parquet")
+    assert scans <= 1, f"cms grouping de-canonicalized: {scans} scans"
+
+
+def test_funnel_steps_aggregates_reused(spark, sf_dir):
+    """funnel_steps: the v and c per-user aggregates each feed a join
+    AND a count — the not-null guards keep their subtrees canonical so
+    each computes once (3 events scans: the intrinsic complementary
+    event_type slices, not 5)."""
+    df = QUERIES["funnel_steps"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "ReusedExchange" in plan, plan
+    scans = plan.count("events.parquet")
+    assert scans <= 3, f"funnel aggregates de-canonicalized: {scans} scans"
+
+
+def test_dominant_suppliers_single_fact_scan(spark, sf_dir):
+    """dominant_suppliers: the per-part total re-aggregates the
+    (partkey, suppkey) share aggregate through a reused exchange — one
+    lineitem scan, and the share/total join stays shuffle-hash."""
+    df = QUERIES["dominant_suppliers"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "ReusedExchange" in plan, plan
+    scans = plan.count("lineitem.parquet")
+    assert scans <= 1, f"share subtree de-canonicalized: {scans} scans"
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_small_qty_window_single_scan(spark, sf_dir):
+    """small_qty_revenue: the per-part average rides a partkey window
+    over the brand-joined rows (whole parts survive the brand filter,
+    so window == decorrelated aggregate) — one lineitem scan, one
+    Window operator, and no fact-fact join left in the plan."""
+    df = QUERIES["small_qty_revenue"](spark, sf_dir)
+    plan = _executed_plan(df)
+    scans = plan.count("lineitem.parquet")
+    assert scans == 1, f"expected one lineitem scan: {scans}"
+    assert re.search(r"\bWindow \[", plan), plan
+    assert "ShuffledHashJoin" not in plan, plan

@@ -2937,6 +2937,11 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a per-user event array, O(1) aggregation state per key,
     shuffles keyed on user_id only)."""
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    # explicit key guard on the shared base: the step joins infer
+    # IsNotNull(user_id) onto only their own branch's scan — a no-op on
+    # the fixtures (user_id is never null) that keeps the v subtree
+    # canonical across its join and count consumers
+    ev = ev.where(F.col("user_id").isNotNull())
     v = (ev.where(F.col("event_type") == "view")
            .groupBy("user_id").agg(F.min("ts").alias("t_view")))
     c = (ev.where(F.col("event_type") == "click")
@@ -2947,11 +2952,23 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(c, "user_id")
            .where(F.col("ts") >= F.col("t_click"))
            .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    # v and c each feed a join AND a count; the count consumers prune
+    # the min column out of their branch's aggregate, which
+    # de-canonicalizes it and re-runs the whole per-user aggregate per
+    # consumer (5 events scans). The no-op guards (min(ts) is non-null
+    # for every group — ts is the watermark column) keep the subtrees
+    # identical so each aggregate computes once and its exchange is
+    # stage-reused (3 scans — the intrinsic complementary event_type
+    # slices; interleaved A/B a wash locally, kept for the
+    # unconditional structural win, the tfidf change-15 precedent).
+    v_cnt = v.where(F.col("t_view").isNotNull())
+    c_cnt = c.where(F.col("t_click").isNotNull())
     return (
-        v.agg(F.count(F.lit(1)).alias("n_viewed"))
-         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
-         .crossJoin(p.agg(F.count(F.lit(1))
-                          .alias("n_purchased_after_click")))
+        v_cnt.agg(F.count(F.lit(1)).alias("n_viewed"))
+             .crossJoin(c_cnt.agg(F.count(F.lit(1))
+                                  .alias("n_clicked_after_view")))
+             .crossJoin(p.agg(F.count(F.lit(1))
+                              .alias("n_purchased_after_click")))
     )
 
 
@@ -3371,6 +3388,13 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
+    # Measured and REVERTED (r9 session 6): an explicit not-null guard
+    # on l_suppkey canonicalizes rev across its two consumers so the
+    # scalar max reads the reused exchange (1 scan) — but the
+    # interleaved A/B read 0.87 → 1.02 s: the broadcast mx build then
+    # waits on the rev exchange instead of aggregating in parallel
+    # (the rrf staging lesson — a barrier across branches that
+    # otherwise overlap in one DAG).
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name")
     one = F.lit(1).cast(_D12)
@@ -3420,20 +3444,29 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice")
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_brand") == "Brand#23").select("p_partkey")
-    pa = (li.groupBy("l_partkey")
-            .agg(F.sum(_dec("l_quantity")).alias("sq"),
-                 F.count(F.lit(1)).cast("decimal(10,0)").alias("nq"))
-            .withColumnRenamed("l_partkey", "pa_partkey"))
     five = F.lit(5).cast("decimal(3,0)")
+    # The brand filter keeps or drops WHOLE parts (it is a per-part
+    # predicate and p_partkey is unique), so every surviving part still
+    # carries all of its lineitem rows after the join — the per-part
+    # (sum, count) rides a partkey window over the joined rows instead
+    # of a full-table aggregate joined back. One lineitem scan and one
+    # exchange (was two scans, the agg exchange AND the SHJ probe
+    # re-exchange; interleaved A/B 1.09 → 0.75 s), and at scale the
+    # per-part aggregate work shrinks from all parts to the brand's
+    # ~1/25 slice. No skew class: lines per part is bounded (~30) at
+    # every SF, so each window run is constant-size.
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("l_partkey")
+    joined = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .withColumn("sq", F.sum(_dec("l_quantity")).over(w))
+                .withColumn("nq", F.count(F.lit(1)).over(w)
+                             .cast("decimal(10,0)")))
     cond = _dec("l_quantity") * five * F.col("nq") < F.col("sq")
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-              .join(pa.hint("shuffle_hash"),
-                    li.l_partkey == pa.pa_partkey)
-              .where(cond)
-              .agg((F.sum(_dec("l_extendedprice"))
-                     .cast("string").cast("double") / F.lit(7.0))
-                   .alias("avg_yearly"),
-                   F.count(F.lit(1)).alias("n_lines")))
+    return (joined.where(cond)
+                  .agg((F.sum(_dec("l_extendedprice"))
+                         .cast("string").cast("double") / F.lit(7.0))
+                       .alias("avg_yearly"),
+                       F.count(F.lit(1)).alias("n_lines")))
 
 
 _DISJUNCT_ORACLE = """
@@ -5381,6 +5414,16 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate bounded by |segments| x |suppliers|."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_returnflag")
+    # Measured and REVERTED (r9 session 6): deriving both sides from
+    # one (partkey, suppkey) grouping (the sole_return_supplier
+    # restructure) with canonicalization guards does scan lineitem once
+    # with a ReusedExchange — but the interleaved A/B read 1.67 → 2.12 s:
+    # the exclusion side's build then sits behind TWO sequential
+    # exchanges (grouping → suppkey re-agg) on the anti-join's critical
+    # path, where these two independent branches scan-and-aggregate in
+    # parallel. Unlike change 12, the shared relation here is an
+    # intermediate AGGREGATE, not a byte-identical scan — reuse bought
+    # one scan but serialized the DAG.
     ev = li.select("l_partkey", "l_suppkey").distinct()
     ret = (li.groupBy("l_suppkey")
              .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
@@ -5710,6 +5753,17 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides |parts|-scaled, neither may broadcast at 100x)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity")
+    # the final supplier join infers IsNotNull(l_suppkey) onto only the
+    # share branch's scan, de-canonicalizing the (partkey, suppkey)
+    # aggregate the per-part total re-aggregates — the explicit guard
+    # (a no-op: TPC-H l_suppkey is NOT NULL) keeps both subtrees
+    # identical so the fact is scanned ONCE and the total rides the
+    # reused exchange (the bm25 change-13 class; interleaved A/B
+    # −0.11 s, lineitem scans 2 → 1). Unlike top_supplier's reverted
+    # guard, the docstring's "re-groups the aggregated frame" contract
+    # was already serialized on this exchange, so reuse costs no
+    # parallelism.
+    li = li.where(F.col("l_suppkey").isNotNull())
     part = (load_table(spark, sf_dir, "part")
             .where(F.col("p_name").like("%blue%"))
             .select("p_partkey"))
@@ -6063,6 +6117,12 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("bucket",
                         F.conv(F.substring("key", 1, 1), 16, 10)
                          .cast("int")))
+    # Staging the (doc_id, key, tok, bucket) proxy once (the
+    # curation_pipeline shape) was measured and REVERTED (r9 session 6,
+    # interleaved A/B +0.05 s): the tokenize here is one split+size —
+    # cheap enough that the two branches' parallel scans beat a
+    # checkpoint barrier, and unlike curation there is no md5/metric
+    # battery to amortize.
     btot = docs.groupBy("bucket").agg(F.sum("tok").alias("btok"))
     wb = Window.orderBy("bucket") \
                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -6465,6 +6525,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(t).alias("n_tokens"),
         punct_ratio("text").alias("pr"),
         stopword_ratio("text", toks=t).alias("sr"))
+    # The metric projection is the SOLE upstream of every funnel branch
+    # (the media_neardup staging shape, not the rrf overlap shape) and
+    # sits on the expensive tokenize+fingerprint pass, which the
+    # raw/quality/dedup branches otherwise re-execute per scan (3
+    # documents scans at runtime). One eager checkpoint of the narrow
+    # per-doc proxy makes "the scan is paid once" literally true
+    # (interleaved A/B 2.00 → 1.41 s). Fan-out of the text input was
+    # measured and REVERTED (1.36 → 1.75 s): it round-robins payload
+    # bytes, the §2.3 media lesson.
+    m = m.localCheckpoint(eager=True)
     raw = m.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
     q = m.where((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000)
                 & (F.col("pr") <= 0.20) & (F.col("sr") >= 0.01)) \
@@ -6550,7 +6620,11 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocabulary|-sized shuffle). The 1,024-row sketch then broadcasts
     to score candidates map-side."""
     from .functions.text import tokens
-    inst = (load_table(spark, sf_dir, "documents")
+    # tokenize -> explode -> per-token md5 is the expensive-map class
+    # where the round-robin floor pays for the projected text column
+    # (the document_profile A/B family; interleaved A/B −0.30 s).
+    inst = (_fan_out_text(load_table(spark, sf_dir, "documents")
+                          .select("text"))
             .select(F.explode(tokens("text")).alias("tok"))
             .where(F.col("tok") != "")
             .select("tok",
@@ -6561,11 +6635,26 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
     bucket = ((F.col("h1") + F.col("seed") * F.col("h2"))
               % _MINHASH_P % _CMS_W).alias("bucket")
-    sketch = (inst.crossJoin(F.broadcast(seeds))
-                  .select("seed", bucket)
-                  .groupBy("seed", "bucket")
-                  .agg(F.count(F.lit(1)).alias("cnt")))
-    cand = inst.distinct()
+    # Sketch and candidate set both derive from ONE (tok, h1, h2)
+    # grouping: the candidate distinct ALREADY pays a vocab-sized
+    # exchange, so folding the per-token instance count into it costs
+    # one long column — and the sketch becomes a sum of those counts
+    # (exact integers), so the corpus is tokenized ONCE and the seeds
+    # cross-multiplication runs over |vocab| rows instead of every
+    # token instance. The no-op guards (tok on the sketch branch, cnt
+    # on the candidate branch) keep column pruning from
+    # de-canonicalizing the shared subtree, so AQE stage-reuses the
+    # grouping exchange (the bm25/tfidf change-13/15 pattern;
+    # interleaved A/B −0.27 s, documents scans 2 → 1).
+    g = (inst.groupBy("tok", "h1", "h2")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    sketch = (g.where(F.col("tok").isNotNull())
+               .crossJoin(F.broadcast(seeds))
+               .select("seed", bucket, "cnt")
+               .groupBy("seed", "bucket")
+               .agg(F.sum("cnt").alias("cnt")))
+    cand = (g.where(F.col("cnt") >= 1)
+             .select("tok", "h1", "h2"))
     scored = (cand.crossJoin(F.broadcast(seeds))
                   .select("tok", "seed", bucket)
                   .join(F.broadcast(sketch), ["seed", "bucket"])
