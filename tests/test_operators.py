@@ -2632,6 +2632,54 @@ def test_pattern_compiler_permutation_invariance(spark, sf_dir):
     assert got == base
 
 
+def test_match_pattern_build_issues_no_driver_jobs(spark):
+    """Round 10 (VERDICT r9 #1): compiling a pattern must not run any
+    Spark job — the eager localCheckpoint barrier is gone from the
+    query-build path for BOTH compiler paths (strict keeps a LAZY
+    checkpoint materialized by the first action; relaxed-only skips
+    the staged base entirely)."""
+    from user_behavior_analysis_spark.operators.cep import (
+        PatternStep, match_pattern)
+    rows = [("u", 0, "A"), ("u", 5, "B"), ("u", 9, "C")]
+    df = (spark.createDataFrame(rows, "k string, t long, e string")
+               .withColumn("ts", F.timestamp_seconds("t")))
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    for steps in (
+        [PatternStep("a", F.col("e") == "A"),
+         PatternStep("b", F.col("e") == "B")],               # relaxed-only
+        [PatternStep("a", F.col("e") == "A"),
+         PatternStep("b", F.col("e") == "B", "strict")],     # strict
+    ):
+        before = n_jobs()
+        m = match_pattern(df, "k", "ts", steps, within_s=100)
+        assert n_jobs() == before, "pattern build ran a driver job"
+        m.collect()  # still executable after the lazy build
+
+
+def test_match_pattern_relaxed_duplicate_ts_anchors_stay_distinct(spark):
+    """The relaxed-only path identifies anchors by (key, ts, tiebreak):
+    two anchor events with the SAME timestamp but distinct tiebreak ids
+    must produce two output rows (anchor multiplicity preserved — the
+    funnel_cep n_views contract)."""
+    from user_behavior_analysis_spark.operators.cep import (
+        PatternStep, match_pattern)
+    rows = [("u", 0, 1, "A"), ("u", 0, 2, "A"), ("u", 5, 3, "B")]
+    df = (spark.createDataFrame(rows, "k string, t long, id long, e string")
+               .withColumn("ts", F.timestamp_seconds("t")))
+    m = match_pattern(
+        df, "k", "ts",
+        [PatternStep("a", F.col("e") == "A"),
+         PatternStep("b", F.col("e") == "B")],
+        within_s=100, tiebreak=["id"]).collect()
+    assert len(m) == 2
+    assert all(r["a_ts"] == 0 and r["b_ts"] == 5 and r["matched"]
+               for r in m)
+
+
 def test_media_neardup_mixed_format_separation(spark):
     """Heterogeneous-corpus pin (round 9, VERDICT r8 #5): on payloads
     of three synthesized formats (lowercase text / uppercase / digit

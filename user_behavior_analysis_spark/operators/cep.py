@@ -185,36 +185,71 @@ def match_pattern(df: DataFrame, key: str, ts_col: str,
     shuffle family); strict steps are position-equi joins; a relaxed
     step fans out anchors x per-key candidates before its min-reduce —
     the same per-key state the reference's CEP NFA holds, made
-    explicit. The base relation (positions + per-step predicate bits)
-    is computed once and checkpointed — k downstream branches must not
-    re-scan the source (the kmv checkpoint-once precedent)."""
+    explicit.
+
+    Physical plan (round 10, VERDICT r9 #1): positions (a per-key
+    row_number window — one full shuffle+sort of the input) exist only
+    to serve STRICT contiguity joins; every output column is a ts
+    value, and relaxed steps chain on ts alone. So the window and the
+    staged base relation are built only when a strict step exists, and
+    the checkpoint is LAZY — materialized by the caller's first action
+    (the round-9 connected-components treatment), not by an eager
+    driver barrier in the query-build path. With no strict step the
+    base is a plain column-pruned projection (the engine's bespoke
+    ``followed_by_with_timeout`` shape: k pushed-filter scans of a few
+    narrow columns beat one cached window pass); anchors are then
+    identified by (key, ts, tiebreak) — the operator's standing
+    determinism precondition (``ts_col`` non-null, (ts, tiebreak)
+    unique per key) already requires that identity to be unique, and
+    under it the relaxed min-reduce is equivalent to the positional
+    one (ties on ts pick a different position but the same ts, and no
+    later strict step can observe the position)."""
     if len(steps) < 2:
         raise ValueError("a pattern needs >= 2 steps")
     if anchor not in ("each", "first"):
         raise ValueError(f"anchor must be each|first: {anchor}")
-    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
-    w = Window.partitionBy(key).orderBy(*order)
-    base = (df.withColumn("_pos", F.row_number().over(w))
-              .select(F.col(key).alias("_k"),
-                      F.col(ts_col).cast("long").alias("_ts"), "_pos",
-                      *[s.predicate.alias(f"_m{i}")
-                        for i, s in enumerate(steps)])
-              .localCheckpoint(eager=True))
+    has_strict = any(s.contiguity == "strict" for s in steps[1:])
     n0 = f"{steps[0].name}_ts"
-    cur = (base.where(F.col("_m0"))
-               .select("_k", F.col("_pos").alias("p0"),
-                       F.col("_ts").alias(n0)))
+    if has_strict:
+        order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+        w = Window.partitionBy(key).orderBy(*order)
+        base = (df.withColumn("_pos", F.row_number().over(w))
+                  .select(F.col(key).alias("_k"),
+                          F.col(ts_col).cast("long").alias("_ts"), "_pos",
+                          *[s.predicate.alias(f"_m{i}")
+                            for i, s in enumerate(steps)])
+                  .localCheckpoint(eager=False))
+        cur = (base.where(F.col("_m0"))
+                   .select("_k", F.col("_pos").alias("p0"),
+                           F.col("_ts").alias(n0)))
+        anchor_id: list[str] = ["p0"]
+    else:
+        tb_cols = [F.col(c).alias(f"_tb{j}")
+                   for j, c in enumerate(tiebreak or [])]
+        base = df.select(F.col(key).alias("_k"),
+                         F.col(ts_col).cast("long").alias("_ts"),
+                         *tb_cols,
+                         *[s.predicate.alias(f"_m{i}")
+                           for i, s in enumerate(steps)])
+        anchor_id = [f"_tb{j}" for j in range(len(tiebreak or []))]
+        cur = (base.where(F.col("_m0"))
+                   .select("_k", *anchor_id, F.col("_ts").alias(n0)))
     if anchor == "first":
-        cur = (cur.groupBy("_k")
-                  .agg(F.min(F.struct(F.col(n0), F.col("p0")))
-                        .alias("_a"))
-                  .select("_k", F.col("_a.p0").alias("p0"),
-                          F.col(f"_a.{n0}").alias(n0)))
+        if has_strict:
+            cur = (cur.groupBy("_k")
+                      .agg(F.min(F.struct(F.col(n0), F.col("p0")))
+                            .alias("_a"))
+                      .select("_k", F.col("_a.p0").alias("p0"),
+                              F.col(f"_a.{n0}").alias(n0)))
+        else:
+            cur = cur.groupBy("_k").agg(F.min(F.col(n0)).alias(n0))
+            anchor_id = []
     for i, step in enumerate(steps[1:], start=1):
         ni = f"{step.name}_ts"
         r = (base.where(F.col(f"_m{i}"))
                  .select(F.col("_k").alias("_rk"),
-                         F.col("_pos").alias("_rp"),
+                         *([F.col("_pos").alias("_rp")] if has_strict
+                           else []),
                          F.col("_ts").alias("_rt")))
         prev_p, prev_t = f"p{i-1}", f"{steps[i-1].name}_ts"
         if step.contiguity == "strict":
@@ -227,18 +262,22 @@ def match_pattern(df: DataFrame, key: str, ts_col: str,
             grp = list(cur.columns)
             j = cur.join(r, (cur["_k"] == r["_rk"])
                          & (r["_rt"] >= cur[prev_t]), "left")
-            cur = (j.groupBy(*grp)
-                    .agg(F.min(F.when(F.col("_rp").isNotNull(),
-                                      F.struct(F.col("_rt"),
-                                               F.col("_rp"))))
-                          .alias("_s"))
-                    .select(*grp, F.col("_s._rp").alias(f"p{i}"),
-                            F.col("_s._rt").alias(ni)))
+            if has_strict:
+                cur = (j.groupBy(*grp)
+                        .agg(F.min(F.when(F.col("_rp").isNotNull(),
+                                          F.struct(F.col("_rt"),
+                                                   F.col("_rp"))))
+                              .alias("_s"))
+                        .select(*grp, F.col("_s._rp").alias(f"p{i}"),
+                                F.col("_s._rt").alias(ni)))
+            else:
+                cur = j.groupBy(*grp).agg(F.min(F.col("_rt")).alias(ni))
     last = f"{steps[-1].name}_ts"
     span = F.col(last) - F.col(n0)
+    present = (F.col(f"p{len(steps)-1}").isNotNull() if has_strict
+               else F.col(last).isNotNull())
     return (cur.withColumn("span_s", span)
-               .withColumn("matched",
-                           F.col(f"p{len(steps)-1}").isNotNull()
-                           & (span <= within_s))
+               .withColumn("matched", present & (span <= within_s))
                .withColumnRenamed("_k", key)
-               .drop(*[f"p{i}" for i in range(len(steps))]))
+               .drop(*([f"p{i}" for i in range(len(steps))]
+                       if has_strict else anchor_id)))
